@@ -1,13 +1,185 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.ExchangeRates
+import graft.ops._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the LLM-pipeline extensions B8-B11)
+  * is registered here as a batch query over the driver's parquet test data,
+  * with a matching DuckDB oracle in [[oracleSql]]. Column names are aliased
+  * identically on both sides (the driver's compare sorts columns by name
+  * before hashing). Doubles are only ever produced by single deterministic
+  * IEEE operations (division / left-fold accumulation), never `round()`,
+  * so Spark and DuckDB agree bitwise.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship: the reference's word count (kstreams/App.java:98-109 —
+    * regex tokenize + lowercase + groupBy + count) over documents.text.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    TextOps.wordCount(TextOps.tokenizeRegex(docs, col("text")))
+  }
+
+  private def D(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def E(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def O(s: SparkSession, dir: String) = Tables.orders(s, dir)
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- word count / tokenization (F6-F9, A1-A3 batch form) ----
+    "wordcount_regex" -> ((s, dir) =>
+      TextOps.wordCount(TextOps.tokenizeRegex(D(s, dir), col("text")))),
+    "wordcount_space" -> ((s, dir) =>
+      TextOps.wordCount(TextOps.tokenizeSpace(D(s, dir), col("text")))),
+    "tokenize_space" -> ((s, dir) =>
+      TextOps.tokenizeSpace(D(s, dir), col("text")).select(col("word").as("value"))),
+    // ---- payments pipeline (F1-F4) over a deterministic orders-derived feed ----
+    "payments_decode" -> ((s, dir) =>
+      PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(O(s, dir)))),
+    "payments_convert" -> ((s, dir) =>
+      PaymentOps.convert(
+        PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(O(s, dir))),
+        ExchangeRates.ratesDF(s))
+        .select("k", "currency", "amount", "ts", "converted")),
+    "payments_suspicious" -> ((s, dir) =>
+      PaymentOps.convert(
+        PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(O(s, dir))),
+        ExchangeRates.ratesDF(s))
+        .filter(PaymentOps.suspicious)
+        .select("k", "currency", "amount", "ts", "converted")),
+    "payments_encode" -> ((s, dir) =>
+      PaymentOps.jsonEncode(
+        PaymentOps.convert(
+          PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(O(s, dir))),
+          ExchangeRates.ratesDF(s)))),
+    "payments_pipeline" -> ((s, dir) =>
+      PaymentOps.pipeline(s, O(s, dir))
+        .select("k", "currency", "amount", "ts", "converted", "is_suspicious")),
+    // ---- projection/cast (F5) ----
+    "cast_project" -> ((s, dir) => EventOps.castProject(E(s, dir))),
+    // ---- text analysis (B10) ----
+    "text_stats" -> ((s, dir) => TextOps.textStats(D(s, dir))),
+    "lang_id" -> ((s, dir) => TextOps.languageId(D(s, dir))),
+    "token_counts" -> ((s, dir) => TextOps.tokenCounts(D(s, dir))),
+    "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
+    // ---- events: dedup + JSON extraction (B8a, B11) ----
+    "dedup_events_exact" -> ((s, dir) => EventOps.dedupExact(E(s, dir))),
+    "events_json" -> ((s, dir) => EventOps.jsonExtract(E(s, dir))),
+    "events_json_agg" -> ((s, dir) => EventOps.jsonAgg(E(s, dir)))
+  )
+
+  private val rates = ExchangeRates.ratesSql
+
+  /** The synthetic payments JSON feed as a DuckDB CTE (identical strings to
+    * PaymentOps.syntheticPaymentsJson), then parsed back with json_extract —
+    * the oracle exercises the same encode→decode loop as the Spark path.
+    */
+  private val paymentsDecodedCte =
+    s"""WITH synth AS (${PaymentOps.syntheticPaymentsJsonSql}),
+       |decoded AS (
+       |  SELECT k,
+       |    json_extract_string(value, '$$.currency') AS currency,
+       |    CAST(json_extract(value, '$$.amount') AS BIGINT) AS amount,
+       |    CAST(json_extract(value, '$$.ts') AS BIGINT) AS ts
+       |  FROM synth WHERE json_valid(value)
+       |)""".stripMargin
+
+  private val paymentsConvertedCte =
+    s"""$paymentsDecodedCte,
+       |converted AS (
+       |  SELECT k, d.currency, amount, ts,
+       |    CAST(round(amount * rate, 0) AS BIGINT) AS converted
+       |  FROM decoded d JOIN $rates ON d.currency = rates.currency
+       |)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables (bare table names; driver provides views).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "wordcount_regex" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
+        |      FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "wordcount_space" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word""".stripMargin,
+    "tokenize_space" ->
+      "SELECT unnest(string_split(text, ' ')) AS value FROM documents",
+    "payments_decode" ->
+      s"$paymentsDecodedCte SELECT * FROM decoded",
+    "payments_convert" ->
+      s"$paymentsConvertedCte SELECT * FROM converted",
+    "payments_suspicious" ->
+      s"$paymentsConvertedCte SELECT * FROM converted WHERE converted < 1000000",
+    "payments_encode" ->
+      s"""$paymentsConvertedCte
+         |SELECT currency AS key,
+         |  '{"currency":"' || currency || '","amount":' || CAST(converted AS VARCHAR) ||
+         |  ',"ts":' || CAST(ts AS VARCHAR) || '}' AS value
+         |FROM converted""".stripMargin,
+    "payments_pipeline" ->
+      s"""$paymentsConvertedCte
+         |SELECT k, currency, amount, ts, converted,
+         |  converted < 1000000 AS is_suspicious
+         |FROM converted""".stripMargin,
+    "cast_project" ->
+      "SELECT CAST(event_id AS VARCHAR) AS key, props AS value FROM events",
+    "text_stats" ->
+      s"""SELECT doc_id, n_tokens, n_chars, n_stop,
+         |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) *
+         |    (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(list_filter(string_split(text, ' '),
+         |        w -> w IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+         |  FROM documents)""".stripMargin,
+    "lang_id" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, word, count(*) AS w_cnt
+        |  FROM tokens WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT t.doc_id, p.p_lang, sum(p.w_cnt) AS score
+        |  FROM tokens t JOIN profile p ON t.word = p.word
+        |  WHERE t.doc_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT doc_id, p_lang AS pred_lang, score
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, p_lang ASC) AS rn
+        |      FROM scored)
+        |WHERE rn = 1""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  CAST(list_reduce(list_transform(string_split(text, ' '),
+        |    w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)),
+        |    (a, b) -> a + b) AS BIGINT) AS subword_est
+        |FROM documents""".stripMargin,
+    "fingerprints" ->
+      "SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp FROM documents",
+    "dedup_events_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_json" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
+    "events_json_agg" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenization + word-count operators (SURVEY.md §2.3 F6-F9, §2.4 A1-A3)
+  * and the text-analysis extensions (SURVEY.md §7 B10).
+  *
+  * Two tokenizer variants are deliberately distinct (SURVEY §7 risk 4):
+  *  - F6 regex `\W+` + lowercase (kstreams/App.java:68,98-102)
+  *  - F7 literal single space, no case fold (spark/kafka/App.java:74-77)
+  *
+  * All composed from codegen'd built-ins: explode(split(...)) keeps the
+  * flatMap inside whole-stage codegen; groupBy(...).count() gets map-side
+  * partial aggregation for free, so the shuffle carries (word, partial
+  * count) pairs, not raw tokens — at 100 TB the shuffle volume is bounded
+  * by vocabulary × partitions, not corpus size.
+  */
+object TextOps {
+
+  /** F6 — regex tokenize: lowercase, split on non-word runs, drop the empty
+    * token a leading delimiter produces (kstreams/App.java:98-102; the
+    * reference's `\W+` split yields "" for lines starting with
+    * punctuation).
+    */
+  def tokenizeRegex(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(lower(text), "\\W+")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** F7 — space tokenize: no case fold, punctuation kept
+    * (spark/kafka/App.java:74-77 splits on a single literal space).
+    */
+  def tokenizeSpace(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, " ", -1)).as("word"))
+
+  /** A1+A2/A3 — group by word, count (changelog semantics in streaming;
+    * here the batch equivalent).
+    */
+  def wordCount(words: DataFrame): DataFrame =
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** B10 — per-document stats: token count, char count, average token
+    * length, stopword ratio, and a composite quality score. All doubles are
+    * produced by single IEEE divisions/multiplies over integer inputs — no
+    * rounding — so Spark and the DuckDB oracle are bitwise identical
+    * (round() on doubles is tie-broken differently across engines).
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def textStats(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val isStop = (w: Column) => w.isInCollection(stopwords)
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      aggregate(toks, lit(0L), (acc, w) => acc + when(isStop(w), 1L).otherwise(0L))
+        .as("n_stop")
+    ).withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 100) *
+          (lit(1.0) - col("stop_ratio")))
+  }
+
+  /** B10 — language-ID by token-frequency profile: profiles are built from
+    * even doc_ids (training), odd doc_ids are classified by the language
+    * whose profile gives the highest total token-count score (integer
+    * argmax, language-name tiebreak — fully deterministic, so DuckDB
+    * reproduces it exactly).
+    *
+    * Scale: the profile table is |vocab × langs| rows — tiny — and is
+    * broadcast to the scoring join; the per-document score is a partial
+    * aggregation. The corpus-side work is one explode + one broadcast join.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val tokens = documents
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ", -1)).as("word"))
+    val profile = tokens.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang").as("p_lang"), col("word"))
+      .agg(count(lit(1)).as("w_cnt"))
+    val test = tokens.filter(col("doc_id") % 2 === 1).drop("lang")
+    val scored = test.join(broadcast(profile), Seq("word"))
+      .groupBy("doc_id", "p_lang")
+      .agg(sum("w_cnt").as("score"))
+    // deterministic argmax: max score, then lexicographically-smallest lang
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("p_lang").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"), col("score"))
+  }
+
+  /** B10 — token counting: whitespace tokens plus a BPE-ish subword
+    * estimate (ceil(len/4) subwords per token — the standard ~4-chars-per-
+    * token heuristic), both exact integer math.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      aggregate(toks, lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+        .as("subword_est"))
+  }
+
+  /** B10 — document fingerprint: first 16 hex chars of md5 over the
+    * case-folded text. (A Rabin-Karp rolling-hash variant for streaming
+    * fingerprinting lives in graft.functions.RollingHash with unit tests;
+    * md5 is the oracle-checkable batch form.)
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      substring(md5(lower(col("text"))), 1, 16).as("fp"))
+}
