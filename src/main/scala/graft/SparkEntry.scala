@@ -71,7 +71,25 @@ object SparkEntry {
     // ---- events: dedup + JSON extraction (B8a, B11) ----
     "dedup_events_exact" -> ((s, dir) => EventOps.dedupExact(E(s, dir))),
     "events_json" -> ((s, dir) => EventOps.jsonExtract(E(s, dir))),
-    "events_json_agg" -> ((s, dir) => EventOps.jsonAgg(E(s, dir)))
+    "events_json_agg" -> ((s, dir) => EventOps.jsonAgg(E(s, dir))),
+    // ---- document dedup suite (B8) over the dup-injected corpus ----
+    "dedup_docs_exact" -> ((s, dir) => DedupOps.exactDedup(DedupOps.augmented(D(s, dir)))),
+    "minhash_signatures" -> ((s, dir) => DedupOps.minhashSignatures(DedupOps.augmented(D(s, dir)))),
+    "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(DedupOps.augmented(D(s, dir)))),
+    "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccardPairs(DedupOps.augmented(D(s, dir)))),
+    "simhash" -> ((s, dir) => DedupOps.simhash(DedupOps.augmented(D(s, dir)))),
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(DedupOps.augmented(D(s, dir)))),
+    // ---- embedding similarity (B9) ----
+    "cosine_topk" -> ((s, dir) => SimilarityOps.cosineTopK(Tables.embeddings(s, dir))),
+    "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
+    "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
+    // ---- relational analytics surface ----
+    "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
+    "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
+      O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
+    "top_orders_per_priority" -> ((s, dir) => RelationalOps.topOrdersPerPriority(O(s, dir))),
+    // ---- multimodal column pattern (B11) ----
+    "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir)))
   )
 
   private val rates = ExchangeRates.ratesSql
@@ -153,7 +171,7 @@ object SparkEntry {
         |  SELECT lang AS p_lang, word, count(*) AS w_cnt
         |  FROM tokens WHERE doc_id % 2 = 0 GROUP BY 1, 2),
         |scored AS (
-        |  SELECT t.doc_id, p.p_lang, sum(p.w_cnt) AS score
+        |  SELECT t.doc_id, p.p_lang, CAST(sum(p.w_cnt) AS BIGINT) AS score
         |  FROM tokens t JOIN profile p ON t.word = p.word
         |  WHERE t.doc_id % 2 = 1 GROUP BY 1, 2)
         |SELECT doc_id, p_lang AS pred_lang, score
@@ -178,8 +196,21 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events",
     "events_json_agg" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "dedup_docs_exact" -> DedupOps.exactDedupSql,
+    "minhash_signatures" -> DedupOps.minhashSignaturesOracle,
+    "dedup_minhash" -> DedupOps.minhashPairsOracle,
+    "dedup_ngram_jaccard" -> DedupOps.ngramJaccardOracle,
+    "simhash" -> DedupOps.simhashOracle,
+    "dedup_simhash" -> DedupOps.simhashPairsOracle,
+    "cosine_topk" -> SimilarityOps.cosineTopKOracle,
+    "ann_ivf" -> SimilarityOps.ivfTopKOracle,
+    "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
+    "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
+    "orders_by_nation" -> RelationalOps.ordersByNationOracle,
+    "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,
+    "multimodal_features" -> MultimodalOps.featuresOracle
   )
 }

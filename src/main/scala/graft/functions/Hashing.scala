@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic 60-bit hashes shared by the dedup/fingerprint operators.
+  *
+  * Built on md5 rather than Spark's murmur `hash()` so the DuckDB oracle
+  * can compute the identical value (`('0x' || substr(md5(x),1,15))::BIGINT`):
+  * the first 15 hex chars of the md5 digest as a non-negative 60-bit Long.
+  * md5 is codegen'd in Spark; at scale this is one digest per value on the
+  * map side, no shuffle implications.
+  */
+object Hashing {
+
+  /** 60-bit hash of a string column, identical in Spark and DuckDB. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same hash as a Spark SQL expression fragment (for use inside
+    * higher-order-function lambdas where Column trees can't reach).
+    */
+  def hash64Expr(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Same hash as a DuckDB SQL fragment — keep in lockstep with hash64. */
+  def hash64Duck(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+}

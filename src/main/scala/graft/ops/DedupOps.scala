@@ -1,0 +1,298 @@
+package graft.ops
+
+import graft.functions.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md §7
+  * B8): exact hash-dedup, banded MinHash, SimHash, and inverted-index
+  * n-gram Jaccard. None of these exists in the reference (§2.7) — they are
+  * the LLM-pipeline extension surface.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Exact dedup groups on a 128-bit digest of the content, never the raw
+  *    text — the shuffle carries 16-byte keys, not documents.
+  *  - MinHash signatures are computed shuffle-free with nested
+  *    higher-order functions (transform/array_min) — one map-side pass per
+  *    document; only the (doc_id, band_key) pairs shuffle, and LSH banding
+  *    keeps candidate generation linear in colliding pairs, never all-pairs
+  *    O(n²).
+  *  - Jaccard verification never carries shingle arrays through the join:
+  *    common-shingle counts come from a count-aggregated inverted index,
+  *    set sizes from a tiny per-doc side table.
+  *  - SimHash is a single 60-bit fingerprint per doc; near-dup candidates
+  *    come from equality joins on 15-bit chunks (pigeonhole: hamming ≤ 3
+  *    implies an identical chunk), again never all-pairs.
+  *
+  * The test corpus has no natural duplicates (500 distinct texts), so
+  * [[augmented]] deterministically injects near-duplicates (first token
+  * dropped) and exact copies; the DuckDB oracle rebuilds the same corpus.
+  */
+object DedupOps {
+
+  /** documents ∪ near-dup copies (doc_id+100000, first token dropped, for
+    * doc_id % 10 = 0) ∪ exact copies (doc_id+200000, for doc_id % 15 = 0).
+    */
+  def augmented(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val near = documents.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val exact = documents.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    base.unionAll(near).unionAll(exact)
+  }
+
+  /** The same corpus as a DuckDB CTE (keep in lockstep with [[augmented]]). */
+  val augmentedSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 15 = 0
+      |)""".stripMargin
+
+  /** B8a — exact dedup: group on the md5 digest of the content, keep the
+    * smallest doc_id. One shuffle on 16-byte keys with map-side partials.
+    */
+  def exactDedup(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Word 3-gram shingles + their per-doc distinct set, computed map-side
+    * with higher-order functions (no explode, no shuffle).
+    */
+  private def withShingles(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+
+  private val shinglesDuck =
+    """shingled AS (
+      |  SELECT doc_id,
+      |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS shingles
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+      |  WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  /** MinHash signature matrix in long form (doc_id, perm, minhash):
+    * minhash_p(doc) = min over shingles of hash64(p || ':' || shingle).
+    * Permutations are independent hash families derived by prefixing the
+    * permutation index — no multiply-mod arithmetic, so no overflow
+    * divergence between engines. Entirely map-side per document.
+    */
+  def minhashSignatures(corpus: DataFrame, numPerm: Int = 16): DataFrame =
+    withShingles(corpus)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${numPerm - 1}), p ->
+           |  array_min(transform(shingles, s ->
+           |    ${Hashing.hash64Expr("concat(cast(p AS string), ':', s)")})))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("perm"),
+        col("col").as("minhash"))
+
+  /** The signature matrix as DuckDB SQL (given `corpus`/`shingled` CTEs). */
+  def minhashSignaturesSql(numPerm: Int = 16): String =
+    s"""SELECT doc_id, perm,
+       |  list_min(list_transform(shingles, s ->
+       |    ${Hashing.hash64Duck("CAST(perm AS VARCHAR) || ':' || s")})) AS minhash
+       |FROM shingled, range(0, $numPerm) t(perm)""".stripMargin
+
+  /** B8b — banded-LSH MinHash dedup: 4 bands × 4 rows. Docs sharing any
+    * band key become candidates; candidates are verified with exact
+    * Jaccard over distinct shingle sets, computed via the inverted-index
+    * pattern (counts, not arrays, through the shuffle). Returns pairs with
+    * jaccard ≥ minJaccard.
+    */
+  def minhashPairs(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = withShingles(corpus)
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, 15), p ->
+           |  array_min(transform(shingles, s ->
+           |    ${Hashing.hash64Expr("concat(cast(p AS string), ':', s)")})))""".stripMargin))
+      .withColumn("shingle_set", array_distinct(col("shingles")))
+
+    val bands = sh.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * 4 + 1, 4)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = sh.select(col("doc_id"), size(col("shingle_set")).cast("long").as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
+    val common = inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    cand.join(common, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** B8d — inverted-index n-gram Jaccard dedup: candidates are pairs
+    * sharing ≥1 shingle (count-aggregated, arrays never shuffled), then
+    * exact Jaccard ≥ threshold. The all-candidates variant of
+    * [[minhashPairs]] — higher recall, more candidates; LSH banding is the
+    * 100 TB path, this is the exhaustive small-corpus path.
+    */
+  def ngramJaccardPairs(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = withShingles(corpus).withColumn("shingle_set", array_distinct(col("shingles")))
+    val sizes = sh.select(col("doc_id"), size(col("shingle_set")).cast("long").as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
+    inv.as("x").join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** B8c — SimHash: 60-bit fingerprint per document. Each token votes ±1
+    * per bit position of its 60-bit hash; bit b of the fingerprint is set
+    * iff the vote sum is positive. Computed per-document on the map side.
+    */
+  def simhash(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("hs", expr(
+        s"transform(split(text, ' ', -1), w -> ${Hashing.hash64Expr("w")})"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(aggregate(hs, 0, (v, h) ->
+          |            v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+          |          shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
+
+  /** B8c — SimHash near-dup pairs: equality join on 15-bit chunks
+    * (pigeonhole guarantees recall for hamming ≤ 3), verify with popcount
+    * of the XOR. Never all-pairs.
+    */
+  def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(corpus)
+    val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(expr(
+      "transform(sequence(0, 3), i -> shiftright(simhash, i * 15) & 32767)")))
+      .select(col("doc_id"), col("simhash"), col("pos").as("chunk_id"), col("col").as("chunk"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- DuckDB oracle SQL (kept in lockstep with the Spark ops above) ----
+
+  /** Shared CTE prefix: corpus + shingled. */
+  val corpusShingledCte: String = s"WITH ${augmentedSql},\n$shinglesDuck"
+
+  val exactDedupSql: String =
+    s"""WITH ${augmentedSql}
+       |SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+       |FROM corpus GROUP BY 1""".stripMargin
+
+  val minhashSignaturesOracle: String =
+    s"$corpusShingledCte\n${minhashSignaturesSql()}"
+
+  private val jaccardDuck =
+    """sizes AS (
+      |  SELECT doc_id, CAST(len(list_distinct(shingles)) AS BIGINT) AS n_sh
+      |  FROM shingled),
+      |inv AS (
+      |  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM shingled),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(n_common AS DOUBLE) / (a.n_sh + b.n_sh - n_common) AS jaccard
+      |  FROM common
+      |  JOIN sizes a ON common.doc_a = a.doc_id
+      |  JOIN sizes b ON common.doc_b = b.doc_id)""".stripMargin
+
+  val minhashPairsOracle: String =
+    s"""$corpusShingledCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16), p ->
+       |      list_min(list_transform(shingles, s ->
+       |        ${Hashing.hash64Duck("CAST(p AS VARCHAR) || ':' || s")}))) AS sig
+       |  FROM shingled),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+       |  FROM sigs, range(0, 4) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |$jaccardDuck
+       |SELECT jac.doc_a, jac.doc_b, jaccard
+       |FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  val ngramJaccardOracle: String =
+    s"""$corpusShingledCte,
+       |$jaccardDuck
+       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
+
+  /** Explode-form simhash oracle — same votes/bits as [[simhash]], written
+    * as plain unnest+groupBy SQL (clearly correct; efficiency irrelevant
+    * for the oracle).
+    */
+  val simhashOracle: String =
+    s"""WITH ${augmentedSql},
+       |tok AS (
+       |  SELECT doc_id, ${Hashing.hash64Duck("unnest(string_split(text, ' '))")} AS h
+       |  FROM corpus),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tok, range(0, 60) t(b) GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY 1""".stripMargin
+
+  val simhashPairsOracle: String =
+    s"""WITH ${augmentedSql},
+       |tok AS (
+       |  SELECT doc_id, ${Hashing.hash64Duck("unnest(string_split(text, ' '))")} AS h
+       |  FROM corpus),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tok, range(0, 60) t(b) GROUP BY 1, 2),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1),
+       |chunks AS (
+       |  SELECT doc_id, simhash, i AS chunk_id, (simhash >> (i * 15)) & 32767 AS chunk
+       |  FROM sigs, range(0, 4) t(i)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media asset: opaque binary payload + typed metadata — the multimodal
+  * column pattern (SURVEY.md §7 B11). Image/audio/video travel as `binary`
+  * columns; decode/feature-extract happens executor-side in typed batches.
+  */
+case class MediaAsset(doc_id: Long, payload: Array[Byte],
+                      lang: String, source: String, n_chars: Long)
+
+/** Extracted features for one asset. */
+case class MediaFeatures(doc_id: Long, byte_len: Long, first_byte: Long,
+                         checksum: Long, lang: String)
+
+/** Multimodal column operators (SURVEY.md §7 B11).
+  *
+  * Real media decode libs aren't in this container, so [[decodeStub]] is a
+  * deterministic fake (length / first byte / additive checksum) — but all
+  * the Spark-side plumbing is real: binary payload column, typed
+  * case-class Encoders, executor-side per-partition batch processing via
+  * mapPartitions (the Scala analogue of mapInPandas — one iterator per
+  * partition, so a real decoder would amortize model/codec init across the
+  * batch), and metadata kept columnar next to the blob.
+  *
+  * Scale notes: blobs ride the scan but never a shuffle (all transforms
+  * here are narrow); real pipelines keep payloads in their own parquet
+  * column so column pruning skips them unless decoded, and size
+  * `spark.sql.files.maxPartitionBytes` so a partition of blobs fits the
+  * executor heap.
+  */
+object MultimodalOps {
+
+  /** Pack documents into the multimodal shape: text bytes stand in for an
+    * opaque media payload; metadata stays as typed columns.
+    */
+  def pack(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      col("lang"), col("source"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** The decode/feature-extract stage: per-partition batches of typed
+    * assets → features. A real image decoder would replace the body of the
+    * iterator map; the signature, batching and schema are the production
+    * shape.
+    */
+  def decodeStub(spark: SparkSession, packed: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    packed.as[MediaAsset].mapPartitions { assets =>
+      // One-time per-partition init would go here (codec, model weights).
+      assets.map { a =>
+        val bytes = a.payload
+        val checksum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xffL))
+        MediaFeatures(a.doc_id, bytes.length.toLong,
+          if (bytes.nonEmpty) (bytes(0) & 0xffL) else -1L, checksum, a.lang)
+      }
+    }
+  }
+
+  /** End-to-end: pack → decode → features DataFrame. */
+  def features(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeStub(spark, pack(documents)).toDF()
+
+  /** Oracle: the deterministic fake is reproducible in SQL over ASCII
+    * text — byte length, first byte code point, sum of code points.
+    */
+  val featuresOracle: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))
+      |            ELSE -1 END AS BIGINT) AS first_byte,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (a, b) -> a + b)
+      |    AS BIGINT) AS checksum,
+      |  lang
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational queries over the TPC-H-ish tables — the engine's batch
+  * analytics surface and the bench workhorses. Monetary doubles are cast
+  * to DECIMAL(18,2) BEFORE aggregation: decimal sums are exact and
+  * partition-order independent (double sums are not), which is what makes
+  * the DuckDB hash compare — and any 1000-executor rerun — deterministic.
+  *
+  * Scale notes per query:
+  *  - [[pricingSummary]]: scan→partial agg→4-row exchange; predicate and
+  *    the 7-column projection push into the parquet scan.
+  *  - [[ordersByNation]]: orders⋈customer shuffles on custkey (both sides
+  *    big at 100 TB — co-partition/bucket by custkey in a real catalog);
+  *    nation is 25 rows and MUST broadcast.
+  *  - [[topOrdersPerPriority]]: per-priority windows — never a global
+  *    orderBy, each partition sorts locally.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-flavored pricing summary over lineitem. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(expr("l_shipdate <= TIMESTAMP_NTZ'1998-09-01 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        // price×(1-disc) at scale 4 is EXACT (no per-row rounding — Spark
+        // rounds half-up, DuckDB half-even; never round before summing).
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Orders per nation: fact⋈fact shuffle join + broadcast dim join. */
+  def ordersByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
+
+  /** Top-3 orders by price per priority class (partitioned window top-k). */
+  def topOrdersPerPriority(orders: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+  }
+
+  // ---- DuckDB oracles ----
+
+  val pricingSummaryOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DECIMAL(38,4)) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  val ordersByNationOracle: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  val topOrdersPerPriorityOracle: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3""".stripMargin
+}

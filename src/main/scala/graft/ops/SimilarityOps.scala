@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings.parquet` (SURVEY.md §7 B9):
+  * brute-force cosine top-k as the correctness baseline, and an IVF-style
+  * label-partitioned variant as the scale path.
+  *
+  * Numerics: embeddings are Array[Float]; both engines cast element-wise to
+  * double and accumulate with a LEFT FOLD (Spark `aggregate`, DuckDB
+  * `list_reduce`) so every intermediate IEEE operation is identical and the
+  * scores hash-match bitwise — no rounding anywhere.
+  *
+  * Scale design: the query side is tiny and broadcast, so the corpus never
+  * shuffles for scoring. Top-k runs per-query-partitioned windows (never a
+  * global `Window.orderBy`, which would serialize onto one task). For
+  * 100 TB the brute-force path becomes IVF: [[ivfTopK]] prunes the corpus
+  * to the query's coarse cell (here the `label` column stands in for the
+  * nearest-centroid assignment); real deployments add nprobe > 1 by
+  * unioning cells. Pre-normalizing vectors once and storing the norm
+  * (done here via [[withNorm]]) halves the per-pair flops.
+  */
+object SimilarityOps {
+
+  /** Left-fold dot product of two double arrays — identical in DuckDB as
+    * list_reduce(list_transform(...)).
+    */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Corpus with embeddings cast to double + precomputed L2 norm. */
+  def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("norm", sqrt(dot("emb", "emb")))
+
+  /** B9 — brute-force cosine top-k: queries = vec_id < nQueries, scored
+    * against the whole corpus (self excluded). Query side broadcast; top-k
+    * via per-query window.
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    val corpus = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("score", dot("emb", "q_emb") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  /** B9 — IVF-style ANN: prune the corpus to the query's coarse cell
+    * (`label` = nearest-centroid assignment) before scoring. Same scoring
+    * and window machinery; the join key carries the partition pruning.
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val corpus = withNorm(embeddings).select(col("vec_id"), col("label"), col("emb"), col("norm"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val scored = corpus.join(broadcast(queries),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", dot("emb", "q_emb") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  /** Embeddings ∪ exact copies (vec_id+10000 for vec_id % 25 = 0) so the
+    * near-dup detector has true positives; oracle rebuilds the same corpus.
+    */
+  def augmentedEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.select("vec_id", "embedding", "label")
+      .unionAll(embeddings.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+
+  /** B8e — embedding-cosine near-duplicate pairs: candidates bucketed by
+    * the coarse cell (label), verified with cosine ≥ minCos. At 100 TB the
+    * bucketing key becomes an LSH signature (random hyperplanes) instead
+    * of one coarse cell; the join shape is identical.
+    */
+  def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.999): DataFrame = {
+    val c = withNorm(augmentedEmbeddings(embeddings))
+      .select(col("vec_id"), col("label"), col("emb"), col("norm"))
+    c.as("a").join(c.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot("a.emb", "b.emb") / (col("a.norm") * col("b.norm"))).as("score"))
+      .filter(col("score") >= minCos)
+  }
+
+  // ---- DuckDB oracles (lockstep with the ops above) ----
+
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+
+  private val duckCorpus =
+    s"""corpus AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM embeddings)""".stripMargin
+
+  val cosineTopKOracle: String =
+    s"""WITH $duckCorpus,
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) AS score
+       |  FROM corpus c JOIN corpus q
+       |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |SELECT q_id, vec_id, score, rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10""".stripMargin
+
+  val ivfTopKOracle: String =
+    s"""WITH $duckCorpus,
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) AS score
+       |  FROM corpus c JOIN corpus q
+       |    ON q.vec_id < 10 AND c.label = q.label AND c.vec_id <> q.vec_id)
+       |SELECT q_id, vec_id, score, rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5""".stripMargin
+
+  val embeddingNearDupOracle: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |corpus AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM aug)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) AS score
+       |FROM corpus a JOIN corpus b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.999""".stripMargin
+}
