@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.plans.Topology
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import java.util.concurrent.ConcurrentHashMap
+
+/** Observability layer (SURVEY.md §2.6 O1-O4, §7 B6): topology
+  * registration + interval-throttled throughput metrics, re-expressed on
+  * Spark's native StreamingQueryListener instead of the reference's forked
+  * Kafka clients (TopologyKafkaStreamsClientSupplier, kstreams/App.java:117
+  * — Spark already exposes source/sink rates in progress events, SURVEY
+  * §4.3).
+  *
+  * The sink is pluggable: console (reference's stdout debugging), an
+  * in-memory collector (tests), or a Kafka `__topology__metrics` producer
+  * in deployments that have kafka-clients on the classpath.
+  */
+trait MetricsSink {
+  def publish(json: String): Unit
+}
+
+final class ConsoleMetricsSink extends MetricsSink {
+  def publish(json: String): Unit = println(json)
+}
+
+/** Test/inspection sink collecting everything published. */
+final class CollectingMetricsSink extends MetricsSink {
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def publish(json: String): Unit = buf.add(json)
+  def all: Seq[String] = { import scala.jdk.CollectionConverters._; buf.asScala.toSeq }
+}
+
+/** O1 — publish the topology DAG once (reference: client.register publishes
+  * to `__topology`, kstreams/App.java:64-65).
+  */
+object TopologyRegistrar {
+  def register(topology: Topology, sink: MetricsSink): Unit =
+    sink.publish(s"""{"kind":"topology","payload":${topology.toJson}}""")
+}
+
+/** O2/O3 — per-query throughput metrics at the reference cadence
+  * (PUBLISH_INTERVAL_CONFIG_KEY = 2000 ms, PaymentsServiceApp.java:26-30):
+  * progress events are throttled per query to at most one publish per
+  * interval. numInputRows/inputRowsPerSecond mirror the reference's
+  * consumer/producer rate metrics.
+  */
+final class TopologyMetricsListener(appName: String, sink: MetricsSink,
+                                    intervalMs: Long = 2000L,
+                                    clock: () => Long = () => System.currentTimeMillis())
+  extends StreamingQueryListener {
+
+  private val lastPublished = new ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    sink.publish(s"""{"kind":"queryStarted","app":"$appName","id":"${e.id}","name":"${Option(e.name).getOrElse("")}"}""")
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val now = clock()
+    val last = lastPublished.get(p.id)
+    if (last == null || now - last >= intervalMs) {
+      lastPublished.put(p.id, now)
+      val stateRows = Option(p.stateOperators).filter(_.nonEmpty)
+        .map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      sink.publish(
+        s"""{"kind":"metrics","app":"$appName","id":"${p.id}","batchId":${p.batchId},""" +
+          s""""numInputRows":${p.numInputRows},"inputRowsPerSecond":${safe(p.inputRowsPerSecond)},""" +
+          s""""processedRowsPerSecond":${safe(p.processedRowsPerSecond)},"stateRows":$stateRows}""")
+    }
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    sink.publish(s"""{"kind":"queryTerminated","app":"$appName","id":"${e.id}"}""")
+
+  private def safe(d: Double): String =
+    if (d.isNaN || d.isInfinite) "0.0" else d.toString
+}

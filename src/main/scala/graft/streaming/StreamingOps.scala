@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.model.ExchangeRates
+import graft.ops.PaymentOps
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+/** Structured Streaming layer (SURVEY.md §2.1/2.2/§7 B4): the reference's
+  * Kafka-sourced dataflows re-expressed as readStream→transform→writeStream.
+  *
+  * Sources S1-S6 collapse to [[kafkaSource]] (the stock `kafka` format — the
+  * reference's `lenses-kafka` fork only added metrics, which our
+  * StreamingQueryListener supplies instead, SURVEY §4.3). Sinks K1-K5
+  * collapse to [[kafkaSink]]; K6 is `format("noop")`. The synthetic
+  * generators S7/S8 are deterministic rate-source maps.
+  *
+  * Transform stages are the SAME batch functions from graft.ops —
+  * Structured Streaming runs identical DataFrame code incrementally, so
+  * correctness of the batch path (DuckDB-verified) carries over; tests
+  * drive them via MemoryStream (SURVEY §5.4).
+  */
+object StreamingOps {
+
+  /** S1-S6 — Kafka source (PaymentsService.java:113-121 poll loop ≙ micro-
+    * batches; maxOffsetsPerTrigger ≙ MAX_POLL_RECORDS=50000).
+    */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String,
+                  maxOffsetsPerTrigger: Long = 50000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** F5 — project the Kafka envelope to the string (k, value) shape the
+    * pipeline stages consume (spark/kafka/App.java:74's CAST(value AS
+    * STRING), plus the key the reference carries as currency/word).
+    */
+  def kafkaRecords(df: DataFrame): DataFrame =
+    df.select(col("key").cast("string").as("k"),
+      col("value").cast("string").as("value"))
+
+  /** K1-K5 — Kafka sink: expects `key`/`value` string columns
+    * (spark/kafka/App.java:79-85; Update mode + checkpoint).
+    */
+  def kafkaSink(df: DataFrame, servers: String, topic: String,
+                checkpoint: String, mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(mode)
+
+  /** K6 — discard sink (SuspiciousPaymentsService.java:43-45's empty loop). */
+  def noopSink(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream.format("noop")
+
+  /** S7 — deterministic payments generator over the rate source
+    * (PaymentsSimulator.java:25-46: 5 currencies round-robin; amount made
+    * deterministic so tests can assert).
+    */
+  def syntheticPayments(spark: SparkSession, rowsPerSecond: Int = 13): DataFrame = {
+    val currencies = array(ExchangeRates.currencies.map(lit): _*)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        element_at(currencies, (col("value") % 5 + 1).cast("int")).as("currency"),
+        (col("value") * 9973L % 2000000L + 1L).as("amount"),
+        unix_millis(col("timestamp")).as("ts"))
+  }
+
+  /** S8 — text replay generator (kstreams/App.java:125-157's 15-line
+    * corpus loop) over the rate source.
+    */
+  def textReplay(spark: SparkSession, lines: Seq[String], rowsPerSecond: Int = 15): DataFrame = {
+    val corpus = array(lines.map(lit): _*)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(element_at(corpus, (col("value") % lines.size + 1).cast("int")).as("value"))
+  }
+
+  /** A1-A3 — streaming word count, Update mode, watermark-free by
+    * reference semantics (spark/kafka/App.java:74-81: split on single
+    * space, no case fold, state unbounded — fine for a bounded vocabulary;
+    * production pipelines add a watermark + windowing instead).
+    * Input: a streaming DataFrame with a string `value` column.
+    */
+  def wordCountSpace(stream: DataFrame): DataFrame =
+    stream.select(explode(split(col("value"), " ", -1)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** F6 variant — regex tokenize + lowercase (kstreams/App.java:98-102). */
+  def wordCountRegex(stream: DataFrame): DataFrame =
+    stream.select(explode(split(lower(col("value")), "\\W+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** F1-F4+K1/K2 — the payments pipeline as ONE foreachBatch fan-out
+    * (SURVEY §4.4: the reference splits after decode+convert inside one
+    * consumer loop, PaymentsService.java:50-59 — two independent queries
+    * would read the source twice). The batch is persisted, written to the
+    * main sink, filtered, written to the suspicious sink, unpersisted.
+    * Sinks are injected so tests (and Kafka/parquet prod paths) share the
+    * exact fan-out logic. At-least-once per sink, matching the reference.
+    */
+  def paymentsFanout(jsonStream: DataFrame, rates: DataFrame,
+                     mainSink: (DataFrame, Long) => Unit,
+                     suspiciousSink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    jsonStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val converted = PaymentOps.convert(PaymentOps.jsonDecode(batch), rates)
+      converted.persist()
+      try {
+        mainSink(PaymentOps.jsonEncode(converted), batchId)
+        suspiciousSink(PaymentOps.jsonEncode(converted.filter(PaymentOps.suspicious)), batchId)
+      } finally converted.unpersist()
+    }
+}
