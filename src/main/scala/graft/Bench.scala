@@ -21,7 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
+    // JVM/codegen warmup + Hadoop/parquet reader init (otherwise the first
+    // query is charged several seconds of one-time setup): exercise the
+    // hot code paths — shuffle, explode+regex split, hash agg, md5 — on
+    // tiny data before the clock starts.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(5000)
+      .selectExpr("explode(split(lower(concat('a b,c ', id)), '\\\\W+')) AS w")
+      .groupBy("w").count().selectExpr("max(md5(w))").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
 
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc perf profiler: times named sub-stages of the hot queries and
+  * prints the physical plan of the slowest. Run:
+  * SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Profile [stage ...]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = DedupOps.augmented(docs)
+
+    if (args.contains("plan")) {
+      println("=== ngramJaccardPairs plan (join/exchange nodes) ===")
+      DedupOps.ngramJaccardPairs(corpus).queryExecution.executedPlan.toString
+        .linesIterator
+        .filter(l => l.contains("Join") || l.contains("Cartesian") || l.contains("Exchange"))
+        .foreach(l => println(l.take(160)))
+      println("=== payments_convert partitions ===")
+      println("orders partitions: " + Tables.orders(spark, sfDir).rdd.getNumPartitions)
+      println("documents partitions: " + docs.rdd.getNumPartitions)
+      spark.stop(); return
+    }
+
+    t("corpus_count")(corpus.count())
+    t("shingles_explode") {
+      corpus.withColumn("toks", split(col("text"), " ", -1))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .select(explode(array_distinct(col("shingles")))).count()
+    }
+    t("inv_selfjoin_groupby") {
+      val sh = corpus.withColumn("toks", split(col("text"), " ", -1))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+      val inv = sh.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+      inv.as("x").join(inv.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id"), col("y.doc_id")).count().count()
+    }
+    t("inv_selfjoin_again") {
+      val sh = corpus.withColumn("toks", split(col("text"), " ", -1))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+      val inv = sh.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+      inv.as("x").join(inv.as("y").hint("shuffle_hash"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id"), col("y.doc_id")).count().count()
+    }
+    t("ngram_jaccard_full")(DedupOps.ngramJaccardPairs(corpus).count())
+    t("ngram_jaccard_full_again")(DedupOps.ngramJaccardPairs(corpus).count())
+    t("minhash_pairs_full")(DedupOps.minhashPairs(corpus).count())
+    t("payments_convert") {
+      PaymentOps.convert(
+        PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(Tables.orders(spark, sfDir))),
+        graft.model.ExchangeRates.ratesDF(spark)).count()
+    }
+    t("payments_convert_again") {
+      PaymentOps.convert(
+        PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(Tables.orders(spark, sfDir))),
+        graft.model.ExchangeRates.ratesDF(spark)).count()
+    }
+    spark.stop()
+  }
+}

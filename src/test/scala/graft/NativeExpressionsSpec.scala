@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.{native, Hashing}
+import org.apache.spark.sql.functions._
+
+/** The native expressions must be BIT-IDENTICAL to the built-in HOF
+  * formulations they replace (which are what the DuckDB oracles mirror).
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a", "", "x y", "punctuation, included! here?"
+  ).toDF("text")
+
+  test("simhash60 == nested-HOF simhash on sample docs") {
+    val toks = split(col("text"), " ", -1)
+    val hof = docs
+      .withColumn("hs", expr(
+        s"transform(split(text, ' ', -1), w -> ${Hashing.hash64Expr("w")})"))
+      .select(expr(
+        """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(aggregate(hs, 0, (v, h) ->
+          |            v + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+          |          shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+      .as[Long].collect().toSeq
+    val nat = docs.select(native.simhash60(toks)).as[Long].collect().toSeq
+    assert(nat == hof)
+  }
+
+  test("minhashSig == transform/array_min HOF on sample shingle arrays") {
+    val sh = docs.select(split(col("text"), " ", -1).as("shingles"))
+    val hof = sh.select(expr(
+      s"""transform(sequence(0, 15), p ->
+         |  array_min(transform(shingles, s ->
+         |    ${Hashing.hash64Expr("concat(cast(p AS string), ':', s)")})))""".stripMargin))
+      .as[Seq[Long]].collect().toSeq
+    val nat = sh.select(native.minhashSig(col("shingles"), 16))
+      .as[Seq[Long]].collect().toSeq
+    assert(nat == hof)
+  }
+
+  test("dotFold == aggregate(zip_with) bitwise on adversarial doubles") {
+    val vecs = Seq(
+      (Array(1e16, 1.0, -1e16, 3.7), Array(1.0, 1.0, 1.0, 0.1)),
+      (Array(0.1, 0.2, 0.3, 0.4), Array(-0.4, 0.3, -0.2, 0.1))
+    ).toDF("a", "b")
+    val hof = vecs.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .as[Double].collect().toSeq
+    val nat = vecs.select(native.dotFold(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(nat.map(java.lang.Double.doubleToLongBits) ==
+      hof.map(java.lang.Double.doubleToLongBits))
+  }
+
+  test("dotFold is null on length mismatch (zip_with pad semantics)") {
+    val vecs = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(vecs.select(native.dotFold(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+}
