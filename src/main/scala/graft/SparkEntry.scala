@@ -89,7 +89,11 @@ object SparkEntry {
       O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "top_orders_per_priority" -> ((s, dir) => RelationalOps.topOrdersPerPriority(O(s, dir))),
     // ---- multimodal column pattern (B11) ----
-    "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir)))
+    "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
+    // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
+    "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
+    "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
+    "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir)))
   )
 
   private val rates = ExchangeRates.ratesSql
@@ -211,6 +215,10 @@ object SparkEntry {
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
     "orders_by_nation" -> RelationalOps.ordersByNationOracle,
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,
-    "multimodal_features" -> MultimodalOps.featuresOracle
+    "multimodal_features" -> MultimodalOps.featuresOracle,
+    "ann_lsh" -> SimilarityOps.lshTopKOracle(),
+    "winnow_fingerprints" ->
+      s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
+    "tfidf_top" -> TextOps.tfIdfTopOracle
   )
 }

@@ -26,4 +26,16 @@ object Hashing {
   /** Same hash as a DuckDB SQL fragment — keep in lockstep with hash64. */
   def hash64Duck(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Same hash computed JVM-side (for plan-time constants like LSH
+    * hyperplane coefficients): first 15 hex chars of md5 as a Long.
+    */
+  def hash64Jvm(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 }

@@ -71,6 +71,45 @@ object SimilarityOps {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  /** Deterministic random-hyperplane coefficients for LSH bucketing:
+    * coef(p,d) = hash60("p:d") / 2^59 - 1.0 ∈ [-1, 1). Division by a
+    * power of two and the subtraction are exact IEEE ops, and the DuckDB
+    * oracle embeds the identical literals (Double.toString round-trips),
+    * so bucket assignments match bit-for-bit.
+    */
+  def lshPlanes(nPlanes: Int = 8, dims: Int = 64): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dims).map(d =>
+      graft.functions.Hashing.hash64Jvm(s"$p:$d").toDouble / math.pow(2, 59) - 1.0))
+
+  /** B9 scale path — random-hyperplane LSH ANN: bucket = sign bits of the
+    * plane dot products; candidates share the query's bucket (probe-1).
+    * 2^nPlanes buckets; at 100 TB add multi-probe (flip one bit) and/or
+    * more tables by unioning buckets. Bucketing is one map-side pass;
+    * only (bucket, vec) pairs meet in the join.
+    */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nPlanes: Int = 8): DataFrame = {
+    val planes = lshPlanes(nPlanes)
+    val bucket = planes.zipWithIndex
+      .map { case (coef, p) =>
+        when(graft.functions.native.dotFold(col("emb"), typedlit(coef)) > 0.0,
+          lit(1L << p)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val c = withNorm(embeddings)
+      .select(col("vec_id"), col("emb"), col("norm"))
+      .withColumn("bucket", bucket)
+    val queries = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+    val scored = c.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", dot("emb", "q_emb") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
   /** Embeddings ∪ exact copies (vec_id+10000 for vec_id % 25 = 0) so the
     * near-dup detector has true positives; oracle rebuilds the same corpus.
     */
@@ -131,6 +170,38 @@ object SimilarityOps {
        |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
        |  FROM scored)
        |WHERE rank <= 5""".stripMargin
+
+  /** LSH oracle: the same hyperplane literals (Double.toString
+    * round-trips exactly through DuckDB's parser), same fold, same
+    * bucket bits.
+    */
+  def lshTopKOracle(nQueries: Int = 10, k: Int = 5, nPlanes: Int = 8): String = {
+    val planes = lshPlanes(nPlanes)
+    def planeDot(p: Int): String = {
+      val lit = planes(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> emb[i] * ($lit)[i])), (acc, x) -> acc + x)""".stripMargin
+    }
+    val bucket = (0 until nPlanes)
+      .map(p => s"(CASE WHEN ${planeDot(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM embeddings),
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm, $bucket AS bucket FROM base),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) AS score
+       |  FROM bucketed c JOIN bucketed q
+       |    ON q.vec_id < $nQueries AND c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+       |SELECT q_id, vec_id, score, rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   val embeddingNearDupOracle: String =
     s"""WITH aug AS (

@@ -108,12 +108,59 @@ object TextOps {
   }
 
   /** B10 — document fingerprint: first 16 hex chars of md5 over the
-    * case-folded text. (A Rabin-Karp rolling-hash variant for streaming
-    * fingerprinting lives in graft.functions.RollingHash with unit tests;
-    * md5 is the oracle-checkable batch form.)
+    * case-folded text. (The Rabin-Karp rolling-hash variant for
+    * streaming/chunk fingerprinting is graft.functions.Winnow60 —
+    * see [[winnowFingerprints]].)
     */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       substring(md5(lower(col("text"))), 1, 16).as("fp"))
+
+  /** B10 — winnowing rolling-hash fingerprint (native O(n) Rabin-Karp,
+    * graft.functions.Winnow60): min 32-char-window polynomial hash.
+    */
+  def winnowFingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      graft.functions.Winnow60.winnow60(col("text")).as("wfp"))
+
+  /** B10 — tf-idf top terms per document. The idf factor is LINEAR
+    * (N/df, not log(N/df)): transcendental functions are not guaranteed
+    * identically rounded across engines, while (tf*N)/df is one exact
+    * integer product and one IEEE division — bitwise reproducible, same
+    * ranking for a monotone transform. Per-doc windows, never a global
+    * sort.
+    */
+  def tfIdfTop(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = documents.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("word"))
+    val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tokens.groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = documents.select(count(lit(1)).as("n_docs"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "word", "tf", "df", "score", "rank")
+  }
+
+  val tfIdfTopOracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, word, tf, df, score, rank FROM (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.word ASC) AS rank
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+      |WHERE rank <= 3""".stripMargin
 }

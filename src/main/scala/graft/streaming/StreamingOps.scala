@@ -96,6 +96,16 @@ object StreamingOps {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** B8a streaming — event-time dedup with bounded state: duplicates
+    * arriving within the watermark are dropped, state for keys older than
+    * the watermark is evicted (unlike plain dropDuplicates, whose state
+    * grows forever — the only safe form at 100 TB/day stream volume).
+    */
+  def dedupWithinWatermark(stream: DataFrame, keys: Seq[String],
+                           eventTimeCol: String, delay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** F1-F4+K1/K2 — the payments pipeline as ONE foreachBatch fan-out
     * (SURVEY §4.4: the reference splits after decode+convert inside one
     * consumer loop, PaymentsService.java:50-59 — two independent queries
