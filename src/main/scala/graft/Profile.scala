@@ -32,6 +32,25 @@ object Profile {
     val docs = Tables.documents(spark, sfDir)
     val corpus = DedupOps.augmented(docs)
 
+    if (args.contains("audit")) {
+      // Plan-health audit: for each registered query, summarize scan
+      // pruning (ReadSchema), join strategies, exchanges, and codegen.
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val schemas = plan.linesIterator
+          .flatMap(l => "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(l).map(_.group(1)))
+          .map(s => s.split(",").length + " cols: " + s.take(70)).toSeq
+        val joins = "(\\w*(?:Join|Cartesian)\\w*)".r.findAllIn(plan).toSeq
+        val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+        val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).map(identity).toSet.size
+        println(s"[audit] $name")
+        schemas.foreach(s => println(s"[audit]   scan  $s"))
+        if (joins.nonEmpty) println(s"[audit]   joins ${joins.groupBy(identity).view.mapValues(_.size).toMap}")
+        println(s"[audit]   exchanges=$exchanges codegenSpans=$wsc")
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("plan")) {
       println("=== ngramJaccardPairs plan (join/exchange nodes) ===")
       DedupOps.ngramJaccardPairs(corpus).queryExecution.executedPlan.toString

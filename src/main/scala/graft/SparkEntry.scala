@@ -93,7 +93,8 @@ object SparkEntry {
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
-    "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir)))
+    "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
+    "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir)))
   )
 
   private val rates = ExchangeRates.ratesSql
@@ -219,6 +220,7 @@ object SparkEntry {
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
-    "tfidf_top" -> TextOps.tfIdfTopOracle
+    "tfidf_top" -> TextOps.tfIdfTopOracle,
+    "sessionize" -> EventOps.sessionizeOracle
   )
 }

@@ -108,9 +108,16 @@ object DedupOps {
     * jaccard ≥ minJaccard.
     */
   def minhashPairs(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // The shingled+signed corpus is referenced by four plan branches
+    // (both self-join sides + both candidate-set joins); without caching,
+    // Spark re-scans and re-hashes the corpus once PER REFERENCE (12
+    // scans observed in the audit) — at 100 TB that is 12 passes over the
+    // dataset. Cache it; Spark's LRU evicts under pressure, callers doing
+    // repeated runs can unpersist via the returned plan's lineage.
     val sh = withShingles(corpus)
       .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), 16))
       .withColumn("shingle_set", array_distinct(col("shingles")))
+      .persist()
 
     val bands = sh.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * 4 + 1, 4)))")))
@@ -146,7 +153,10 @@ object DedupOps {
     * 100 TB path, this is the exhaustive small-corpus path.
     */
   def ngramJaccardPairs(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = withShingles(corpus).withColumn("shingle_set", array_distinct(col("shingles")))
+    // Cached for the same multi-reference reason as minhashPairs.
+    val sh = withShingles(corpus)
+      .withColumn("shingle_set", array_distinct(col("shingles")))
+      .persist()
     val sizes = sh.select(col("doc_id"), size(col("shingle_set")).cast("long").as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
     // shuffle-hash, not broadcast: both sides are corpus-sized — at scale

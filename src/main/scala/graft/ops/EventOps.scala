@@ -39,6 +39,47 @@ object EventOps {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** Batch sessionization: per-user sessions split on event-time gaps
+    * > gapUs (ts is raw nanos — see Tables.table). Pure integer window
+    * arithmetic (lag → gap flag → running sum), deterministic tiebreak on
+    * event_id, per-user partitioned windows — the sort is local to each
+    * user's partition, never global.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ts is raw NANOS; work in micros (ts div 1000) — DuckDB's TIMESTAMP
+    // is micro-precision, so the oracle can only see micros.
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+  }
+
+  val sessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us
+      |FROM sessions GROUP BY 1, 2""".stripMargin
+
   /** B11 — aggregate over the extracted JSON property. Integer sums only
     * (double sums are partition-order dependent and would break the
     * bitwise oracle compare).

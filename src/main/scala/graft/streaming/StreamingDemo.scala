@@ -46,6 +46,20 @@ object StreamingDemo {
 
     query.awaitTermination(8000)
     query.stop()
+
+    // Watermarked tumbling-window counts over the payment stream (the
+    // bounded-state production form of the reference's A3 aggregate).
+    val windowed = StreamingOps.windowedCounts(
+      StreamingOps.syntheticPayments(spark, rowsPerSecond = 500)
+        .withColumn("event_time", timestamp_millis(col("ts"))),
+      "event_time", "currency", "2 seconds", "1 second")
+    val wq = windowed.writeStream.format("memory").queryName("win_demo")
+      .outputMode("update").start()
+    wq.awaitTermination(6000)
+    wq.stop()
+    val winRows = spark.table("win_demo").count()
+    println(s"[demo] windowed count rows=$winRows " +
+      (if (winRows > 0) "PASS" else "FAIL"))
     // O1 auto-derived topology from the batch equivalent, for comparison
     val derived = TopologyExtract.fromDataFrame(
       graft.ops.PaymentOps.pipeline(spark, graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")),

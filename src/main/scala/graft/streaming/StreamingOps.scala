@@ -96,6 +96,27 @@ object StreamingOps {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Watermarked tumbling-window aggregation — the production form of the
+    * reference's unwindowed A3 count: state per (key, window) is evicted
+    * once the watermark passes the window end, so state is bounded by
+    * (keys × windows-in-flight) instead of growing forever.
+    */
+  def windowedCounts(stream: DataFrame, eventTimeCol: String, keyCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Declarative streaming sessionization: Spark's native session_window
+    * (dynamic gap-merged windows) + watermark — the Catalyst-visible path;
+    * [[StatefulSessionizer]] is the arbitrary-state alternative.
+    */
+  def sessionWindowCounts(stream: DataFrame, eventTimeCol: String, keyCol: String,
+                          gap: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+
   /** B8a streaming — event-time dedup with bounded state: duplicates
     * arriving within the watermark are dropped, state for keys older than
     * the watermark is evicted (unlike plain dropDuplicates, whose state
