@@ -94,7 +94,10 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
     "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
-    "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir)))
+    "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
+    // ---- composite training-pipeline flows ----
+    "quality_filter" -> ((s, dir) => TextOps.qualityFilter(D(s, dir))),
+    "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir))))
   )
 
   private val rates = ExchangeRates.ratesSql
@@ -155,19 +158,7 @@ object SparkEntry {
          |FROM converted""".stripMargin,
     "cast_project" ->
       "SELECT CAST(event_id AS VARCHAR) AS key, props AS value FROM events",
-    "text_stats" ->
-      s"""SELECT doc_id, n_tokens, n_chars, n_stop,
-         |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) *
-         |    (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
-         |FROM (
-         |  SELECT doc_id,
-         |    len(string_split(text, ' ')) AS n_tokens,
-         |    length(text) AS n_chars,
-         |    len(list_filter(string_split(text, ' '),
-         |        w -> w IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
-         |  FROM documents)""".stripMargin,
+    "text_stats" -> textStatsSql,
     "lang_id" ->
       """WITH tokens AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
@@ -221,6 +212,22 @@ object SparkEntry {
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
     "tfidf_top" -> TextOps.tfIdfTopOracle,
-    "sessionize" -> EventOps.sessionizeOracle
+    "sessionize" -> EventOps.sessionizeOracle,
+    "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
+    "dedup_pipeline" -> DedupOps.dedupPipelineOracle
   )
+
+  private val textStatsSql: String =
+    s"""SELECT doc_id, n_tokens, n_chars, n_stop,
+       |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) *
+       |    (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> w IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+       |  FROM documents)""".stripMargin
 }

@@ -202,6 +202,49 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** B8 composite — the full corpus-dedup pipeline a training run
+    * executes: exact dedup keeps the min-doc_id copy of identical texts,
+    * then banded MinHash removes the fuzzy-duplicate side (doc_b) of
+    * every near-dup pair. Output: surviving doc_ids. Each stage is the
+    * already-verified operator; the composition is one anti-join.
+    */
+  def dedupPipeline(corpus: DataFrame, minJaccard: Double = 0.9): DataFrame = {
+    val exactKeepers = exactDedup(corpus).select(col("keeper_id").as("doc_id"))
+    val fuzzyDrops = minhashPairs(corpus, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exactKeepers.join(fuzzyDrops, Seq("doc_id"), "left_anti")
+  }
+
+  lazy val dedupPipelineOracle: String =
+    s"""$corpusShingledCte,
+       |exact_keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16), p ->
+       |      list_min(list_transform(shingles, s ->
+       |        ${Hashing.hash64Duck("CAST(p AS VARCHAR) || ':' || s")}))) AS sig
+       |  FROM shingled),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+       |  FROM sigs, range(0, 4) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS ss FROM shingled),
+       |fuzzy_drops AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |    SELECT cand.doc_a, cand.doc_b,
+       |      CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+       |        (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jaccard
+       |    FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+       |              JOIN sets b ON cand.doc_b = b.doc_id)
+       |  WHERE jaccard >= 0.9)
+       |SELECT doc_id FROM exact_keepers
+       |WHERE doc_id NOT IN (SELECT doc_id FROM fuzzy_drops)""".stripMargin
+
   // ---- DuckDB oracle SQL (kept in lockstep with the Spark ops above) ----
 
   /** Shared CTE prefix: corpus + shingled. */

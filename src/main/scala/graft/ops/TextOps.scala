@@ -150,6 +150,25 @@ object TextOps {
       .select("doc_id", "word", "tf", "df", "score", "rank")
   }
 
+  /** B10 composite — the corpus-cleaning filter a training pipeline runs:
+    * keep documents passing quality thresholds (enough tokens, bounded
+    * stopword ratio, sane average token length). Pure map-side: the
+    * filter composes with the scan and prunes before any shuffle.
+    */
+  def qualityFilter(documents: DataFrame,
+                    minTokens: Long = 20, maxStopRatio: Double = 0.3,
+                    maxAvgTokenLen: Double = 8.0): DataFrame =
+    textStats(documents)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stop_ratio") <= maxStopRatio &&
+        col("avg_token_len") <= maxAvgTokenLen)
+      .select("doc_id", "n_tokens", "stop_ratio", "quality_score")
+
+  def qualityFilterOracle(statsOracle: String): String =
+    s"""SELECT doc_id, n_tokens, stop_ratio, quality_score
+       |FROM ($statsOracle)
+       |WHERE n_tokens >= 20 AND stop_ratio <= 0.3 AND avg_token_len <= 8.0""".stripMargin
+
   val tfIdfTopOracle: String =
     """WITH tokens AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
