@@ -97,6 +97,13 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
     // ---- composite training-pipeline flows ----
     "quality_filter" -> ((s, dir) => TextOps.qualityFilter(D(s, dir))),
+    "salted_join" -> ((s, dir) => {
+      val ev = E(s, dir)
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+      SkewOps.saltedJoin(ev.select("event_id", "event_type"), dim,
+          "event_type", col("event_id"))
+        .select("event_id", "event_type", "type_total")
+    }),
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir))))
   )
 
@@ -214,6 +221,11 @@ object SparkEntry {
     "tfidf_top" -> TextOps.tfIdfTopOracle,
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
+    "salted_join" ->
+      """SELECT event_id, e.event_type, type_total
+        |FROM events e JOIN (SELECT event_type, count(*) AS type_total
+        |                    FROM events GROUP BY 1) d
+        |  ON e.event_type = d.event_type""".stripMargin,
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle
   )
 
