@@ -88,6 +88,11 @@ object SparkEntry {
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
       O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "top_orders_per_priority" -> ((s, dir) => RelationalOps.topOrdersPerPriority(O(s, dir))),
+    "q5_local_supplier" -> ((s, dir) => RelationalOps.localSupplierRevenue(
+      Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q18_big_orders" -> ((s, dir) => RelationalOps.bigOrders(O(s, dir), Tables.lineitem(s, dir))),
+    "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
@@ -214,6 +219,9 @@ object SparkEntry {
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
     "orders_by_nation" -> RelationalOps.ordersByNationOracle,
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,
+    "q5_local_supplier" -> RelationalOps.localSupplierRevenueOracle,
+    "q18_big_orders" -> RelationalOps.bigOrdersOracle,
+    "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "winnow_fingerprints" ->

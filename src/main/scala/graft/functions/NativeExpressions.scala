@@ -127,9 +127,38 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   * or any element is null (zip_with pads with null → null sum).
   */
 case class DotFold(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_fold"
+
+  /** Whole-stage-codegen body: same strict left-fold loop as eval, so the
+    * interpreted and generated paths are bit-identical. Unlike the md5-
+    * bound hashes (where digest cost dominates and CodegenFallback is
+    * fine), the dot product is pure FP work — staying inside codegen
+    * avoids per-row boxing/virtual dispatch in the cosine hot loops.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n);
+         |double $acc = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

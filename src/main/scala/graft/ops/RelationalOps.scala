@@ -54,7 +54,62 @@ object RelationalOps {
       .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
   }
 
+  /** TPC-H Q5-flavored: revenue by nation for one region, customer and
+    * supplier co-national. Three fact⋈fact shuffles (custkey, orderkey,
+    * suppkey) with nation/region broadcast on top; the region filter
+    * prunes the broadcast side before it fans out.
+    */
+  def localSupplierRevenue(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, supplier: DataFrame,
+                           nation: DataFrame, region: DataFrame,
+                           regionName: String = "ASIA"): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(38,4)").as("revenue"))
+
+  /** TPC-H Q18-flavored: orders whose total quantity exceeds a threshold
+    * (aggregate → having; partial aggregation bounds the shuffle).
+    */
+  def bigOrders(orders: DataFrame, lineitem: DataFrame, minQty: Int = 300): DataFrame =
+    orders
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_custkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("total_qty").cast("decimal(28,2)").as("total_qty"))
+
   // ---- DuckDB oracles ----
+
+  val localSupplierRevenueOracle: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DECIMAL(38,4)) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1""".stripMargin
+
+  val bigOrdersOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_qty
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2
+      |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300""".stripMargin
 
   val pricingSummaryOracle: String =
     """SELECT l_returnflag, l_linestatus,

@@ -110,6 +110,69 @@ object SimilarityOps {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  /** B9 — multi-probe LSH: also probe the buckets at hamming distance 1
+    * from the query's bucket (flip each plane bit). Standard recall
+    * recovery for probe-1 LSH: probes × candidates work instead of more
+    * tables, no extra storage. Each corpus vector still has ONE bucket, so
+    * probes produce no duplicate candidates.
+    */
+  def lshTopKMultiProbe(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                        nPlanes: Int = 8): DataFrame = {
+    val planes = lshPlanes(nPlanes)
+    val bucket = planes.zipWithIndex
+      .map { case (coef, p) =>
+        when(graft.functions.native.dotFold(col("emb"), typedlit(coef)) > 0.0,
+          lit(1L << p)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val c = withNorm(embeddings)
+      .select(col("vec_id"), col("emb"), col("norm"))
+      .withColumn("bucket", bucket)
+    val probeArr = array((col("bucket") +: (0 until nPlanes)
+      .map(p => expr(s"bucket ^ ${1L << p}"))): _*)
+    val queries = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"), explode(probeArr).as("q_probe"))
+    val scored = c.join(broadcast(queries),
+        col("bucket") === col("q_probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", dot("emb", "q_emb") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  /** Multi-probe oracle: same planes, bucket IN (bucket, bucket^1bit…). */
+  def lshTopKMultiProbeOracle(nQueries: Int = 10, k: Int = 5, nPlanes: Int = 8): String = {
+    val planes = lshPlanes(nPlanes)
+    def planeDot(p: Int): String = {
+      val lit = planes(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> emb[i] * ($lit)[i])), (acc, x) -> acc + x)""".stripMargin
+    }
+    val bucket = (0 until nPlanes)
+      .map(p => s"(CASE WHEN ${planeDot(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val probes = ("q.bucket" +: (0 until nPlanes).map(p => s"xor(q.bucket, ${1L << p})"))
+      .mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM embeddings),
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm, $bucket AS bucket FROM base),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) AS score
+       |  FROM bucketed c JOIN bucketed q
+       |    ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+       |   AND c.bucket IN ($probes))
+       |SELECT q_id, vec_id, score, rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Embeddings ∪ exact copies (vec_id+10000 for vec_id % 25 = 0) so the
     * near-dup detector has true positives; oracle rebuilds the same corpus.
     */

@@ -60,6 +60,15 @@ class Round2AdditionsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall >= probe-1 recall") {
+    val emb = (0L to 40L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat), 1)
+    }.toDF("vec_id", "embedding", "label")
+    val p1 = SimilarityOps.lshTopK(emb, nQueries = 3, k = 10).count()
+    val mp = SimilarityOps.lshTopKMultiProbe(emb, nQueries = 3, k = 10).count()
+    assert(mp >= p1)
+  }
+
   test("SQL registration: native functions callable from spark.sql") {
     GraftFunctions.register(spark)
     val r = spark.sql(
