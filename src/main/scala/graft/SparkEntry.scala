@@ -109,7 +109,8 @@ object SparkEntry {
           "event_type", col("event_id"))
         .select("event_id", "event_type", "type_total")
     }),
-    "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir))))
+    "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
+    "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source"))
   )
 
   private val rates = ExchangeRates.ratesSql
@@ -234,7 +235,18 @@ object SparkEntry {
         |FROM events e JOIN (SELECT event_type, count(*) AS type_total
         |                    FROM events GROUP BY 1) d
         |  ON e.event_type = d.event_type""".stripMargin,
-    "dedup_pipeline" -> DedupOps.dedupPipelineOracle
+    "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
+    "source_signatures" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |shingled AS (
+         |  SELECT doc_id,
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+         |  WHERE len(toks) >= 3),
+         |sigs AS (${DedupOps.minhashSignaturesSql()})
+         |SELECT source, perm, min(minhash) AS minhash
+         |FROM sigs JOIN documents USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
   )
 
   private val textStatsSql: String =

@@ -202,6 +202,20 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Group-level MinHash sketch: the signature of a SET of documents is
+    * the elementwise min of the member signatures (min is associative —
+    * equal to hashing the union of their shingles). Pure built-ins:
+    * long-form signatures → groupBy(group, perm) → min. Enables
+    * group-vs-group Jaccard estimation (cluster dedup, source overlap)
+    * without touching raw text again; partial aggregation keeps the
+    * shuffle at |groups| × numPerm rows.
+    */
+  def groupSignatures(docs: DataFrame, groupCol: String): DataFrame =
+    minhashSignatures(docs.select("doc_id", "text"))
+      .join(docs.select(col("doc_id"), col(groupCol)), "doc_id")
+      .groupBy(groupCol, "perm")
+      .agg(min("minhash").as("minhash"))
+
   /** B8 composite — the full corpus-dedup pipeline a training run
     * executes: exact dedup keeps the min-doc_id copy of identical texts,
     * then banded MinHash removes the fuzzy-duplicate side (doc_b) of
