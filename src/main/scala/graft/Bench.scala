@@ -29,6 +29,10 @@ object Bench {
     spark.range(5000)
       .selectExpr("explode(split(lower(concat('a b,c ', id)), '\\\\W+')) AS w")
       .groupBy("w").count().selectExpr("max(md5(w))").collect()
+    spark.range(5000)  // JSON codec paths (Jackson init, JsonToStructs)
+      .selectExpr("id", """concat('{"a":', id, '}') AS v""")
+      .selectExpr("from_json(v, 'a BIGINT') AS s", "to_json(struct(id)) AS j")
+      .filter("s.a IS NOT NULL").count()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
@@ -40,7 +44,9 @@ object Bench {
 
     val timings = collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Sorted order: stable attribution across rounds (Map iteration order
+    // shifts as entries are added, moving the noise-prone early slots).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

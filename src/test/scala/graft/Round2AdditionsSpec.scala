@@ -99,3 +99,23 @@ class Round2AdditionsSpec extends SparkSpec {
     } finally query.stop()
   }
 }
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gap boundary, strict >") {
+    val us = 1000L  // ns per us: input ts column is nanos
+    val gapUs = 3600L * 1000 * 1000
+    val events = Seq(
+      // user 1: two events 1h apart EXACTLY -> same session (strict >)
+      (1L, 1L, 0L), (2L, 1L, gapUs * 1000),
+      // then 1h + 1us later -> new session
+      (3L, 1L, (2 * gapUs + 1) * 1000),
+      (4L, 2L, 0L)
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.ops.EventOps.sessionize(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"))).sorted.toSeq
+    assert(out == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
