@@ -110,7 +110,10 @@ object SparkEntry {
         .select("event_id", "event_type", "type_total")
     }),
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
-    "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source"))
+    "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
+    // HLL++ sketch — no oracle entry by design: estimates are engine-
+    // specific, so the driver records the weaker rows-only check.
+    "approx_users" -> ((s, dir) => EventOps.approxUsersByType(E(s, dir)))
   )
 
   private val rates = ExchangeRates.ratesSql

@@ -80,6 +80,19 @@ object EventOps {
       |  min(ts_us) AS start_us, max(ts_us) AS end_us
       |FROM sessions GROUP BY 1, 2""".stripMargin
 
+  /** Sketch surface — approximate distinct users per event type via
+    * Spark's native HyperLogLog++ (`approx_count_distinct`). Sketches are
+    * THE cardinality tool at 100 TB (exact distinct = full shuffle of the
+    * key space; HLL++ is a few KB per group, mergeable, one pass). No SQL
+    * oracle: HLL estimates are implementation-specific, so the driver's
+    * weaker rows-only check applies — the exact-count twin
+    * [[dedupExact]]-style `events_json_agg` stays the correctness anchor.
+    */
+  def approxUsersByType(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   /** B11 — aggregate over the extracted JSON property. Integer sums only
     * (double sums are partition-order dependent and would break the
     * bitwise oracle compare).

@@ -25,3 +25,21 @@ class SkewOpsSpec extends SparkSpec {
     assert(salts.size > 4)  // entropy actually spreads the key
   }
 }
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL approx distinct is within rsd of exact") {
+    val events = (1L to 5000L).map(i => (i % 7 match {
+      case 0 => "a"; case 1 => "b"; case _ => "c"
+    }, i % 400)).toDF("event_type", "user_id")
+    val out = graft.ops.EventOps.approxUsersByType(events, rsd = 0.02).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = events.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(out(k) - n).toDouble / n < 0.1, s"$k: ${out(k)} vs $n")
+    }
+  }
+}
