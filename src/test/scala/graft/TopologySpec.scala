@@ -82,3 +82,21 @@ class TopologySpec extends SparkSpec {
     }
   }
 }
+
+class TopologyJoinDerivationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plan-derived topology of a join query contains a JOIN node with two parents") {
+    val facts = Seq((1L, "GBP"), (2L, "USD")).toDF("id", "currency")
+    val dims = Seq(("GBP", 1.0), ("USD", 1.3)).toDF("currency", "rate")
+    val joined = facts.join(dims, "currency")
+      .groupBy("currency").agg(org.apache.spark.sql.functions.count("*").as("n"))
+    val topo = graft.plans.TopologyExtract.fromDataFrame(joined, "Spark", "j")
+    val join = topo.nodes.find(_.nodeType == graft.plans.NodeType.Join)
+    assert(join.isDefined && join.get.parents.size == 2)
+    assert(topo.nodes.last.nodeType == graft.plans.NodeType.Count)
+    // every parent edge resolves to a declared node
+    val names = topo.nodes.map(_.name).toSet
+    assert(topo.nodes.flatMap(_.parents).forall(names.contains))
+  }
+}
