@@ -113,7 +113,23 @@ object SparkEntry {
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
     // HLL++ sketch — no oracle entry by design: estimates are engine-
     // specific, so the driver records the weaker rows-only check.
-    "approx_users" -> ((s, dir) => EventOps.approxUsersByType(E(s, dir)))
+    "approx_users" -> ((s, dir) => EventOps.approxUsersByType(E(s, dir))),
+    // ---- joins Spark lacks natively, composed from built-ins ----
+    "asof_join" -> ((s, dir) => {
+      val e = E(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val left = e.select("event_id", "user_id", "ts_us", "event_type")
+      val right = e.filter(col("event_type") === "signup")
+        .select("user_id", "ts_us", "event_id", "value")
+      JoinOps.asofJoin(left, right, "user_id", "ts_us", "event_id", Seq("value"))
+    }),
+    "range_join" -> ((s, dir) => {
+      val tiers = s.range(20).select(col("id").as("tier"),
+        (col("id") * 25000).cast("double").as("lo"),
+        ((col("id") + 1) * 25000).cast("double").as("hi"))
+      JoinOps.rangeJoin(O(s, dir).select("o_orderkey", "o_totalprice"),
+          "o_totalprice", tiers, "lo", "hi", 25000L)
+        .select("o_orderkey", "o_totalprice", "tier")
+    })
   )
 
   private val rates = ExchangeRates.ratesSql
@@ -239,6 +255,25 @@ object SparkEntry {
         |                    FROM events GROUP BY 1) d
         |  ON e.event_type = d.event_type""".stripMargin,
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
+    // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation validating our union+window composition.
+    "asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts_us, arg_max(value, event_id) AS value
+        |  FROM e WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us, e.event_type,
+        |       r.value AS asof_value
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts_us >= r.ts_us""".stripMargin,
+    "range_join" ->
+      """SELECT o_orderkey, o_totalprice, tier
+        |FROM orders
+        |JOIN (SELECT i AS tier, i * 25000.0 AS lo, (i + 1) * 25000.0 AS hi
+        |      FROM range(0, 20) t(i))
+        |  ON o_totalprice >= lo AND o_totalprice < hi""".stripMargin,
     "source_signatures" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |shingled AS (
