@@ -95,6 +95,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
+    "multimodal_frames" -> ((s, dir) => MultimodalOps.sampleFrames(MultimodalOps.pack(D(s, dir)))),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
@@ -243,6 +244,7 @@ object SparkEntry {
     "q18_big_orders" -> RelationalOps.bigOrdersOracle,
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,
+    "multimodal_frames" -> MultimodalOps.sampleFramesOracle,
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",

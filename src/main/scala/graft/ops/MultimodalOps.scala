@@ -60,6 +60,36 @@ object MultimodalOps {
     }
   }
 
+  /** Frame sampling: extract every `stride`-th fixed-size chunk of the
+    * opaque payload (≙ sampling video frames / audio windows before the
+    * expensive decode). Pure byte arithmetic on the binary column —
+    * map-side, and at scale it is the pruning step that keeps the decode
+    * stage's input linear in SAMPLED frames, not raw bytes.
+    */
+  def sampleFrames(packed: DataFrame, frameSize: Int = 16, stride: Int = 4): DataFrame =
+    packed.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(
+           |  filter(sequence(0, CAST(floor((octet_length(payload) - 1) / $frameSize) AS INT)),
+           |         i -> i % $stride = 0),
+           |  i -> substring(payload, i * $frameSize + 1, $frameSize))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        col("col").as("frame"))
+
+  /** Frame-sampling oracle (payload is the text's bytes; ASCII, so
+    * substring-on-text equals substring-on-blob).
+    */
+  val sampleFramesOracle: String =
+    """SELECT doc_id, frame_idx, encode(frame) AS frame FROM (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS frame_idx,
+      |    substr(text, i * 16 + 1, 16) AS frame
+      |  FROM documents,
+      |       (SELECT unnest(range(0, 4000)) AS i) t
+      |  WHERE i <= floor((octet_length(encode(text)) - 1) / 16)
+      |    AND i % 4 = 0)""".stripMargin
+
   /** End-to-end: pack → decode → features DataFrame. */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeStub(spark, pack(documents)).toDF()

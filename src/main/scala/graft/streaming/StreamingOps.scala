@@ -117,6 +117,22 @@ object StreamingOps {
       .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Stream-stream inner join with watermark-bounded state: each side
+    * buffers only rows within its watermark, and the time-range condition
+    * lets Spark evict (without it, both sides' state grows forever). The
+    * streaming form of the payments enrichment when the dimension itself
+    * is a stream (e.g. live rate updates).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTimeCol: String, rightTimeCol: String,
+                       watermarkDelay: String, joinWindow: String): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermarkDelay)
+    val r = right.withWatermark(rightTimeCol, watermarkDelay)
+    l.join(r, l(keyCol) === r(keyCol) &&
+      r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $joinWindow") &&
+      r(rightTimeCol) <= l(leftTimeCol))
+  }
+
   /** B8a streaming — event-time dedup with bounded state: duplicates
     * arriving within the watermark are dropped, state for keys older than
     * the watermark is evicted (unlike plain dropDuplicates, whose state

@@ -47,6 +47,29 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join matches rates within the join window only") {
+    implicit val sq = spark.sqlContext
+    val payments = MemoryStream[(String, Timestamp, Long)]
+    val rates = MemoryStream[(String, Timestamp, Double)]
+    val joined = StreamingOps.streamStreamJoin(
+      payments.toDF().toDF("currency", "p_ts", "amount"),
+      rates.toDF().toDF("r_currency", "r_ts", "rate")
+        .withColumnRenamed("r_currency", "currency"),
+      "currency", "p_ts", "r_ts", "10 seconds", "5 SECONDS")
+    val query = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode(OutputMode.Append()).start()
+    try {
+      rates.addData(("GBP", new Timestamp(1000), 1.0))
+      payments.addData(
+        ("GBP", new Timestamp(3000), 100L),   // rate 2s earlier: in window
+        ("GBP", new Timestamp(9000), 200L),   // rate 8s earlier: outside 5s window
+        ("USD", new Timestamp(3000), 300L))   // no rate for key
+      query.processAllAvailable()
+      val out = spark.table("ss_join").select("amount").as[Long].collect().toSeq
+      assert(out == Seq(100L))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across triggers") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[SessionEvent]
