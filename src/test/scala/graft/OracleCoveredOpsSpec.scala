@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.{DedupOps, EventOps, MultimodalOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for operators whose primary gate is the DuckDB oracle —
+  * these specs pin the SEMANTICS on tiny inputs so a refactor that
+  * changes behavior fails fast, before the oracle round-trip.
+  */
+class OracleCoveredOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("castProject maps the event envelope to string key/value") {
+    val e = Seq((7L, """{"k": 1}""")).toDF("event_id", "props")
+    val r = EventOps.castProject(e).as[(String, String)].head()
+    assert(r == ("7", """{"k": 1}"""))
+  }
+
+  test("tokenCounts: whitespace tokens + ceil(len/4) subword estimate") {
+    val d = Seq((1L, "ab abcd abcdefgh x")).toDF("doc_id", "text")
+    val row = TextOps.tokenCounts(d).head()
+    assert(row.getAs[Long]("ws_tokens") == 4)
+    // ceil(2/4)+ceil(4/4)+ceil(8/4)+ceil(1/4) = 1+1+2+1 = 5
+    assert(row.getAs[Long]("subword_est") == 5)
+  }
+
+  test("fingerprints: 16 hex chars of md5 over case-folded text") {
+    val d = Seq((1L, "HeLLo"), (2L, "hello")).toDF("doc_id", "text")
+    val fps = TextOps.fingerprints(d).select("fp").as[String].collect()
+    assert(fps(0) == fps(1) && fps(0).length == 16)
+    assert(fps(0).matches("[0-9a-f]{16}"))
+  }
+
+  test("multimodal features: byte length, first byte, additive checksum") {
+    val d = Seq((1L, "AB", "en", "s", 2L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = MultimodalOps.features(spark, d).head()
+    assert(f.getAs[Long]("byte_len") == 2)
+    assert(f.getAs[Long]("first_byte") == 'A'.toLong)
+    assert(f.getAs[Long]("checksum") == 'A'.toLong + 'B'.toLong)
+  }
+
+  test("frame sampling: stride skips frames, tail frame is short") {
+    val packed = MultimodalOps.pack(
+      Seq((1L, "a" * 40, "en", "s")).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val frames = MultimodalOps.sampleFrames(packed, frameSize = 16, stride = 2)
+      .select("frame_idx", "frame").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    // chunks at offsets 0,16,32 → stride 2 keeps 0 and 32; 32..40 is 8 bytes
+    assert(frames == Map(0L -> 16, 1L -> 8))
+  }
+
+  test("dedup pipeline: exact keepers minus fuzzy drops") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup → dropped
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup → dropped (J≈0.78? verify ≥0.5)
+      (4L, "entirely different content with other words here")
+    ).toDF("doc_id", "text")
+    val survivors = DedupOps.dedupPipeline(corpus, minJaccard = 0.5)
+      .as[Long].collect().toSet
+    assert(survivors.contains(1L) && survivors.contains(4L))
+    assert(!survivors.contains(2L))
+  }
+}
