@@ -53,6 +53,9 @@ object SparkEntry {
         ExchangeRates.ratesDF(s))
         .filter(PaymentOps.suspicious)
         .select("k", "currency", "amount", "ts", "converted")),
+    "payments_convert_mapside" -> ((s, dir) =>
+      PaymentOps.convertMapSide(s,
+        PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(O(s, dir))))),
     "payments_encode" -> ((s, dir) =>
       PaymentOps.jsonEncode(
         PaymentOps.convert(
@@ -92,6 +95,8 @@ object SparkEntry {
       Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q18_big_orders" -> ((s, dir) => RelationalOps.bigOrders(O(s, dir), Tables.lineitem(s, dir))),
+    "q10_top_return_customers" -> ((s, dir) => RelationalOps.topReturnCustomers(
+      Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir), Tables.nation(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
@@ -178,6 +183,9 @@ object SparkEntry {
       s"$paymentsConvertedCte SELECT * FROM converted",
     "payments_suspicious" ->
       s"$paymentsConvertedCte SELECT * FROM converted WHERE converted < 1000000",
+    // mapside variant computes the same values as the join form
+    "payments_convert_mapside" ->
+      s"$paymentsConvertedCte SELECT * FROM converted",
     "payments_encode" ->
       s"""$paymentsConvertedCte
          |SELECT currency AS key,
@@ -242,6 +250,7 @@ object SparkEntry {
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,
     "q5_local_supplier" -> RelationalOps.localSupplierRevenueOracle,
     "q18_big_orders" -> RelationalOps.bigOrdersOracle,
+    "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,
     "multimodal_frames" -> MultimodalOps.sampleFramesOracle,

@@ -57,6 +57,45 @@ case class Winnow60(child: Expression, window: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Winnow60 =
     copy(child = newChild)
+
+  /** Codegen body — same rolling loop as eval (pure integer/char work, so
+    * unlike the md5-bound hashes this one benefits from staying inside
+    * whole-stage codegen).
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val min = ctx.freshName("min")
+      s"""
+         |String $s = $input.toString();
+         |int $n = $s.length();
+         |long $h = 0L;
+         |if ($n <= $window) {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $h = ($h * ${B}L + $s.charAt($j)) % ${P}L;
+         |  }
+         |  ${ev.value} = $h;
+         |} else {
+         |  for (int $j = 0; $j < $window; $j++) {
+         |    $h = ($h * ${B}L + $s.charAt($j)) % ${P}L;
+         |  }
+         |  long $min = $h;
+         |  for (int $i = 0; $i + $window < $n; $i++) {
+         |    $h = (($h - $s.charAt($i) * ${bPow}L % ${P}L + ${P}L) % ${P}L * ${B}L
+         |          + $s.charAt($i + $window)) % ${P}L;
+         |    if ($h < $min) $min = $h;
+         |  }
+         |  ${ev.value} = $min;
+         |}
+       """.stripMargin
+    })
 }
 
 object Winnow60 {

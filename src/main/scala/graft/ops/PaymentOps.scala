@@ -91,6 +91,36 @@ object PaymentOps {
       .withColumn("converted",
         round(col("amount") * col("rate"), 0).cast("long"))
 
+  /** F2 alternative — the reference's literal semantics: a per-record
+    * HashMap lookup (CurrencyExchangeRepo.java:22-24) as a typed Dataset
+    * map over a broadcast variable. Same results as the join form
+    * ([[convert]] — which stays the default: Catalyst SEES a join and can
+    * optimize around it, while a closure is opaque). This is the template
+    * for genuinely imperative per-row enrichment (model inference, codec
+    * calls) where no relational form exists.
+    */
+  def convertMapSide(spark: org.apache.spark.sql.SparkSession,
+                     payments: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rates = spark.sparkContext.broadcast(
+      graft.model.ExchangeRates.rates.map { case (c, r) => c -> r }.toMap)
+    payments.select("k", "currency", "amount", "ts")
+      .as[(Long, String, Long, Long)]
+      .mapPartitions { it =>
+        val m = rates.value
+        it.flatMap { case (k, currency, amount, ts) =>
+          m.get(currency).map { rate =>
+            // BigDecimal multiply + HALF_UP ≙ exact decimal round, matching
+            // the join form's round(amount * rate, 0)
+            val conv = new java.math.BigDecimal(amount).multiply(rate)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+            (k, currency, amount, ts, conv)
+          }
+        }
+      }
+      .toDF("k", "currency", "amount", "ts", "converted")
+  }
+
   /** F3 — suspicious-payment predicate: converted amount < 10,000 units
     * (strict; PaymentsService.java:94-97 routes on the CONVERTED amount).
     * Amounts are cents here, so the threshold is 10_000 * 100.

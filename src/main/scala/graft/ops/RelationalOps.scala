@@ -88,6 +88,45 @@ object RelationalOps {
       .select(col("o_orderkey"), col("o_custkey"),
         col("total_qty").cast("decimal(28,2)").as("total_qty"))
 
+  /** TPC-H Q10-flavored: top returned-revenue customers per nation —
+    * join chain + per-nation windowed top-k (partitioned, never global).
+    */
+  def topReturnCustomers(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         k: Int = 3): DataFrame = {
+    val revenue = customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(38,4)").as("revenue"))
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+    revenue.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("n_name", "c_custkey", "revenue", "rank")
+  }
+
+  val topReturnCustomersOracle: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |         AS DECIMAL(38,4)) AS revenue
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, c_custkey, revenue, rank FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rank
+      |  FROM rev)
+      |WHERE rank <= 3""".stripMargin
+
   // ---- DuckDB oracles ----
 
   val localSupplierRevenueOracle: String =
