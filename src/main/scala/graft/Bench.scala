@@ -55,6 +55,10 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // Untimed: drop persist()ed intermediates between queries so cached
+      // blocks don't accumulate across the session (engine hygiene, and
+      // keeps each query's timing independent of its predecessors).
+      spark.catalog.clearCache()
     }
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")

@@ -86,6 +86,7 @@ object SparkEntry {
     "cosine_topk" -> ((s, dir) => SimilarityOps.cosineTopK(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
+    "dedup_embedding_lsh" -> ((s, dir) => SimilarityOps.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     // ---- relational analytics surface ----
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
@@ -245,6 +246,7 @@ object SparkEntry {
     "cosine_topk" -> SimilarityOps.cosineTopKOracle,
     "ann_ivf" -> SimilarityOps.ivfTopKOracle,
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
+    "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
     "orders_by_nation" -> RelationalOps.ordersByNationOracle,
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,

@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Operators that persist() intermediates (minhashPairs,
+      // ngramJaccardPairs) leave cached blocks behind; drop them so a
+      // 46-query session doesn't accumulate until LRU eviction.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

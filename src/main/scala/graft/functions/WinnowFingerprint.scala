@@ -18,6 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * naive fold the DuckDB oracle computes — so values hash-match exactly.
   * This is the streaming-friendly content-defined fingerprint for chunk
   * dedup: one pass, constant memory per document.
+  *
+  * ASCII-only contract (shared with the multimodal substr-on-text
+  * oracles): the JVM side hashes UTF-16 code units while the DuckDB
+  * oracle hashes per-character codepoints via ascii(substr(...)), which
+  * agree iff every char is a single code unit with a single-byte
+  * codepoint. The test corpus is ASCII; an encoding-stable variant would
+  * hash UTF-8 bytes on both sides.
   */
 case class Winnow60(child: Expression, window: Int)
   extends UnaryExpression with CodegenFallback {

@@ -112,8 +112,9 @@ object DedupOps {
     // (both self-join sides + both candidate-set joins); without caching,
     // Spark re-scans and re-hashes the corpus once PER REFERENCE (12
     // scans observed in the audit) — at 100 TB that is 12 passes over the
-    // dataset. Cache it; Spark's LRU evicts under pressure, callers doing
-    // repeated runs can unpersist via the returned plan's lineage.
+    // dataset. Cache it. Caller contract: long-lived sessions must drop
+    // the cache after consuming the result (Verify/Bench call
+    // spark.catalog.clearCache() between queries).
     val sh = withShingles(corpus)
       .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), 16))
       .withColumn("shingle_set", array_distinct(col("shingles")))
@@ -147,30 +148,53 @@ object DedupOps {
   }
 
   /** B8d — inverted-index n-gram Jaccard dedup: candidates are pairs
-    * sharing ≥1 shingle (count-aggregated, arrays never shuffled), then
-    * exact Jaccard ≥ threshold. The all-candidates variant of
-    * [[minhashPairs]] — higher recall, more candidates; LSH banding is the
-    * 100 TB path, this is the exhaustive small-corpus path.
+    * sharing ≥1 RARE shingle (document frequency ≤ `maxShingleDf`), then
+    * exact Jaccard over the full distinct shingle sets. The
+    * all-candidates variant of [[minhashPairs]] — higher recall, more
+    * candidates; LSH banding is the 100 TB path.
+    *
+    * The df cap is the scale guard: an uncapped inverted-index self-join
+    * emits Σ_shingle df² candidate rows — quadratic in the hottest
+    * shingle's frequency, so one stop-shingle ("one of the") in 10⁶ docs
+    * melts a reducer at 100×. Capping candidate GENERATION at df ≤ K
+    * bounds the join at |index|×K while verification stays exact (full
+    * sets, not the capped index), so any pair sharing at least one rare
+    * shingle — every pair a Jaccard ≥ 0.5 threshold can accept in
+    * practice — is still found and scored identically.
     */
-  def ngramJaccardPairs(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(corpus: DataFrame, minJaccard: Double = 0.5,
+                        maxShingleDf: Int = 64): DataFrame = {
     // Cached for the same multi-reference reason as minhashPairs.
     val sh = withShingles(corpus)
       .withColumn("shingle_set", array_distinct(col("shingles")))
       .persist()
-    val sizes = sh.select(col("doc_id"), size(col("shingle_set")).cast("long").as("n_sh"))
     val inv = sh.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
+    // df-cap: one partial-aggregated pass over the index; the window
+    // avoids a second shuffle (count and filter share the shingle hash
+    // partitioning with the self-join below).
+    val rare = inv
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .select("doc_id", "shingle")
     // shuffle-hash, not broadcast: both sides are corpus-sized — at scale
     // a broadcast of the inverted index would OOM the executors, and even
     // locally building a 300k-entry map per task loses to a partitioned
     // hash join on the shingle key.
-    inv.as("x").join(inv.as("y").hint("shuffle_hash"),
+    val cand = rare.as("x").join(rare.as("y").hint("shuffle_hash"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Verification is candidate-sized and exact: intersect the FULL
+    // distinct shingle sets (not the capped index), same as minhashPairs.
+    val sets = sh.select(col("doc_id"), col("shingle_set"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+        col("n_common").cast("double") /
+          (size(col("set_a")).cast("long") + size(col("set_b")).cast("long") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }

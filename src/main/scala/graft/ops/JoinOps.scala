@@ -28,31 +28,39 @@ object JoinOps {
     * times are comparable numerics; `valueCols` are carried from right.
     * Right-side ties on (key, time) resolve by largest `rightOrderCol`
     * (pass e.g. an event id for full determinism).
+    *
+    * All `valueCols` travel in ONE struct per right row: the struct is
+    * non-null for every right row even when its value fields are NULL, so
+    * `last(..., ignoreNulls)` always selects the genuinely latest right
+    * row — a NULL value column propagates as NULL instead of leaking an
+    * earlier row's value, and multiple valueCols can never mix rows.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, rightOrderCol: String,
                valueCols: Seq[String]): DataFrame = {
+    val rStruct = org.apache.spark.sql.types.StructType(valueCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val leftOther = left.columns.filterNot(c => c == keyCol || c == timeCol)
     val lTagged = left.select(
       (col(keyCol) +: col(timeCol) +: lit(0).as("__is_right") +:
         lit(null).cast("long").as("__ord") +:
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++:
-        left.columns.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
+        lit(null).cast(rStruct).as("__r") +:
+        leftOther.map(col)): _*)
     val rTagged = right.select(
       (col(keyCol) +: col(timeCol) +: lit(1).as("__is_right") +:
         col(rightOrderCol).cast("long").as("__ord") +:
-        valueCols.map(c => col(c).as(s"__r_$c")) ++:
-        left.columns.filterNot(c => c == keyCol || c == timeCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+        struct(valueCols.map(col): _*).as("__r") +:
+        leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     // right rows sort BEFORE left rows at equal time (inclusive as-of),
     // and among right ties the largest __ord wins (it is the last seen).
     val w = Window.partitionBy(keyCol)
       .orderBy(col(timeCol).asc, col("__is_right").desc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = lTagged.unionByName(rTagged)
-      .select(col("*") +: valueCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     merged.filter(col("__is_right") === 0)
-      .drop("__is_right" +: "__ord" +: valueCols.map(c => s"__r_$c"): _*)
+      .select((col(keyCol) +: col(timeCol) +: leftOther.map(col)) ++
+        valueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Bucketized range join: rows of `facts` matched to rows of

@@ -67,26 +67,36 @@ object MultimodalOps {
     * stage's input linear in SAMPLED frames, not raw bytes.
     */
   def sampleFrames(packed: DataFrame, frameSize: Int = 16, stride: Int = 4): DataFrame =
-    packed.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"""transform(
-           |  filter(sequence(0, CAST(floor((octet_length(payload) - 1) / $frameSize) AS INT)),
-           |         i -> i % $stride = 0),
-           |  i -> substring(payload, i * $frameSize + 1, $frameSize))""".stripMargin)))
+    packed
+      // Empty payloads yield zero frames (sequence(0, -1) would otherwise
+      // produce a descending [0,-1] array and emit one bogus empty frame).
+      .filter(octet_length(col("payload")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  filter(sequence(0, CAST(floor((octet_length(payload) - 1) / $frameSize) AS INT)),
+             |         i -> i % $stride = 0),
+             |  i -> substring(payload, i * $frameSize + 1, $frameSize))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
-        col("col").as("frame"))
+        // hex, not raw binary: the compare harness hashes via pandas, which
+        // cannot sort/factorize bytearray cells. Same hex() on the oracle.
+        hex(col("col")).as("frame"))
 
   /** Frame-sampling oracle (payload is the text's bytes; ASCII, so
-    * substring-on-text equals substring-on-blob).
+    * substring-on-text equals substring-on-blob). Range bound derives from
+    * the longest document, not a hard cap; empty docs emit zero frames on
+    * both sides.
     */
   val sampleFramesOracle: String =
-    """SELECT doc_id, frame_idx, encode(frame) AS frame FROM (
+    """SELECT doc_id, frame_idx, hex(encode(frame)) AS frame FROM (
       |  SELECT doc_id,
       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS frame_idx,
       |    substr(text, i * 16 + 1, 16) AS frame
       |  FROM documents,
-      |       (SELECT unnest(range(0, 4000)) AS i) t
+      |       (SELECT unnest(range(0,
+      |          (SELECT CAST(max(octet_length(encode(text))) / 16 AS BIGINT) + 1
+      |           FROM documents))) AS i) t
       |  WHERE i <= floor((octet_length(encode(text)) - 1) / 16)
       |    AND i % 4 = 0)""".stripMargin
 

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * partition-order independent (double sums are not), which is what makes
   * the DuckDB hash compare — and any 1000-executor rerun — deterministic.
   *
+  * Final DECIMAL outputs are cast to DOUBLE on BOTH sides: the compare
+  * harness reads Spark parquet via pyarrow (preserving Decimal repr, e.g.
+  * `137291.00`) but the oracle via fetchdf (float, `137291.0`), so a
+  * trailing-zero decimal hash-mismatches despite identical values. One
+  * exact-decimal→double conversion after the exact aggregation is
+  * deterministic in both engines while the unscaled value fits in 2^53
+  * (both correctly round the same rational), and keeps the sums
+  * partition-order independent.
+  *
   * Scale notes per query:
   *  - [[pricingSummary]]: scan→partial agg→4-row exchange; predicate and
   *    the 7-column projection push into the parquet scan.
@@ -27,13 +36,13 @@ object RelationalOps {
       .filter(expr("l_shipdate <= TIMESTAMP_NTZ'1998-09-01 00:00:00'"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
         // price×(1-disc) at scale 4 is EXACT (no per-row rounding — Spark
         // rounds half-up, DuckDB half-even; never round before summing).
         sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Orders per nation: fact⋈fact shuffle join + broadcast dim join. */
@@ -43,7 +52,7 @@ object RelationalOps {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
 
   /** Top-3 orders by price per priority class (partitioned window top-k). */
   def topOrdersPerPriority(orders: DataFrame, k: Int = 3): DataFrame = {
@@ -74,7 +83,7 @@ object RelationalOps {
       .groupBy("n_name")
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("double").as("revenue"))
 
   /** TPC-H Q18-flavored: orders whose total quantity exceeds a threshold
     * (aggregate → having; partial aggregation bounds the shuffle).
@@ -86,7 +95,7 @@ object RelationalOps {
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
       .filter(col("total_qty") > minQty)
       .select(col("o_orderkey"), col("o_custkey"),
-        col("total_qty").cast("decimal(28,2)").as("total_qty"))
+        col("total_qty").cast("double").as("total_qty"))
 
   /** TPC-H Q10-flavored: top returned-revenue customers per nation —
     * join chain + per-nation windowed top-k (partitioned, never global).
@@ -102,7 +111,7 @@ object RelationalOps {
       .groupBy("n_name", "c_custkey")
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-        .cast("decimal(38,4)").as("revenue"))
+        .cast("double").as("revenue"))
     val w = Window.partitionBy("n_name")
       .orderBy(col("revenue").desc, col("c_custkey").asc)
     revenue.withColumn("rank", row_number().over(w).cast("long"))
@@ -115,7 +124,7 @@ object RelationalOps {
       |  SELECT n_name, c_custkey,
       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-      |         AS DECIMAL(38,4)) AS revenue
+      |         AS DOUBLE) AS revenue
       |  FROM customer
       |  JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON l_orderkey = o_orderkey AND l_returnflag = 'R'
@@ -133,7 +142,7 @@ object RelationalOps {
     """SELECT n_name,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-      |       AS DECIMAL(38,4)) AS revenue
+      |       AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -145,18 +154,18 @@ object RelationalOps {
 
   val bigOrdersOracle: String =
     """SELECT o_orderkey, o_custkey,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |GROUP BY 1, 2
       |HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300""".stripMargin
 
   val pricingSummaryOracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-      |       AS DECIMAL(38,4)) AS sum_disc_price,
+      |       AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -164,7 +173,7 @@ object RelationalOps {
 
   val ordersByNationOracle: String =
     """SELECT n_name, count(*) AS n_orders,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey

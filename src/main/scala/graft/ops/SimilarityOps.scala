@@ -87,14 +87,19 @@ object SimilarityOps {
     * more tables by unioning buckets. Bucketing is one map-side pass;
     * only (bucket, vec) pairs meet in the join.
     */
-  def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-              nPlanes: Int = 8): DataFrame = {
-    val planes = lshPlanes(nPlanes)
-    val bucket = planes.zipWithIndex
+  /** Sign-bit bucket id from the [[lshPlanes]] hyperplanes (expects an
+    * `emb` column; one map-side pass, codegen'd DotFold per plane).
+    */
+  private def bucketExpr(nPlanes: Int): Column =
+    lshPlanes(nPlanes).zipWithIndex
       .map { case (coef, p) =>
         when(graft.functions.native.dotFold(col("emb"), typedlit(coef)) > 0.0,
           lit(1L << p)).otherwise(lit(0L)) }
       .reduce(_ + _)
+
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nPlanes: Int = 8): DataFrame = {
+    val bucket = bucketExpr(nPlanes)
     val c = withNorm(embeddings)
       .select(col("vec_id"), col("emb"), col("norm"))
       .withColumn("bucket", bucket)
@@ -118,12 +123,7 @@ object SimilarityOps {
     */
   def lshTopKMultiProbe(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
                         nPlanes: Int = 8): DataFrame = {
-    val planes = lshPlanes(nPlanes)
-    val bucket = planes.zipWithIndex
-      .map { case (coef, p) =>
-        when(graft.functions.native.dotFold(col("emb"), typedlit(coef)) > 0.0,
-          lit(1L << p)).otherwise(lit(0L)) }
-      .reduce(_ + _)
+    val bucket = bucketExpr(nPlanes)
     val c = withNorm(embeddings)
       .select(col("vec_id"), col("emb"), col("norm"))
       .withColumn("bucket", bucket)
@@ -141,17 +141,25 @@ object SimilarityOps {
       .select("q_id", "vec_id", "score", "rank")
   }
 
-  /** Multi-probe oracle: same planes, bucket IN (bucket, bucket^1bit…). */
-  def lshTopKMultiProbeOracle(nQueries: Int = 10, k: Int = 5, nPlanes: Int = 8): String = {
+  /** The [[bucketExpr]] sign-bit bucket as DuckDB SQL over an `emb`
+    * column: identical hyperplane literals (Double.toString round-trips
+    * exactly through DuckDB's parser), identical fold, identical bits.
+    */
+  private def duckBucket(nPlanes: Int): String = {
     val planes = lshPlanes(nPlanes)
     def planeDot(p: Int): String = {
       val lit = planes(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, 65), i -> emb[i] * ($lit)[i])), (acc, x) -> acc + x)""".stripMargin
     }
-    val bucket = (0 until nPlanes)
+    (0 until nPlanes)
       .map(p => s"(CASE WHEN ${planeDot(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
+  }
+
+  /** Multi-probe oracle: same planes, bucket IN (bucket, bucket^1bit…). */
+  def lshTopKMultiProbeOracle(nQueries: Int = 10, k: Int = 5, nPlanes: Int = 8): String = {
+    val bucket = duckBucket(nPlanes)
     val probes = ("q.bucket" +: (0 until nPlanes).map(p => s"xor(q.bucket, ${1L << p})"))
       .mkString(", ")
     s"""WITH base AS (
@@ -182,15 +190,36 @@ object SimilarityOps {
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
 
   /** B8e — embedding-cosine near-duplicate pairs: candidates bucketed by
-    * the coarse cell (label), verified with cosine ≥ minCos. At 100 TB the
-    * bucketing key becomes an LSH signature (random hyperplanes) instead
-    * of one coarse cell; the join shape is identical.
+    * the coarse cell (label), verified with cosine ≥ minCos. This is the
+    * correctness baseline — all-pairs WITHIN a cell; the 100 TB path is
+    * [[embeddingNearDupLsh]], which buckets on an LSH signature instead.
     */
   def embeddingNearDup(embeddings: DataFrame, minCos: Double = 0.999): DataFrame = {
     val c = withNorm(augmentedEmbeddings(embeddings))
       .select(col("vec_id"), col("label"), col("emb"), col("norm"))
     c.as("a").join(c.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot("a.emb", "b.emb") / (col("a.norm") * col("b.norm"))).as("score"))
+      .filter(col("score") >= minCos)
+  }
+
+  /** B8e scale path — LSH-bucketed embedding near-dup: bucket on the
+    * random-hyperplane sign signature (2^nPlanes buckets) instead of the
+    * coarse cell, so per-bucket candidate counts stay bounded as the
+    * corpus grows — a cell is O(corpus/|cells|) rows, a signature bucket
+    * is O(corpus/2^nPlanes) and nPlanes scales with log(corpus). Near-
+    * identical vectors (cos ≥ 0.999 ⇒ angle ≤ ~2.6°) land in the same
+    * bucket unless a hyperplane splits that tiny angle, so recall at this
+    * threshold is near-1 with probe-1; verification is exact cosine.
+    */
+  def embeddingNearDupLsh(embeddings: DataFrame, minCos: Double = 0.999,
+                          nPlanes: Int = 8): DataFrame = {
+    val c = withNorm(augmentedEmbeddings(embeddings))
+      .select(col("vec_id"), col("emb"), col("norm"))
+      .withColumn("bucket", bucketExpr(nPlanes))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot("a.emb", "b.emb") / (col("a.norm") * col("b.norm"))).as("score"))
       .filter(col("score") >= minCos)
@@ -239,15 +268,7 @@ object SimilarityOps {
     * bucket bits.
     */
   def lshTopKOracle(nQueries: Int = 10, k: Int = 5, nPlanes: Int = 8): String = {
-    val planes = lshPlanes(nPlanes)
-    def planeDot(p: Int): String = {
-      val lit = planes(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, 65), i -> emb[i] * ($lit)[i])), (acc, x) -> acc + x)""".stripMargin
-    }
-    val bucket = (0 until nPlanes)
-      .map(p => s"(CASE WHEN ${planeDot(p)} > 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
+    val bucket = duckBucket(nPlanes)
     s"""WITH base AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
        |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
@@ -280,5 +301,23 @@ object SimilarityOps {
        |  ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) AS score
        |FROM corpus a JOIN corpus b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.999""".stripMargin
+
+  def embeddingNearDupLshOracle(nPlanes: Int = 8): String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM aug),
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm, ${duckBucket(nPlanes)} AS bucket FROM base)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) AS score
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.999""".stripMargin
 }

@@ -20,6 +20,31 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(4L) == None)            // key 2 has no right rows
   }
 
+  test("asof join: NULL value on the latest right row propagates (no earlier-row leak)") {
+    val left = Seq((1L, 1L, 10L), (2L, 1L, 20L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      (1L, 5L, 1L, Some(100.0)),
+      (1L, 15L, 2L, None)              // latest before t=20, value is NULL
+    ).toDF("k", "t", "rid", "v")
+    val out = JoinOps.asofJoin(left, right, "k", "t", "rid", Seq("v"))
+      .select("event_id", "asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) == Some(100.0))     // t=10: latest right is t=5
+    assert(out(2L) == None)            // t=20: latest right is t=15 with NULL value
+  }
+
+  test("asof join: multiple valueCols never mix right rows") {
+    val left = Seq((1L, 1L, 20L)).toDF("event_id", "k", "t")
+    val right = Seq(
+      (1L, 5L, 1L, Some(100.0), Option.empty[Long]),
+      (1L, 15L, 2L, None, Some(7L))
+    ).toDF("k", "t", "rid", "v", "u")
+    val r = JoinOps.asofJoin(left, right, "k", "t", "rid", Seq("v", "u")).head()
+    // both values must come from the t=15 row: v NULL, u 7
+    assert(r.isNullAt(r.fieldIndex("asof_v")))
+    assert(r.getLong(r.fieldIndex("asof_u")) == 7L)
+  }
+
   test("range join: lo inclusive, hi exclusive, intervals spanning buckets") {
     val facts = Seq((1L, 0.0), (2L, 24999.9), (3L, 25000.0), (4L, 70000.0))
       .toDF("id", "v")

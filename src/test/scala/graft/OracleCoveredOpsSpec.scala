@@ -39,15 +39,18 @@ class OracleCoveredOpsSpec extends SparkSpec {
     assert(f.getAs[Long]("checksum") == 'A'.toLong + 'B'.toLong)
   }
 
-  test("frame sampling: stride skips frames, tail frame is short") {
+  test("frame sampling: stride skips frames, tail frame is short, empty payload drops") {
     val packed = MultimodalOps.pack(
-      Seq((1L, "a" * 40, "en", "s")).toDF("doc_id", "text", "lang", "source")
+      Seq((1L, "a" * 40, "en", "s"), (2L, "", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
         .withColumn("n_chars", length(col("text")).cast("long")))
     val frames = MultimodalOps.sampleFrames(packed, frameSize = 16, stride = 2)
-      .select("frame_idx", "frame").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
-    // chunks at offsets 0,16,32 → stride 2 keeps 0 and 32; 32..40 is 8 bytes
-    assert(frames == Map(0L -> 16, 1L -> 8))
+      .select("doc_id", "frame_idx", "frame").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // chunks at offsets 0,16,32 → stride 2 keeps 0 and 32; 32..40 is 8 bytes;
+    // frame is hex so 2 chars per byte. Empty doc 2 emits nothing.
+    assert(frames.keySet == Set((1L, 0L), (1L, 1L)))
+    assert(frames((1L, 0L)) == "61" * 16 && frames((1L, 1L)) == "61" * 8)
   }
 
   test("dedup pipeline: exact keepers minus fuzzy drops") {
