@@ -117,6 +117,7 @@ object SparkEntry {
         .select("event_id", "event_type", "type_total")
     }),
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
+    "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
     // HLL++ sketch — no oracle entry by design: estimates are engine-
     // specific, so the driver records the weaker rows-only check.
@@ -268,6 +269,7 @@ object SparkEntry {
         |                    FROM events GROUP BY 1) d
         |  ON e.event_type = d.event_type""".stripMargin,
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
+    "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.
     "asof_join" ->

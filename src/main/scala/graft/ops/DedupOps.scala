@@ -223,6 +223,72 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** B8 — near-duplicate CLUSTERS: connected components over the banded-
+    * MinHash pair graph, labeled by the component's min doc_id. This is
+    * the step a production dedup pipeline runs after pair generation
+    * (keep one doc per cluster), and pairwise output alone can't express
+    * it: transitive near-dups (A~B, B~C) must collapse into one cluster
+    * even when A~C was never emitted.
+    *
+    * Distributed iterative min-label propagation: every round each node
+    * takes the min label among itself and its neighbors (one equi-join +
+    * one partial-aggregated groupBy per round), converging in
+    * O(component diameter) rounds — near-dup clusters are dense, so 2-3
+    * rounds in practice. The driver loop only checks the convergence
+    * count (an aggregate, never data); each round is a full shuffle-
+    * parallel pass, the same shape GraphX/Pregel executes. At 100 TB
+    * scale the standard refinement is large-star/small-star (alternating
+    * to bound skew) plus periodic checkpointing to truncate lineage —
+    * both noted here; diameter-2 dup clusters don't need them.
+    */
+  def nearDupClusters(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(corpus, minJaccard).select("doc_a", "doc_b")
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges
+        .join(labels, edges("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+        .unionAll(labels.select("doc_id", "label"))
+        .groupBy("doc_id").agg(min("label").as("new_label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("new_label") < col("old_label")).count()
+      labels.unpersist()
+      labels = next.withColumnRenamed("new_label", "label")
+    }
+    labels.select(col("doc_id"), col("label"))
+  }
+
+  /** Clusters oracle: same pair graph, components via a recursive CTE
+    * (label-set propagation, min at the end) — an independent fixpoint
+    * formulation of connectivity, not a mirror of the Spark iteration.
+    */
+  lazy val nearDupClustersOracle: String = {
+    val pairsCtes = minhashPairsOracle
+      .replaceFirst("(?s)^WITH ", "")
+      .replaceFirst("(?s)SELECT jac\\.doc_a.*$", "")
+      .trim.stripSuffix(",")
+    s"""WITH RECURSIVE $pairsCtes,
+       |pairs AS (
+       |  SELECT jac.doc_a, jac.doc_b
+       |  FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+       |  WHERE jaccard >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |lbl(doc, l) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, lbl.l FROM lbl JOIN edges e ON lbl.doc = e.a)
+       |SELECT doc AS doc_id, CAST(min(l) AS BIGINT) AS label
+       |FROM lbl GROUP BY doc""".stripMargin
+  }
+
   /** Group-level MinHash sketch: the signature of a SET of documents is
     * the elementwise min of the member signatures (min is associative —
     * equal to hashing the union of their shingles). Pure built-ins:

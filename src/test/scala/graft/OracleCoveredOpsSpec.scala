@@ -53,6 +53,23 @@ class OracleCoveredOpsSpec extends SparkSpec {
     assert(frames((1L, 0L)) == "61" * 16 && frames((1L, 1L)) == "61" * 8)
   }
 
+  test("near-dup clusters: transitive pairs collapse into one component") {
+    val t = (0 until 20).map(i => s"tok$i")
+    val corpus = Seq(
+      (1L, t.mkString(" ")),                 // J(1,2)=17/18, J(2,3)=16/17,
+      (2L, t.drop(1).mkString(" ")),         // J(1,3)=16/18 < 0.9 — the 1-3
+      (3L, t.drop(2).mkString(" ")),         // edge exists only transitively
+      (10L, "an entirely different corner of space"),
+      (11L, "an entirely different corner of space"),
+      (50L, "alone with no neighbors at all here")
+    ).toDF("doc_id", "text")
+    val clusters = DedupOps.nearDupClusters(corpus, minJaccard = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(!clusters.contains(50L))          // singletons have no edges
+  }
+
   test("dedup pipeline: exact keepers minus fuzzy drops") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
