@@ -98,6 +98,13 @@ object SparkEntry {
     "q18_big_orders" -> ((s, dir) => RelationalOps.bigOrders(O(s, dir), Tables.lineitem(s, dir))),
     "q10_top_return_customers" -> ((s, dir) => RelationalOps.topReturnCustomers(
       Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    "q6_revenue_change" -> ((s, dir) => RelationalOps.revenueChange(Tables.lineitem(s, dir))),
+    "q3_shipping_priority" -> ((s, dir) => RelationalOps.shippingPriority(
+      Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir))),
+    "q4_priority_returns" -> ((s, dir) => RelationalOps.prioritiesWithReturns(
+      O(s, dir), Tables.lineitem(s, dir))),
+    "window_tumbling" -> ((s, dir) => EventOps.tumblingCounts(E(s, dir))),
+    "window_sliding" -> ((s, dir) => EventOps.slidingCounts(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
@@ -253,6 +260,11 @@ object SparkEntry {
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,
     "q5_local_supplier" -> RelationalOps.localSupplierRevenueOracle,
     "q18_big_orders" -> RelationalOps.bigOrdersOracle,
+    "q6_revenue_change" -> RelationalOps.revenueChangeOracle,
+    "q3_shipping_priority" -> RelationalOps.shippingPriorityOracle,
+    "q4_priority_returns" -> RelationalOps.prioritiesWithReturnsOracle,
+    "window_tumbling" -> EventOps.tumblingCountsOracle,
+    "window_sliding" -> EventOps.slidingCountsOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,

@@ -93,6 +93,57 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  /** Tumbling event-time window aggregation via Spark's native
+    * `window()` — the SAME operator Structured Streaming uses for
+    * watermarked windowed aggs, exercised here in batch (identical
+    * semantics, epoch-aligned micros arithmetic). Emits window start as
+    * BIGINT micros: bitwise-stable across compare harnesses, and what a
+    * downstream join key should be anyway. One shuffle, map-side partial
+    * aggregation; window assignment is a projection (no explode for
+    * tumbling).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_utc"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_k"))
+
+  /** Sliding (hopping) event-time window: width 1h, slide 30m — each
+    * event lands in width/slide = 2 windows (Spark expands via an
+    * internal explode, shuffle volume = rows × overlap; bounded and
+    * linear, the standard hopping-window cost).
+    */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_utc"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"))
+
+  /** Oracle: epoch-aligned floor division in micros — an independent
+    * integer-arithmetic formulation of the same window assignment.
+    */
+  val tumblingCountsOracle: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding oracle: each event contributes to the 2 slide-aligned
+    * windows covering it (i = 0 is the window starting at its own slide
+    * bucket, i = 1 the one 30m earlier).
+    */
+  val slidingCountsOracle: String =
+    """SELECT ((epoch_us(ts) // 1800000000) - i) * 1800000000 AS window_start_us,
+      |  event_type, count(*) AS n_events
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+      |GROUP BY 1, 2""".stripMargin
+
   /** B11 — aggregate over the extracted JSON property. Integer sums only
     * (double sums are partition-order dependent and would break the
     * bitwise oracle compare).

@@ -119,6 +119,91 @@ object RelationalOps {
       .select("n_name", "c_custkey", "revenue", "rank")
   }
 
+  /** TPC-H Q6-flavored: one filtered scan → one scalar aggregate. The
+    * showcase for predicate pushdown: all three predicates and the
+    * 3-column projection reach the parquet reader (`PushedFilters` in the
+    * plan), so at 100 TB the scan touches only matching row groups.
+    */
+  def revenueChange(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(expr("l_shipdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'") &&
+        expr("l_shipdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q3-flavored shipping priority: segment-filtered customer ⋈
+    * orders ⋈ lineitem, revenue per order, GLOBAL top-k. The top-k is
+    * orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    * heap of k, merge on driver), never a global sort: the scalable
+    * global-top-k at any data size.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String = "BUILDING",
+                       k: Int = 10): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(expr("o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"))
+      .join(lineitem.filter(
+        expr("l_shipdate > TIMESTAMP_NTZ'1998-01-01 00:00:00'")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+
+  /** TPC-H Q4-flavored: orders with at least one returned line — a LEFT
+    * SEMI join (existence, no fan-out: each order emits ≤1 row no matter
+    * how many lines match, and the probe side short-circuits on first
+    * hit). The distinct join shape the rest of the surface lacks.
+    */
+  def prioritiesWithReturns(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+
+  val revenueChangeOracle: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  val shippingPriorityOracle: String =
+    """SELECT l_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  val prioritiesWithReturnsOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin
+
   val topReturnCustomersOracle: String =
     """WITH rev AS (
       |  SELECT n_name, c_custkey,
