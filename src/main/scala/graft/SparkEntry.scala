@@ -105,6 +105,11 @@ object SparkEntry {
       O(s, dir), Tables.lineitem(s, dir))),
     "window_tumbling" -> ((s, dir) => EventOps.tumblingCounts(E(s, dir))),
     "window_sliding" -> ((s, dir) => EventOps.slidingCounts(E(s, dir))),
+    "anti_join" -> ((s, dir) => RelationalOps.customersWithoutOrders(
+      Tables.customer(s, dir), O(s, dir))),
+    "rollup_pricing" -> ((s, dir) => RelationalOps.pricingRollup(Tables.lineitem(s, dir))),
+    "pivot_returnflag" -> ((s, dir) => RelationalOps.returnFlagPivot(Tables.lineitem(s, dir))),
+    "running_totals" -> ((s, dir) => RelationalOps.runningTotals(O(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
@@ -265,6 +270,10 @@ object SparkEntry {
     "q4_priority_returns" -> RelationalOps.prioritiesWithReturnsOracle,
     "window_tumbling" -> EventOps.tumblingCountsOracle,
     "window_sliding" -> EventOps.slidingCountsOracle,
+    "anti_join" -> RelationalOps.customersWithoutOrdersOracle,
+    "rollup_pricing" -> RelationalOps.pricingRollupOracle,
+    "pivot_returnflag" -> RelationalOps.returnFlagPivotOracle,
+    "running_totals" -> RelationalOps.runningTotalsOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,

@@ -172,6 +172,99 @@ object RelationalOps {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
 
+  /** LEFT ANTI join — the complement of [[prioritiesWithReturns]]:
+    * customers with no orders at all. Same no-fan-out property as semi
+    * (each left row emits ≤1 time); completes the join-type surface
+    * (inner/broadcast/shuffle/semi/anti/asof/range/salted).
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             minPrice: Double = 300000.0): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > minPrice),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("long").as("c_nationkey"))
+
+  /** ROLLUP — hierarchical multi-level aggregate (per-group, per-flag
+    * subtotal, grand total) in ONE pass: Spark plans an Expand (3 rows
+    * per input under rollup id) feeding a single partial-aggregated
+    * shuffle — at 100 TB this beats 3 separate scans+aggs by 3× scan
+    * volume. NULL group keys mark subtotal rows, identically in both
+    * engines; grouping level disambiguates a real NULL from a rollup
+    * NULL.
+    */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping_id().cast("long").as("lvl"))
+
+  /** PIVOT — wide conditional aggregation: one row per linestatus, one
+    * count column per return flag. The flag domain is declared (A/N/R),
+    * so Spark skips the extra distinct-values job and plans a single
+    * groupBy with 3 conditional partial aggregates — one shuffle of
+    * (key, 3 counts), no per-value scans.
+    */
+  def returnFlagPivot(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      // An empty (status, flag) cell is a 0-count, not absent: Spark's
+      // pivot yields NULL there, the conditional-agg oracle yields 0.
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0L)).as("n_a"),
+        coalesce(col("N"), lit(0L)).as("n_n"),
+        coalesce(col("R"), lit(0L)).as("n_r"))
+
+  /** Running (cumulative) revenue per customer over order time — the
+    * prefix-aggregation window frame (UNBOUNDED PRECEDING..CURRENT ROW).
+    * Exact decimal running sum (partition-order independent), cast to
+    * double per output row; per-customer partitions keep every sort
+    * local.
+    */
+  def runningTotals(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("running_spend"),
+      count(lit(1)).over(w).as("order_seq"))
+  }
+
+  val customersWithoutOrdersOracle: String =
+    """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+
+  val pricingRollupOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val returnFlagPivotOracle: String =
+    """SELECT l_linestatus,
+      |  CAST(count(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n_a,
+      |  CAST(count(*) FILTER (l_returnflag = 'N') AS BIGINT) AS n_n,
+      |  CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_r
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  val runningTotalsOracle: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+      |FROM orders""".stripMargin
+
   val revenueChangeOracle: String =
     """SELECT
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -62,6 +62,55 @@ class Round3AdditionsSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"))
   }
 
+  test("anti join keeps exactly the customers with no qualifying order") {
+    val customer = Seq((1L, "a", 0), (2L, "b", 1), (3L, "c", 2))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val orders = Seq((10L, 1L, 500000.0), (11L, 2L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val got = RelationalOps.customersWithoutOrders(customer, orders)
+      .as[(Long, String, Long)].collect().toSet
+    // 2's only order is under threshold; 3 has none — both kept, 1 dropped.
+    assert(got == Set((2L, "b", 1L), (3L, "c", 2L)))
+    assert(plan(RelationalOps.customersWithoutOrders(customer, orders))
+      .contains("LeftAnti"))
+  }
+
+  test("rollup produces all three levels from one Expand pass") {
+    val li = Seq(("A", "F", 1.0), ("A", "F", 2.0), ("N", "O", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val got = RelationalOps.pricingRollup(li)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (Some("A"), Some("F"), 2L, 3.0, 0L),
+      (Some("N"), Some("O"), 1L, 4.0, 0L),
+      (Some("A"), None, 2L, 3.0, 1L),
+      (Some("N"), None, 1L, 4.0, 1L),
+      (None, None, 3L, 7.0, 3L)))
+    assert(plan(RelationalOps.pricingRollup(li)).contains("Expand"))
+  }
+
+  test("pivot fills empty cells with 0 and plans one shuffle") {
+    val li = Seq(("A", "F"), ("A", "F"), ("R", "F"), ("N", "O"))
+      .toDF("l_returnflag", "l_linestatus")
+    val got = RelationalOps.returnFlagPivot(li)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("F", 2L, 0L, 1L), ("O", 0L, 1L, 0L)))
+  }
+
+  test("running totals accumulate per customer in date order") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, 7L, ts("1995-01-01 00:00:00"), 10.0),
+      (2L, 7L, ts("1995-01-02 00:00:00"), 5.0),
+      (3L, 8L, ts("1995-01-01 00:00:00"), 2.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = RelationalOps.runningTotals(orders)
+      .select("o_custkey", "o_orderkey", "running_spend", "order_seq")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == Set((7L, 1L, 10.0, 1L), (7L, 2L, 15.0, 2L), (8L, 3L, 2.0, 1L)))
+  }
+
   test("Q6 predicates push into the parquet scan") {
     val p = plan(RelationalOps.revenueChange(
       Tables.lineitem(spark, "/root/testdata/sf0.001")))
