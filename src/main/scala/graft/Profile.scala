@@ -32,11 +32,30 @@ object Profile {
     val docs = Tables.documents(spark, sfDir)
     val corpus = DedupOps.augmented(docs)
 
+    // `Profile time <query> [reps]` — isolate one registered query's
+    // wall-clock (3 reps default; cache cleared between reps like Bench).
+    if (args.headOption.contains("time")) {
+      val name = args(1)
+      val reps = if (args.length > 2) args(2).toInt else 3
+      val fn = SparkEntry.queries(name)
+      (1 to reps).foreach { i =>
+        t(s"$name#$i")(fn(spark, sfDir).count())
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("audit")) {
       // Plan-health audit: for each registered query, summarize scan
       // pruning (ReadSchema), join strategies, exchanges, and codegen.
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        // Execute before reading the plan: under AQE the pre-execution
+        // string is the initial plan with no WholeStageCodegen stages, so
+        // codegen coverage (and runtime join demotions) only show in the
+        // final plan.
+        val df = fn(spark, sfDir)
+        try df.count() catch { case _: Throwable => () }
+        val plan = df.queryExecution.executedPlan.toString
         val schemas = plan.linesIterator
           .flatMap(l => "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(l).map(_.group(1)))
           .map(s => s.split(",").length + " cols: " + s.take(70)).toSeq

@@ -110,6 +110,8 @@ object SparkEntry {
     "rollup_pricing" -> ((s, dir) => RelationalOps.pricingRollup(Tables.lineitem(s, dir))),
     "pivot_returnflag" -> ((s, dir) => RelationalOps.returnFlagPivot(Tables.lineitem(s, dir))),
     "running_totals" -> ((s, dir) => RelationalOps.runningTotals(O(s, dir))),
+    "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
+    "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
@@ -274,6 +276,8 @@ object SparkEntry {
     "rollup_pricing" -> RelationalOps.pricingRollupOracle,
     "pivot_returnflag" -> RelationalOps.returnFlagPivotOracle,
     "running_totals" -> RelationalOps.runningTotalsOracle,
+    "except_users" -> EventOps.churnedUsersOracle,
+    "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,

@@ -242,23 +242,52 @@ object DedupOps {
     * both noted here; diameter-2 dup clusters don't need them.
     */
   def nearDupClusters(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(corpus, minJaccard).select("doc_a", "doc_b")
+    val pairs = minhashPairs(corpus, minJaccard).select("doc_a", "doc_b").persist()
+    // The pair graph is orders of magnitude smaller than the corpus
+    // (near-dups are the exception), so the iterative phase sizes its
+    // shuffles to the MEASURED graph, not the corpus-level session
+    // default: with e.g. 2k edges in 32 partitions every round is pure
+    // task overhead, and at 100 TB (billions of edges) this clamps back
+    // up to the session parallelism.
+    val sessionParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(2L, math.min(sessionParts.toLong, pairs.count() / 25000)).toInt
+    // Symmetrize, hash-partition on the probe key, then TRUNCATE LINEAGE
+    // (eager localCheckpoint → LogicalRDD): without this every round's
+    // logical plan embeds the whole minhash pipeline and re-plans it,
+    // so analysis+codegen time compounds per round even though execution
+    // reads cache. With it, each round plans a constant-size
+    // (edge-RDD ⋈ label-RDD) query. On a cluster, swap localCheckpoint
+    // for reliable `checkpoint` (same lineage truncation, survives
+    // executor loss).
     val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(parts, col("doc_a")).localCheckpoint()
+    pairs.unpersist()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
-    var changed = 1L
-    while (changed > 0) {
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    // Convergence check: labels only ever DECREASE (each round takes a
+    // min over a set containing the old label), so the fixpoint is
+    // reached iff Σlabel is unchanged — one scalar aggregate per round,
+    // no join against the previous generation. Decimal sum: overflow-
+    // safe for any doc-id magnitude × corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val next = edges
         .join(labels, edges("doc_a") === labels("doc_id"))
         .select(col("doc_b").as("doc_id"), col("label"))
         .unionAll(labels.select("doc_id", "label"))
-        .groupBy("doc_id").agg(min("label").as("new_label"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old_label"), "doc_id")
-        .filter(col("new_label") < col("old_label")).count()
-      labels.unpersist()
-      labels = next.withColumnRenamed("new_label", "label")
+        // One explicit graph-sized exchange per round; the groupBy's
+        // required distribution is satisfied by it, no second shuffle.
+        .repartition(parts, col("doc_id"))
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
     }
     labels.select(col("doc_id"), col("label"))
   }

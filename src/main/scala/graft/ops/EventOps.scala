@@ -144,6 +144,51 @@ object EventOps {
       |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Set difference — users active in the first half of the window but
+    * silent in the second (churn). `except` is a real relational
+    * operator, not client-side set math: Spark plans distinct + LEFT
+    * ANTI hash join, shuffling only distinct user ids.
+    */
+  private def behaviorKeys(events: DataFrame): (DataFrame, DataFrame) = {
+    // Behavior key = (user, type, value band): fine-grained enough that
+    // the set difference is non-empty at every scale (user-level alone
+    // saturates — all users touch both halves). floor() of the same
+    // stored double is exact in any engine.
+    val us = events.select(
+      expr("ts div 1000").as("ts_us"), col("user_id"), col("event_type"),
+      floor(col("value")).cast("long").as("value_band"))
+    val midUs = 1705363200000000L
+    (us.filter(col("ts_us") < midUs).select("user_id", "event_type", "value_band"),
+      us.filter(col("ts_us") >= midUs).select("user_id", "event_type", "value_band"))
+  }
+
+  def churnedUsers(events: DataFrame): DataFrame = {
+    val (first, second) = behaviorKeys(events)
+    first.except(second)
+  }
+
+  /** Set intersection — behaviors present in BOTH halves (retention).
+    * Plans distinct + LEFT SEMI hash join.
+    */
+  def retainedUsers(events: DataFrame): DataFrame = {
+    val (first, second) = behaviorKeys(events)
+    first.intersect(second)
+  }
+
+  private val behaviorKeysSql =
+    """SELECT user_id, event_type, CAST(floor(value) AS BIGINT) AS value_band
+      |FROM events WHERE epoch_us(ts)""".stripMargin
+
+  val churnedUsersOracle: String =
+    s"""$behaviorKeysSql < 1705363200000000
+       |EXCEPT
+       |$behaviorKeysSql >= 1705363200000000""".stripMargin
+
+  val retainedUsersOracle: String =
+    s"""$behaviorKeysSql < 1705363200000000
+       |INTERSECT
+       |$behaviorKeysSql >= 1705363200000000""".stripMargin
+
   /** B11 — aggregate over the extracted JSON property. Integer sums only
     * (double sums are partition-order dependent and would break the
     * bitwise oracle compare).

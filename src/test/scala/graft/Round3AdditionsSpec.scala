@@ -111,6 +111,23 @@ class Round3AdditionsSpec extends SparkSpec {
     assert(got == Set((7L, 1L, 10.0, 1L), (7L, 2L, 15.0, 2L), (8L, 3L, 2.0, 1L)))
   }
 
+  test("except/intersect split behavior keys by half-window activity") {
+    val mid = 1705363200000000L
+    val events = Seq(
+      (1L, (mid - 5) * 1000, 100L, "a", 3.7),  // (100,a,3) in both halves
+      (2L, (mid + 5) * 1000, 100L, "a", 3.2),
+      (3L, (mid - 9) * 1000, 100L, "b", 3.7),  // (100,b,3) first only
+      (4L, (mid + 9) * 1000, 300L, "a", 9.9)   // (300,a,9) second only
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.ops.EventOps.churnedUsers(events)
+      .as[(Long, String, Long)].collect().toSet == Set((100L, "b", 3L)))
+    assert(graft.ops.EventOps.retainedUsers(events)
+      .as[(Long, String, Long)].collect().toSet == Set((100L, "a", 3L)))
+    // Set ops must plan as anti/semi joins over distinct keys — no fan-out.
+    assert(plan(graft.ops.EventOps.churnedUsers(events)).contains("LeftAnti"))
+    assert(plan(graft.ops.EventOps.retainedUsers(events)).contains("LeftSemi"))
+  }
+
   test("Q6 predicates push into the parquet scan") {
     val p = plan(RelationalOps.revenueChange(
       Tables.lineitem(spark, "/root/testdata/sf0.001")))
