@@ -45,6 +45,15 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("codegen-debug")) {
+      val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
+        .agg(sum("id").as("s"))
+      df.collect()
+      println("=== executedPlan.toString after execution ===")
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
+
     if (args.contains("audit")) {
       // Plan-health audit: for each registered query, summarize scan
       // pruning (ReadSchema), join strategies, exchanges, and codegen.
@@ -54,7 +63,10 @@ object Profile {
         // codegen coverage (and runtime join demotions) only show in the
         // final plan.
         val df = fn(spark, sfDir)
-        try df.count() catch { case _: Throwable => () }
+        // Execute THIS queryExecution (df.count() would wrap the plan in
+        // a new one and leave the audited AQE plan un-finalized).
+        try df.queryExecution.toRdd.foreachPartition(_ => ())
+        catch { case _: Throwable => () }
         val plan = df.queryExecution.executedPlan.toString
         val schemas = plan.linesIterator
           .flatMap(l => "ReadSchema: struct<([^>]*)".r.findFirstMatchIn(l).map(_.group(1)))
