@@ -116,6 +116,7 @@ object SparkEntry {
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
     "multimodal_frames" -> ((s, dir) => MultimodalOps.sampleFrames(MultimodalOps.pack(D(s, dir)))),
+    "multimodal_resize" -> ((s, dir) => MultimodalOps.resizeStub(s, MultimodalOps.pack(D(s, dir))).toDF()),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
@@ -282,6 +283,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,
     "multimodal_frames" -> MultimodalOps.sampleFramesOracle,
+    "multimodal_resize" -> MultimodalOps.resizeOracle,
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",

@@ -14,6 +14,10 @@ case class MediaAsset(doc_id: Long, payload: Array[Byte],
 case class MediaFeatures(doc_id: Long, byte_len: Long, first_byte: Long,
                          checksum: Long, lang: String)
 
+/** One asset after resize/downsample. */
+case class ResizedAsset(doc_id: Long, orig_len: Long, new_len: Long,
+                        resized_hex: String)
+
 /** Multimodal column operators (SURVEY.md §7 B11).
   *
   * Real media decode libs aren't in this container, so [[decodeStub]] is a
@@ -99,6 +103,42 @@ object MultimodalOps {
       |           FROM documents))) AS i) t
       |  WHERE i <= floor((octet_length(encode(text)) - 1) / 16)
       |    AND i % 4 = 0)""".stripMargin
+
+  /** Resize/downsample: nearest-neighbor decimation of the opaque
+    * payload (every `stride`-th byte — ≙ image downscale / audio
+    * resample before featurization). Same executor-side typed-batch
+    * shape as [[decodeStub]]: a real resampler (libvips/ffmpeg) replaces
+    * the loop body; partition-batch init, narrow transform, blobs never
+    * shuffle. Output payload as hex — compare-harness-stable, and the
+    * 4× volume reduction is what the downstream decode stage scans.
+    */
+  def resizeStub(spark: SparkSession, packed: DataFrame, stride: Int = 4): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    packed.as[MediaAsset].mapPartitions { assets =>
+      assets.map { a =>
+        val out = a.payload.indices.collect {
+          case i if i % stride == 0 => a.payload(i)
+        }
+        ResizedAsset(a.doc_id, a.payload.length.toLong, out.length.toLong,
+          out.map(b => f"${b & 0xff}%02X").mkString)
+      }
+    }
+  }
+
+  /** Resize oracle (ASCII text ≙ payload bytes): take every 4th char,
+    * re-encode, hex — an independent list-based formulation.
+    */
+  val resizeOracle: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+      |  CAST(length(r) AS BIGINT) AS new_len,
+      |  hex(encode(r)) AS resized_hex
+      |FROM (
+      |  SELECT doc_id, text,
+      |    array_to_string(
+      |      list_transform(list_filter(range(0, length(text)), i -> i % 4 = 0),
+      |                     i -> substr(text, i + 1, 1)), '') AS r
+      |  FROM documents)""".stripMargin
 
   /** End-to-end: pack → decode → features DataFrame. */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =

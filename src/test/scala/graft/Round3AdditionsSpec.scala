@@ -128,6 +128,18 @@ class Round3AdditionsSpec extends SparkSpec {
     assert(plan(graft.ops.EventOps.retainedUsers(events)).contains("LeftSemi"))
   }
 
+  test("resize decimates payload bytes; empty payload yields empty result") {
+    val packed = Seq(
+      (1L, "abcdefghij", "en", "web", 10L),
+      (2L, "", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS payload", "lang", "source", "n_chars")
+    val got = graft.ops.MultimodalOps.resizeStub(spark, packed)
+      .collect().map(r => (r.doc_id, r.orig_len, r.new_len, r.resized_hex)).toSet
+    // every 4th byte of "abcdefghij" = a,e,i → 0x61 0x65 0x69
+    assert(got == Set((1L, 10L, 3L, "616569"), (2L, 0L, 0L, "")))
+  }
+
   test("Q6 predicates push into the parquet scan") {
     val p = plan(RelationalOps.revenueChange(
       Tables.lineitem(spark, "/root/testdata/sf0.001")))
