@@ -110,6 +110,10 @@ object SparkEntry {
     "rollup_pricing" -> ((s, dir) => RelationalOps.pricingRollup(Tables.lineitem(s, dir))),
     "pivot_returnflag" -> ((s, dir) => RelationalOps.returnFlagPivot(Tables.lineitem(s, dir))),
     "running_totals" -> ((s, dir) => RelationalOps.runningTotals(O(s, dir))),
+    "q16_supplier_count" -> ((s, dir) => RelationalOps.supplierCountByBrand(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q17_small_qty_revenue" -> ((s, dir) => RelationalOps.smallQuantityRevenue(
+      s, Tables.lineitem(s, dir), Tables.part(s, dir))),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -277,6 +281,8 @@ object SparkEntry {
     "rollup_pricing" -> RelationalOps.pricingRollupOracle,
     "pivot_returnflag" -> RelationalOps.returnFlagPivotOracle,
     "running_totals" -> RelationalOps.runningTotalsOracle,
+    "q16_supplier_count" -> RelationalOps.supplierCountByBrandOracle,
+    "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenueOracle,
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,

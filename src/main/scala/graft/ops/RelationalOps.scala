@@ -235,6 +235,57 @@ object RelationalOps {
       count(lit(1)).over(w).as("order_seq"))
   }
 
+  /** TPC-H Q16-flavored: DISTINCT aggregation — suppliers per brand.
+    * Spark plans count(DISTINCT) as a two-phase aggregate (partial
+    * distinct on (brand, suppkey), then count) — the shuffle carries
+    * distinct pairs, never raw lines; no driver-side distinct.
+    */
+  def supplierCountByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q17-flavored: CORRELATED SCALAR SUBQUERY (per-part average
+    * quantity threshold), written in SQL — the point is Catalyst's
+    * decorrelation: the optimizer rewrites the per-row subquery into one
+    * aggregate + join, so it executes as two scans + a shuffle, never a
+    * per-row re-scan (N+1 at 100 TB). Division by 7.0 is a single IEEE
+    * op on an exact decimal sum — bitwise-stable.
+    */
+  def smallQuantityRevenue(spark: org.apache.spark.sql.SparkSession,
+                           lineitem: DataFrame, part: DataFrame,
+                           brand: String = "Brand#23"): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_q17_lineitem")
+    part.createOrReplaceTempView("graft_q17_part")
+    spark.sql(
+      s"""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         |         AS avg_yearly,
+         |       count(*) AS n_lines
+         |FROM graft_q17_lineitem, graft_q17_part
+         |WHERE p_partkey = l_partkey AND p_brand = '$brand'
+         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+         |                    FROM graft_q17_lineitem l2
+         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  val supplierCountByBrandOracle: String =
+    """SELECT p_brand,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
+  val smallQuantityRevenueOracle: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |         AS avg_yearly,
+      |       count(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   val customersWithoutOrdersOracle: String =
     """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
       |FROM customer

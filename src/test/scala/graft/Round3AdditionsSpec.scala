@@ -140,6 +140,27 @@ class Round3AdditionsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 3L, "616569"), (2L, 0L, 0L, "")))
   }
 
+  test("Q17 correlated subquery decorrelates to aggregate + join") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(RelationalOps.smallQuantityRevenue(
+      spark, Tables.lineitem(spark, dir), Tables.part(spark, dir)))
+    // Decorrelated: the per-part average is a standalone aggregate joined
+    // back, never a re-executed per-row subquery.
+    assert(!p.contains("ScalarSubquery"))
+    assert(p.contains("Join"))
+    assert(p.contains("avg("))
+  }
+
+  test("Q16 count-distinct plans as multi-phase aggregation, not raw shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val df = RelationalOps.supplierCountByBrand(
+      Tables.lineitem(spark, dir), Tables.part(spark, dir))
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 3) // partial-distinct phases
+    val row = df.filter(col("p_brand") === "Brand#4").head()
+    assert(row.getLong(1) > 0 && row.getLong(1) <= row.getLong(2))
+  }
+
   test("Q6 predicates push into the parquet scan") {
     val p = plan(RelationalOps.revenueChange(
       Tables.lineitem(spark, "/root/testdata/sf0.001")))
