@@ -270,8 +270,12 @@ object DedupOps {
     // reached iff Σlabel is unchanged — one scalar aggregate per round,
     // no join against the previous generation. Decimal sum: overflow-
     // safe for any doc-id magnitude × corpus size.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an empty frame is NULL — a pair-free corpus must yield
+      // an empty cluster map, not an NPE in the convergence check.
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -70,6 +70,14 @@ class OracleCoveredOpsSpec extends SparkSpec {
     assert(!clusters.contains(50L))          // singletons have no edges
   }
 
+  test("near-dup clusters: a pair-free corpus yields an empty cluster map") {
+    val corpus = Seq(
+      (1L, "utterly unique first document body"),
+      (2L, "completely unrelated second text payload"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.nearDupClusters(corpus, minJaccard = 0.9).count() == 0L)
+  }
+
   test("dedup pipeline: exact keepers minus fuzzy drops") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
