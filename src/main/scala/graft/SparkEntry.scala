@@ -114,6 +114,7 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q17_small_qty_revenue" -> ((s, dir) => RelationalOps.smallQuantityRevenue(
       s, Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "vocab_encode" -> ((s, dir) => TextOps.vocabEncode(D(s, dir))),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -283,6 +284,7 @@ object SparkEntry {
     "running_totals" -> RelationalOps.runningTotalsOracle,
     "q16_supplier_count" -> RelationalOps.supplierCountByBrandOracle,
     "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenueOracle,
+    "vocab_encode" -> TextOps.vocabEncodeOracle,
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,

@@ -169,6 +169,41 @@ object TextOps {
        |FROM ($statsOracle)
        |WHERE n_tokens >= 20 AND stop_ratio <= 0.3 AND avg_token_len <= 8.0""".stripMargin
 
+  /** B10 — vocabulary encoding: map tokens to dense integer ids (the
+    * step before any tokenized training corpus ships). The vocab is the
+    * global top-V tokens by document frequency — orderBy+limit plans
+    * TakeOrderedAndProject (per-partition heap of V, never a global
+    * sort); id assignment sorts only the V selected rows in one
+    * partition (bounded by vocabSize, not data). Encoding is a broadcast
+    * left join — the fact-side token stream never shuffles; OOV → -1.
+    */
+  def vocabEncode(documents: DataFrame, vocabSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ", -1)).as(Seq("pos", "tok")))
+    val byDf = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(vocabSize)
+    val vocab = byDf.repartition(1).withColumn("token_id",
+      (row_number().over(Window.orderBy(col("df").desc, col("tok").asc)) - 1)
+        .cast("long"))
+    toks.join(broadcast(vocab.select("tok", "token_id")), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+  }
+
+  val vocabEncodeOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) + 1),
+      |                 i -> {'pos': i - 1, 'tok': string_split(text,' ')[i]})) AS u
+      |  FROM documents),
+      |flat AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM toks),
+      |vocab AS (
+      |  SELECT tok, CAST(row_number() OVER (ORDER BY df DESC, tok ASC) - 1 AS BIGINT) AS token_id
+      |  FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1)
+      |  QUALIFY row_number() OVER (ORDER BY df DESC, tok ASC) <= 16)
+      |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
+      |FROM flat f LEFT JOIN vocab v ON f.tok = v.tok""".stripMargin
+
   val tfIdfTopOracle: String =
     """WITH tokens AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

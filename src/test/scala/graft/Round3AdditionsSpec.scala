@@ -161,6 +161,22 @@ class Round3AdditionsSpec extends SparkSpec {
     assert(row.getLong(1) > 0 && row.getLong(1) <= row.getLong(2))
   }
 
+  test("vocab encoding: dense df-ordered ids, OOV is -1, positions kept") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the rare xylophone")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.vocabEncode(docs, vocabSize = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // df: the=3, sat=2, then ties at df=1 break alphabetically: cat.
+    // dog/rare/xylophone fall out of the 3-token vocab → -1.
+    assert(got == Set(
+      (1L, 0L, 0L), (1L, 1L, 2L), (1L, 2L, 1L),
+      (2L, 0L, 0L), (2L, 1L, -1L), (2L, 2L, 1L),
+      (3L, 0L, 0L), (3L, 1L, -1L), (3L, 2L, -1L)))
+  }
+
   test("Q6 predicates push into the parquet scan") {
     val p = plan(RelationalOps.revenueChange(
       Tables.lineitem(spark, "/root/testdata/sf0.001")))
