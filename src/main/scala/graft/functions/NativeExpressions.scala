@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -40,12 +39,34 @@ private object Hash60 {
   * `IF(null, 1, -1)` semantics in the HOF form.
   */
 case class SimHash60(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.eval(input.asInstanceOf[ArrayData])
+
+  /** Codegen = one typed static call into the same kernel eval uses: no
+    * InternalRow wrapping, no boxing, and the expression stays inside the
+    * surrounding whole-stage span (digest cost still dominates; this
+    * closes the CodegenFallback question rather than chasing speed).
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SimHashKernel.eval($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[SimHash60]] — top-level object, so Scala emits a
+  * static forwarder the generated Java can call directly.
+  */
+object SimHashKernel {
+  def eval(arr: ArrayData): Long = {
     val votes = new Array[Int](60)
     var i = 0
     while (i < arr.numElements()) {
@@ -66,9 +87,6 @@ case class SimHash60(child: Expression)
     while (b < 60) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
-    copy(child = newChild)
 }
 
 /** Native MinHash signature:
@@ -81,12 +99,28 @@ case class SimHash60(child: Expression)
   * matching array_min's null on empty.
   */
 case class MinHashSignature(child: Expression, numPerm: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.eval(input.asInstanceOf[ArrayData], numPerm)
+
+  /** Same typed-static-call codegen shape as [[SimHash60]]. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.MinHashKernel.eval($arr, $numPerm);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[MinHashSignature]] (see [[SimHashKernel]]). */
+object MinHashKernel {
+  def eval(arr: ArrayData, numPerm: Int): ArrayData = {
     val n = arr.numElements()
     val sig = new Array[Any](numPerm)
     var p = 0
@@ -112,9 +146,6 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     }
     new GenericArrayData(sig)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
-    copy(child = newChild)
 }
 
 /** Native left-fold dot product:

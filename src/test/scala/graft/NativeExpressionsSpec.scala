@@ -58,4 +58,33 @@ class NativeExpressionsSpec extends SparkSpec {
     val vecs = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
     assert(vecs.select(native.dotFold(col("a"), col("b"))).collect().head.isNullAt(0))
   }
+
+  /** Independent naive O(n·W) formulation over UTF-8 bytes — mirrors what
+    * the DuckDB oracle computes via hex-pair extraction of encode(text).
+    */
+  private def naiveWinnow(s: String, window: Int): Long = {
+    val P = 2147483647L; val B = 257L
+    val bytes = s.getBytes("UTF-8")
+    def fold(lo: Int, hi: Int): Long = {
+      var h = 0L; var j = lo
+      while (j < hi) { h = (h * B + (bytes(j) & 0xff)) % P; j += 1 }
+      h
+    }
+    if (bytes.length <= window) fold(0, bytes.length)
+    else (0 to bytes.length - window).map(i => fold(i, i + window)).min
+  }
+
+  test("winnow60 hashes UTF-8 bytes: non-ASCII text matches the naive byte fold") {
+    val texts = Seq(
+      "héllo wörld — naïve café ★",                // 2- and 3-byte codepoints
+      "中文文本指纹测试，比窗口长得多的一段中文文本指纹测试内容", // all multi-byte, > window bytes
+      "mixed ascii and ünïcödé in one string that is longer than the window",
+      "züm",                                       // shorter than window
+      "")                                          // empty
+    val exp = texts.map(naiveWinnow(_, 32))
+    val got = texts.toDF("text")
+      .select(graft.functions.Winnow60.winnow60(col("text"), 32))
+      .as[Long].collect().toSeq
+    assert(got == exp)
+  }
 }
