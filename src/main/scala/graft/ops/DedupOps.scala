@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.Hashing
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for the training-data pipeline (SURVEY.md §7
   * B8): exact hash-dedup, banded MinHash, SimHash, and inverted-index
@@ -107,18 +108,23 @@ object DedupOps {
     * pattern (counts, not arrays, through the shuffle). Returns pairs with
     * jaccard ≥ minJaccard.
     */
-  def minhashPairs(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def minhashPairs(corpus: DataFrame, minJaccard: Double = 0.5,
+                   cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // The shingled+signed corpus is referenced by four plan branches
     // (both self-join sides + both candidate-set joins); without caching,
     // Spark re-scans and re-hashes the corpus once PER REFERENCE (12
     // scans observed in the audit) — at 100 TB that is 12 passes over the
-    // dataset. Cache it. Caller contract: long-lived sessions must drop
-    // the cache after consuming the result (Verify/Bench call
-    // spark.catalog.clearCache() between queries).
+    // dataset. Cache it. `cacheLevel` is the caller's knob: the default
+    // MEMORY_AND_DISK spills rather than evicts under pressure; at 100 TB
+    // the shingle arrays are O(corpus) so pass DISK_ONLY (or
+    // StorageLevel.NONE semantics via recompute) and let the scan win.
+    // Caller contract: long-lived sessions must drop the cache after
+    // consuming the result (Verify/Bench call spark.catalog.clearCache()
+    // between queries).
     val sh = withShingles(corpus)
       .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), 16))
       .withColumn("shingle_set", array_distinct(col("shingles")))
-      .persist()
+      .persist(cacheLevel)
 
     val bands = sh.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * 4 + 1, 4)))")))
@@ -166,7 +172,8 @@ object DedupOps {
     * (boilerplate must not make documents "near-duplicates").
     */
   def ngramJaccardPairs(corpus: DataFrame, minJaccard: Double = 0.5,
-                        maxShingleDf: Int = 64): DataFrame = {
+                        maxShingleDf: Int = 64,
+                        cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val inv = withShingles(corpus)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
     // df-cap via a windowed count: shares the shingle hash partitioning
@@ -178,7 +185,7 @@ object DedupOps {
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("df") <= maxShingleDf)
       .select("doc_id", "shingle")
-      .persist()
+      .persist(cacheLevel)
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // shuffle-hash, not broadcast: both sides are corpus-sized — at scale
     // a broadcast of the inverted index would OOM the executors, and even
@@ -230,16 +237,8 @@ object DedupOps {
     * it: transitive near-dups (A~B, B~C) must collapse into one cluster
     * even when A~C was never emitted.
     *
-    * Distributed iterative min-label propagation: every round each node
-    * takes the min label among itself and its neighbors (one equi-join +
-    * one partial-aggregated groupBy per round), converging in
-    * O(component diameter) rounds — near-dup clusters are dense, so 2-3
-    * rounds in practice. The driver loop only checks the convergence
-    * count (an aggregate, never data); each round is a full shuffle-
-    * parallel pass, the same shape GraphX/Pregel executes. At 100 TB
-    * scale the standard refinement is large-star/small-star (alternating
-    * to bound skew) plus periodic checkpointing to truncate lineage —
-    * both noted here; diameter-2 dup clusters don't need them.
+    * Components come from [[connectedComponents]] — large-star/small-star
+    * alternation — over the pair graph; see there for the scale argument.
     */
   def nearDupClusters(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val pairs = minhashPairs(corpus, minJaccard).select("doc_a", "doc_b").persist()
@@ -251,49 +250,83 @@ object DedupOps {
     // up to the session parallelism.
     val sessionParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.max(2L, math.min(sessionParts.toLong, pairs.count() / 25000)).toInt
-    // Symmetrize, hash-partition on the probe key, then TRUNCATE LINEAGE
-    // (eager localCheckpoint → LogicalRDD): without this every round's
-    // logical plan embeds the whole minhash pipeline and re-plans it,
-    // so analysis+codegen time compounds per round even though execution
-    // reads cache. With it, each round plans a constant-size
-    // (edge-RDD ⋈ label-RDD) query. On a cluster, swap localCheckpoint
-    // for reliable `checkpoint` (same lineage truncation, survives
-    // executor loss).
-    val edges = pairs.unionAll(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(parts, col("doc_a")).localCheckpoint()
+    val out = connectedComponents(pairs, parts)
+      .select(col("u").as("doc_id"), col("l").as("label"))
     pairs.unpersist()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
-    // Convergence check: labels only ever DECREASE (each round takes a
-    // min over a set containing the old label), so the fixpoint is
-    // reached iff Σlabel is unchanged — one scalar aggregate per round,
-    // no join against the previous generation. Decimal sum: overflow-
-    // safe for any doc-id magnitude × corpus size.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      // sum over an empty frame is NULL — a pair-free corpus must yield
-      // an empty cluster map, not an NPE in the convergence check.
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
+    out
+  }
+
+  /** Distributed connected components via LARGE-STAR / SMALL-STAR
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — the algorithm behind GraphFrames'
+    * `connectedComponents`). `pairs` is an undirected edge list with two
+    * numeric columns; returns one row per vertex: (u, l) with `l` = the
+    * component's minimum vertex id.
+    *
+    *  - Large-star: every node u links each LARGER neighbor to
+    *    m(u) = min(Γ(u) ∪ u). Cuts long chains toward local minima and —
+    *    the skew property — a degree-d hub emits d edges but each target
+    *    collapses onto m(u), so degree never grows superlinearly.
+    *  - Small-star: with edges oriented high→low, every node links its
+    *    smaller neighbors (and itself) to the minimum. Flattens the
+    *    partial forest into stars.
+    *
+    * Alternation converges in O(log n) rounds regardless of component
+    * DIAMETER — a 10⁶-node path needs ~20 rounds, where naive min-label
+    * propagation needs 10⁶. Each round is two partial-aggregated groupBys
+    * + two graph-partitioned equi-joins; lineage is truncated per round
+    * (eager localCheckpoint → LogicalRDD), else analysis+codegen time
+    * compounds per round even when execution reads cache. On a cluster,
+    * swap localCheckpoint for reliable `checkpoint` (survives executor
+    * loss). Convergence = the canonical edge set reaches the composite
+    * fixpoint (stars are fixpoints of both steps): checked with one
+    * count + one exceptAll over two graph-sized LogicalRDDs per round.
+    */
+  def connectedComponents(pairs: DataFrame, parts: Int): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq.take(2).map(col)
+    // Canonical high→low orientation, self-loops dropped, distinct.
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+
+    // m(u) over the symmetric neighborhood, joined back on u: the groupBy
+    // runs with map-side partials, so a hub's min is computed without
+    // gathering its neighbor list anywhere.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(parts, col("u"))
+      val m = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))  // v > u >= m: canonical
+        .distinct()
     }
-    var prevSum = labelSum(labels)
-    var converged = false
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = canon(e).repartition(parts, col("u"))
+      val m = o.groupBy("u").agg(min("v").as("m"))
+      o.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))  // v > m: canonical
+        .unionAll(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var cur = canon(pairs.select(ca.as("u"), cb.as("v")))
+      .repartition(parts, col("u")).localCheckpoint()
+    var converged = cur.isEmpty
     while (!converged) {
-      val next = edges
-        .join(labels, edges("doc_a") === labels("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("label"))
-        .unionAll(labels.select("doc_id", "label"))
-        // One explicit graph-sized exchange per round; the groupBy's
-        // required distribution is satisfied by it, no second shuffle.
-        .repartition(parts, col("doc_id"))
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
+      val next = smallStar(largeStar(cur))
+        .repartition(parts, col("u")).localCheckpoint()
+      // Both sides are distinct canonical sets: equal counts + empty
+      // multiset difference ⇔ identical edge sets.
+      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur = next
     }
-    labels.select(col("doc_id"), col("label"))
+    // Star form: non-roots appear as u with their root as v; roots label
+    // themselves (they appear only as v).
+    cur.select(col("u"), col("v").as("l"))
+      .unionAll(cur.select(col("v").as("u"), col("v").as("l")))
+      .groupBy("u").agg(min("l").as("l"))
   }
 
   /** Clusters oracle: same pair graph, components via a recursive CTE
