@@ -108,6 +108,7 @@ object SparkEntry {
     "anti_join" -> ((s, dir) => RelationalOps.customersWithoutOrders(
       Tables.customer(s, dir), O(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.pricingRollup(Tables.lineitem(s, dir))),
+    "cube_pricing" -> ((s, dir) => RelationalOps.pricingCube(Tables.lineitem(s, dir))),
     "pivot_returnflag" -> ((s, dir) => RelationalOps.returnFlagPivot(Tables.lineitem(s, dir))),
     "running_totals" -> ((s, dir) => RelationalOps.runningTotals(O(s, dir))),
     "q16_supplier_count" -> ((s, dir) => RelationalOps.supplierCountByBrand(
@@ -118,6 +119,7 @@ object SparkEntry {
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
+    "ann_lsh_multitable" -> ((s, dir) => SimilarityOps.lshTopKMultiTable(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
     "multimodal_frames" -> ((s, dir) => MultimodalOps.sampleFrames(MultimodalOps.pack(D(s, dir)))),
@@ -280,6 +282,7 @@ object SparkEntry {
     "window_sliding" -> EventOps.slidingCountsOracle,
     "anti_join" -> RelationalOps.customersWithoutOrdersOracle,
     "rollup_pricing" -> RelationalOps.pricingRollupOracle,
+    "cube_pricing" -> RelationalOps.pricingCubeOracle,
     "pivot_returnflag" -> RelationalOps.returnFlagPivotOracle,
     "running_totals" -> RelationalOps.runningTotalsOracle,
     "q16_supplier_count" -> RelationalOps.supplierCountByBrandOracle,
@@ -289,6 +292,7 @@ object SparkEntry {
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
+    "ann_lsh_multitable" -> SimilarityOps.lshTopKMultiTableOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,
     "multimodal_frames" -> MultimodalOps.sampleFramesOracle,
     "multimodal_resize" -> MultimodalOps.resizeOracle,

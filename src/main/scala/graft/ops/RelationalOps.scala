@@ -199,6 +199,22 @@ object RelationalOps {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         grouping_id().cast("long").as("lvl"))
 
+  /** CUBE — the full grouping-sets lattice over (flag, status): per-pair,
+    * per-flag, per-status, and grand total in ONE pass. Completes the
+    * Expand-operator family next to ROLLUP (hierarchical prefix sets) and
+    * PIVOT (wide conditional aggs): Spark plans a single Expand emitting
+    * 4 grouping-set rows per input into one partial-aggregated shuffle —
+    * at 100 TB one scan instead of 4, and the Expand inflation happens
+    * AFTER scan-side column pruning (2 narrow columns, not the row).
+    * grouping_id disambiguates a real NULL key from a subtotal NULL.
+    */
+  def pricingCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping_id().cast("long").as("lvl"))
+
   /** PIVOT — wide conditional aggregation: one row per linestatus, one
     * count column per return flag. The flag domain is declared (A/N/R),
     * so Spark skips the extra distinct-values job and plans a single
@@ -298,6 +314,13 @@ object RelationalOps {
       |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val pricingCubeOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
   val returnFlagPivotOracle: String =
     """SELECT l_linestatus,

@@ -77,9 +77,13 @@ object SimilarityOps {
     * oracle embeds the identical literals (Double.toString round-trips),
     * so bucket assignments match bit-for-bit.
     */
-  def lshPlanes(nPlanes: Int = 8, dims: Int = 64): Seq[Seq[Double]] =
-    (0 until nPlanes).map(p => (0 until dims).map(d =>
-      graft.functions.Hashing.hash64Jvm(s"$p:$d").toDouble / math.pow(2, 59) - 1.0))
+  def lshPlanes(nPlanes: Int = 8, dims: Int = 64, table: Int = 0): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dims).map { d =>
+      // table 0 keeps the original seed keys (existing oracles embed the
+      // resulting literals); tables > 0 salt the key for independence.
+      val key = if (table == 0) s"$p:$d" else s"t$table:$p:$d"
+      graft.functions.Hashing.hash64Jvm(key).toDouble / math.pow(2, 59) - 1.0
+    })
 
   /** B9 scale path — random-hyperplane LSH ANN: bucket = sign bits of the
     * plane dot products; candidates share the query's bucket (probe-1).
@@ -90,8 +94,8 @@ object SimilarityOps {
   /** Sign-bit bucket id from the [[lshPlanes]] hyperplanes (expects an
     * `emb` column; one map-side pass, codegen'd DotFold per plane).
     */
-  private def bucketExpr(nPlanes: Int): Column =
-    lshPlanes(nPlanes).zipWithIndex
+  private def bucketExpr(nPlanes: Int, table: Int = 0): Column =
+    lshPlanes(nPlanes, table = table).zipWithIndex
       .map { case (coef, p) =>
         when(graft.functions.native.dotFold(col("emb"), typedlit(coef)) > 0.0,
           lit(1L << p)).otherwise(lit(0L)) }
@@ -141,12 +145,77 @@ object SimilarityOps {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  /** B9 — multi-TABLE LSH: L independent hyperplane sets (salted seeds),
+    * one bucket id per table; candidates share the query's bucket in ANY
+    * table. The recall knob orthogonal to multi-probe: L tables drive
+    * miss probability down exponentially (miss ⇒ missed in every
+    * independent table) at L× bucketing+candidate cost and zero extra
+    * probes per table. Implementation: buckets explode to (table, bucket)
+    * rows, candidates come from an EQUI-join on (table, bucket) per table
+    * — never an OR-condition nested-loop — then pairs dedup before
+    * scoring, so a pair colliding in several tables is scored once.
+    */
+  def lshTopKMultiTable(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                        nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+    val c = withNorm(embeddings)
+      .select(col("vec_id"), col("emb"), col("norm"))
+      .withColumn("buckets",
+        array((0 until nTables).map(t => bucketExpr(nPlanes, t)): _*))
+    val tb = c.select(col("vec_id"), col("emb"), col("norm"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val queries = tb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"), col("t").as("q_t"), col("bucket").as("q_bucket"))
+    val cand = tb.join(broadcast(queries),
+        col("t") === col("q_t") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("emb"), col("norm"),
+        col("q_emb"), col("q_norm"))
+      .distinct()
+    val scored = cand
+      .withColumn("score", dot("emb", "q_emb") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  /** Multi-table oracle: one bucket column per table, candidates where
+    * ANY table's buckets match (the OR form is the natural SQL
+    * equivalent of the per-table union; dedup is implicit).
+    */
+  def lshTopKMultiTableOracle(nQueries: Int = 10, k: Int = 5,
+                              nPlanes: Int = 8, nTables: Int = 2): String = {
+    val bucketCols = (0 until nTables)
+      .map(t => s"${duckBucket(nPlanes, t)} AS b$t").mkString(",\n  ")
+    val anyMatch = (0 until nTables).map(t => s"c.b$t = q.b$t").mkString(" OR ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM embeddings),
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm,
+       |  $bucketCols
+       |  FROM base),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) AS score
+       |  FROM bucketed c JOIN bucketed q
+       |    ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+       |   AND ($anyMatch))
+       |SELECT q_id, vec_id, score, rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** The [[bucketExpr]] sign-bit bucket as DuckDB SQL over an `emb`
     * column: identical hyperplane literals (Double.toString round-trips
     * exactly through DuckDB's parser), identical fold, identical bits.
     */
-  private def duckBucket(nPlanes: Int): String = {
-    val planes = lshPlanes(nPlanes)
+  private def duckBucket(nPlanes: Int, table: Int = 0): String = {
+    val planes = lshPlanes(nPlanes, table = table)
     def planeDot(p: Int): String = {
       val lit = planes(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{RelationalOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** Round-4 surface additions: CUBE (the full grouping-sets lattice) and
+  * multi-table LSH ANN (the L-independent-tables recall knob).
+  */
+class Round4AdditionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cube produces all four grouping sets from one Expand pass") {
+    val li = Seq(("A", "F", 1.0), ("A", "F", 2.0), ("N", "O", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val got = RelationalOps.pricingCube(li)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (Some("A"), Some("F"), 2L, 3.0, 0L),
+      (Some("N"), Some("O"), 1L, 4.0, 0L),
+      (Some("A"), None, 2L, 3.0, 1L),       // per-flag subtotal
+      (Some("N"), None, 1L, 4.0, 1L),
+      (None, Some("F"), 2L, 3.0, 2L),       // per-status subtotal (cube-only)
+      (None, Some("O"), 1L, 4.0, 2L),
+      (None, None, 3L, 7.0, 3L)))           // grand total
+    val plan = RelationalOps.pricingCube(li).queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size == 1, s"expected ONE Expand:\n$plan")
+  }
+
+  /** Deterministic corpus with planted clusters: base vectors plus small
+    * perturbations, so each query has true near neighbors at high cosine.
+    */
+  private def clusteredEmbeddings(n: Int): org.apache.spark.sql.DataFrame =
+    (0L until n.toLong).map { i =>
+      val base = i % 8
+      (i, Array.tabulate(64)(d =>
+        (math.sin(base * 64 + d) + 0.02 * math.sin(i * 7 + d)).toFloat), base.toInt)
+    }.toDF("vec_id", "embedding", "label")
+
+  private def recallVsBrute(ann: org.apache.spark.sql.DataFrame,
+                            brute: org.apache.spark.sql.DataFrame): Double = {
+    val truth = brute.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = ann.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    (truth intersect got).size.toDouble / truth.size
+  }
+
+  test("multi-table LSH: recall vs brute force >= single-table, both reasonable") {
+    val emb = clusteredEmbeddings(120)
+    val brute = SimilarityOps.cosineTopK(emb, nQueries = 6, k = 5)
+      .filter(col("rank") <= 5)
+    val single = SimilarityOps.lshTopK(emb, nQueries = 6, k = 5)
+    val multi = SimilarityOps.lshTopKMultiTable(emb, nQueries = 6, k = 5, nTables = 2)
+    val rSingle = recallVsBrute(single, brute)
+    val rMulti = recallVsBrute(multi, brute)
+    assert(rMulti >= rSingle, s"multi-table recall $rMulti < single $rSingle")
+    assert(rMulti >= 0.5, s"multi-table recall $rMulti unreasonably low")
+  }
+
+  test("multi-table LSH scores pairs once: no duplicate (q_id, vec_id) rows") {
+    val emb = clusteredEmbeddings(80)
+    val out = SimilarityOps.lshTopKMultiTable(emb, nQueries = 4, k = 10, nTables = 3)
+    assert(out.groupBy("q_id", "vec_id").count().filter(col("count") > 1).isEmpty)
+  }
+}
