@@ -87,8 +87,14 @@ object TopologyBuilder {
   */
 object TopologyExtract {
 
-  def fromDataFrame(df: DataFrame, appType: String, appName: String): Topology = {
-    val (nodes, _, _) = walk(df.queryExecution.analyzed, 0)
+  def fromDataFrame(df: DataFrame, appType: String, appName: String): Topology =
+    fromLogicalPlan(df.queryExecution.analyzed, appType, appName)
+
+  /** Plan-level entry point — used by the streaming listener, whose
+    * hook hands it a running query's analyzed plan, not a DataFrame.
+    */
+  def fromLogicalPlan(plan: LogicalPlan, appType: String, appName: String): Topology = {
+    val (nodes, _, _) = walk(plan, 0)
     Topology(appType, appName, nodes)
   }
 

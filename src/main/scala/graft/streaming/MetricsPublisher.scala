@@ -46,13 +46,31 @@ object TopologyRegistrar {
   */
 final class TopologyMetricsListener(appName: String, sink: MetricsSink,
                                     intervalMs: Long = 2000L,
-                                    clock: () => Long = () => System.currentTimeMillis())
+                                    clock: () => Long = () => System.currentTimeMillis(),
+                                    autoRegisterFrom: Option[org.apache.spark.sql.SparkSession] = None)
   extends StreamingQueryListener {
 
   private val lastPublished = new ConcurrentHashMap[java.util.UUID, java.lang.Long]()
 
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+  /** O1, closed end-to-end: when a session is supplied, query start
+    * auto-publishes the query's extracted topology DAG — the Spark
+    * analogue of the reference's `client.register` at app wiring
+    * (kstreams/App.java:64-65). QueryStartedEvent is delivered before
+    * `start()` returns and the query is registered in the manager before
+    * that, so the plan lookup is safe here; extraction failures must
+    * never poison the listener bus, hence the Try.
+    */
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
     sink.publish(s"""{"kind":"queryStarted","app":"$appName","id":"${e.id}","name":"${Option(e.name).getOrElse("")}"}""")
+    for {
+      spark <- autoRegisterFrom
+      query <- scala.util.Try(Option(spark.streams.get(e.id))).toOption.flatten
+      plan <- org.apache.spark.sql.graftshim.StreamingBridge.logicalPlan(query)
+      topo <- scala.util.Try(graft.plans.TopologyExtract.fromLogicalPlan(
+        plan, "spark-streaming",
+        Option(e.name).filter(_.nonEmpty).getOrElse(appName)).deduped).toOption
+    } TopologyRegistrar.register(topo, sink)
+  }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress

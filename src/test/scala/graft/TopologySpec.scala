@@ -81,6 +81,31 @@ class TopologySpec extends SparkSpec {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("O1 auto-registration: query start publishes the extracted topology DAG") {
+    implicit val sq = spark.sqlContext
+    val sink = new CollectingMetricsSink
+    val listener = new TopologyMetricsListener("auto_app", sink,
+      autoRegisterFrom = Some(spark))
+    spark.streams.addListener(listener)
+    val input = MemoryStream[String]
+    val query = graft.streaming.StreamingOps.wordCountSpace(input.toDF().toDF("value"))
+      .writeStream.format("memory").queryName("auto_topo")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData("a b a"); query.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (!sink.all.exists(_.startsWith("""{"kind":"topology"""")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val topo = sink.all.filter(_.startsWith("""{"kind":"topology""""))
+      assert(topo.nonEmpty, s"no topology payload on query start:\n${sink.all.mkString("\n")}")
+      // the extracted DAG reflects the word-count plan: an aggregate node
+      assert(topo.head.contains("groupby"), topo.head)
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }
 
 class TopologyJoinDerivationSpec extends SparkSpec {
