@@ -44,26 +44,39 @@ object Bench {
 
     val timings = collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    // MEDIAN-OF-3 per query: the bench host is co-tenant contended (2-4×
+    // single-run variance observed across rounds; identical plans measured
+    // 1.7 s and 102 s) — one run measures the neighbors, the median of
+    // three measures the engine. Each rep is a full cold run (cache
+    // cleared between reps), so the median is a cold-query time, not a
+    // cache readback.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Sorted order: stable attribution across rounds (Map iteration order
     // shifts as entries are added, moving the noise-prone early slots).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val ts = collection.mutable.ArrayBuffer.empty[Double]
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        var r = 0
+        while (r < reps) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          ts += (System.nanoTime() - t0) / 1e9
+          // Untimed: drop persist()ed intermediates between reps/queries so
+          // cached blocks don't accumulate and each rep is independent.
+          spark.catalog.clearCache()
+          r += 1
+        }
+        timings(name) = ts.sorted.apply(reps / 2)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          spark.catalog.clearCache()
       }
-      // Untimed: drop persist()ed intermediates between queries so cached
-      // blocks don't accumulate across the session (engine hygiene, and
-      // keeps each query's timing independent of its predecessors).
-      spark.catalog.clearCache()
     }
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
