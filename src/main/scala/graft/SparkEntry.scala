@@ -139,6 +139,8 @@ object SparkEntry {
         .select("event_id", "event_type", "type_total")
     }),
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
+    "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
+    "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
     // HLL++ sketch — no oracle entry by design: estimates are engine-
@@ -308,6 +310,8 @@ object SparkEntry {
         |                    FROM events GROUP BY 1) d
         |  ON e.event_type = d.event_type""".stripMargin,
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
+    "paragraph_dedup" -> DedupOps.paragraphDedupOracle,
+    "doc_repetition" -> TextOps.docRepetitionOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.

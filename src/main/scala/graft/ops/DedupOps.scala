@@ -355,6 +355,64 @@ object DedupOps {
        |FROM lbl GROUP BY doc""".stripMargin
   }
 
+  /** B8j — inter-document PARAGRAPH dedup (the CCNet/RefinedWeb pipeline
+    * stage): segment every document, keep only the globally FIRST
+    * occurrence of each segment (ordered by (doc_id, position) — boiler-
+    * plate sentences repeated across the corpus survive once), and
+    * reassemble the surviving segments per document in original order.
+    * Documents whose every segment was seen earlier disappear entirely.
+    *
+    * Scale shape: one shuffle partitioned on the segment DIGEST (uniform
+    * keys — no skew even when one sentence repeats in every document;
+    * the window per digest ranks only that segment's occurrences), one
+    * reassembly shuffle per doc. Segments travel the dedup shuffle once;
+    * documents are never joined against documents.
+    */
+  def paragraphDedup(documents: DataFrame, sep: String = "\\. "): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      filter(split(col("text"), sep), s => length(s) > 0).as("segs"))
+      .filter(size(col("segs")) > 0)
+      .withColumn("n_total", size(col("segs")).cast("long"))
+    val segs = base.select(col("doc_id"), col("n_total"),
+      posexplode(col("segs")).as(Seq("pos", "seg")))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("seg"))).orderBy(col("doc_id"), col("pos"))
+    segs
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id", "n_total")
+      .agg(count(lit(1)).as("n_kept"),
+        // array_sort on struct(pos, seg) orders by pos: deterministic
+        // reassembly regardless of collect order
+        expr("concat_ws('. ', transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg))")
+          .as("text_dedup"))
+      .select(col("doc_id"), col("text_dedup"), col("n_kept"), col("n_total"))
+  }
+
+  /** Paragraph-dedup oracle: same segmentation (literal '. ' split — the
+    * Spark side's regex `\\. ` is the same literal), same global
+    * first-occurrence rank, string_agg reassembly ordered by position.
+    * The positional unnest is bounded by the measured max segment count.
+    */
+  val paragraphDedupOracle: String =
+    """WITH arrs AS (
+      |  SELECT doc_id, list_filter(string_split(text, '. '), s -> len(s) > 0) AS arr
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_total, i AS pos, arr[i] AS seg
+      |  FROM arrs, (SELECT unnest(range(1,
+      |         (SELECT CAST(max(len(arr)) AS BIGINT) + 1 FROM arrs))) AS i) t
+      |  WHERE len(arr) > 0 AND i <= len(arr)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+      |  FROM segs)
+      |SELECT doc_id,
+      |  string_agg(seg, '. ' ORDER BY pos) AS text_dedup,
+      |  count(*) AS n_kept,
+      |  n_total
+      |FROM ranked WHERE rn = 1
+      |GROUP BY doc_id, n_total""".stripMargin
+
   /** Group-level MinHash sketch: the signature of a SET of documents is
     * the elementwise min of the member signatures (min is associative —
     * equal to hashing the union of their shingles). Pure built-ins:

@@ -150,6 +150,68 @@ object TextOps {
       .select("doc_id", "word", "tf", "df", "score", "rank")
   }
 
+  /** B10 — within-document repetition signals (the Gopher/FineWeb
+    * heuristics that gate LLM training data): fraction of duplicated
+    * sentence segments, and the share of the document's word 2-grams
+    * taken by its single most frequent 2-gram. High values mark
+    * boilerplate/spam/SEO text.
+    *
+    * dup_seg_frac is pure map-side HOF arithmetic (no shuffle). The
+    * bigram mode requires per-(doc, bigram) counts: two partial-
+    * aggregated shuffles keyed by doc — balanced, count-sized, never
+    * carries text past the first aggregate.
+    */
+  def docRepetition(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      filter(split(col("text"), "\\. "), s => length(s) > 0).as("segs"),
+      split(col("text"), " ", -1).as("toks"))
+      .filter(size(col("segs")) > 0)
+    val segStats = base.select(col("doc_id"),
+      size(col("segs")).cast("long").as("n_segs"),
+      (lit(1.0) - size(array_distinct(col("segs"))).cast("double") /
+        size(col("segs")).cast("double")).as("dup_seg_frac"))
+    val bigrams = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("bg"))
+    val top = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c").cast("double")).as("top_bigram_frac"))
+    segStats.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"), col("dup_seg_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  /** Repetition oracle: same segmentation/bigrams, same single-division
+    * IEEE arithmetic (sum cast through BIGINT before DOUBLE — DuckDB
+    * sums BIGINT into HUGEINT).
+    */
+  val docRepetitionOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, '. '), s -> len(s) > 0) AS segs,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |seg_stats AS (
+      |  SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segs,
+      |    1.0 - CAST(len(list_distinct(segs)) AS DOUBLE) / CAST(len(segs) AS DOUBLE)
+      |      AS dup_seg_frac
+      |  FROM base WHERE len(segs) > 0),
+      |bigrams AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+      |  FROM base, (SELECT unnest(range(1,
+      |         (SELECT CAST(max(len(toks)) AS BIGINT) FROM base))) AS i) t
+      |  WHERE len(toks) >= 2 AND i <= len(toks) - 1),
+      |counts AS (
+      |  SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id,
+      |    CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+      |      AS top_bigram_frac
+      |  FROM counts GROUP BY 1)
+      |SELECT s.doc_id, s.n_segs, s.dup_seg_frac,
+      |  COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM seg_stats s LEFT JOIN top t ON s.doc_id = t.doc_id""".stripMargin
+
   /** B10 composite — the corpus-cleaning filter a training pipeline runs:
     * keep documents passing quality thresholds (enough tokens, bounded
     * stopword ratio, sane average token length). Pure map-side: the

@@ -61,4 +61,33 @@ class Round4AdditionsSpec extends SparkSpec {
     val out = SimilarityOps.lshTopKMultiTable(emb, nQueries = 4, k = 10, nTables = 3)
     assert(out.groupBy("q_id", "vec_id").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("paragraph dedup keeps first global occurrence and reassembles in order") {
+    val docs = Seq(
+      (1L, "a b. c d. e f"),
+      (2L, "c d. x y"),        // "c d" first seen in doc 1
+      (3L, "a b. c d"))        // fully duplicated -> disappears
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.paragraphDedup(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> (("a b. c d. e f", 3L, 3L)),
+      2L -> (("x y", 1L, 2L))))
+    assert(!got.contains(3L))
+  }
+
+  test("doc repetition: duplicated segments and dominant bigrams are measured") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),   // top bigram "spam spam" = 3/3
+      (2L, "a b. a b"),              // dup_seg_frac = 1 - 1/2
+      (3L, "w x y z"))               // all bigrams distinct -> 1/3
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.docRepetition(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 0.0, 1.0)))
+    // doc 2 tokens: ["a","b.","a","b"] -> 3 distinct bigrams, top = 1/3
+    assert(got(2L) == ((2L, 0.5, 1.0 / 3)))
+    assert(got(3L) == ((1L, 0.0, 1.0 / 3)))
+  }
 }
