@@ -120,6 +120,7 @@ object SparkEntry {
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
     "ann_lsh_multitable" -> ((s, dir) => SimilarityOps.lshTopKMultiTable(Tables.embeddings(s, dir))),
+    "ann_ivf_nprobe" -> ((s, dir) => SimilarityOps.ivfTopKProbed(Tables.embeddings(s, dir))),
     // ---- multimodal column pattern (B11) ----
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
     "multimodal_frames" -> ((s, dir) => MultimodalOps.sampleFrames(MultimodalOps.pack(D(s, dir)))),
@@ -295,6 +296,7 @@ object SparkEntry {
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,
     "ann_lsh_multiprobe" -> SimilarityOps.lshTopKMultiProbeOracle(),
     "ann_lsh_multitable" -> SimilarityOps.lshTopKMultiTableOracle(),
+    "ann_ivf_nprobe" -> SimilarityOps.ivfTopKProbedOracle(),
     "multimodal_features" -> MultimodalOps.featuresOracle,
     "multimodal_frames" -> MultimodalOps.sampleFramesOracle,
     "multimodal_resize" -> MultimodalOps.resizeOracle,

@@ -318,7 +318,10 @@ object DedupOps {
       val next = smallStar(largeStar(cur))
         .repartition(parts, col("u")).localCheckpoint()
       // Both sides are distinct canonical sets: equal counts + empty
-      // multiset difference ⇔ identical edge sets.
+      // multiset difference ⇔ identical edge sets. The count() also
+      // materializes the checkpoint; the exceptAll job runs only when
+      // counts agree (i.e. at or near the fixpoint), so non-final
+      // rounds pay one job, not two.
       converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
       cur = next
     }

@@ -71,6 +71,74 @@ object SimilarityOps {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  /** B9 — IVF with nprobe > 1: score each query against every cell's
+    * ANCHOR (the cell's min-vec_id member — deterministic, unlike a mean
+    * centroid whose float-summation order could never hash-match an
+    * oracle), probe the nProbe best cells, then scan only those cells.
+    * The standard recall knob of IVF: probing 2 cells roughly halves the
+    * missed-neighbor rate at 2× candidate cost.
+    *
+    * Scale shape: anchors are |cells| rows (broadcast); the query×cell
+    * ranking is bounded by nQueries × |cells| — metadata-sized, never
+    * data-sized — and the corpus is touched only via the probed-cell
+    * equi-join on `label`.
+    */
+  def ivfTopKProbed(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                    nProbe: Int = 2): DataFrame = {
+    val corpus = withNorm(embeddings).select(col("vec_id"), col("label"), col("emb"), col("norm"))
+    val wCell = Window.partitionBy("label").orderBy(col("vec_id").asc)
+    val anchors = corpus.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("label").as("a_label"), col("emb").as("a_emb"), col("norm").as("a_norm"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val wq = Window.partitionBy("q_id").orderBy(col("a_score").desc, col("a_label").asc)
+    val probed = queries.crossJoin(broadcast(anchors))
+      .withColumn("a_score", dot("q_emb", "a_emb") / (col("q_norm") * col("a_norm")))
+      .withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("a_label").as("p_label"))
+    val scored = corpus.join(broadcast(probed),
+        col("label") === col("p_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", dot("emb", "q_emb") / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  def ivfTopKProbedOracle(nQueries: Int = 10, k: Int = 5, nProbe: Int = 2): String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM embeddings),
+       |anchors AS (
+       |  SELECT label AS a_label, emb AS a_emb, norm AS a_norm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM corpus)
+       |  WHERE rn = 1),
+       |queries AS (
+       |  SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm
+       |  FROM corpus WHERE vec_id < $nQueries),
+       |cells AS (
+       |  SELECT q_id, q_emb, q_norm, a_label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY a_score DESC, a_label ASC)
+       |      AS cell_rank
+       |  FROM (
+       |    SELECT q.*, a.a_label,
+       |      ${duckDot("a.a_emb", "q.q_emb")} / (a.a_norm * q.q_norm) AS a_score
+       |    FROM queries q, anchors a)),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id,
+       |    ${duckDot("c.emb", "p.q_emb")} / (c.norm * p.q_norm) AS score
+       |  FROM corpus c JOIN cells p
+       |    ON c.label = p.a_label AND c.vec_id <> p.q_id AND p.cell_rank <= $nProbe)
+       |SELECT q_id, vec_id, score, rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** Deterministic random-hyperplane coefficients for LSH bucketing:
     * coef(p,d) = hash60("p:d") / 2^59 - 1.0 ∈ [-1, 1). Division by a
     * power of two and the subtraction are exact IEEE ops, and the DuckDB

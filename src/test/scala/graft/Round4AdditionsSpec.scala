@@ -62,6 +62,16 @@ class Round4AdditionsSpec extends SparkSpec {
     assert(out.groupBy("q_id", "vec_id").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("IVF nprobe=2 recall >= nprobe=1 recall vs brute force") {
+    val emb = clusteredEmbeddings(120)
+    val brute = SimilarityOps.cosineTopK(emb, nQueries = 6, k = 5)
+    val p1 = SimilarityOps.ivfTopKProbed(emb, nQueries = 6, k = 5, nProbe = 1)
+    val p2 = SimilarityOps.ivfTopKProbed(emb, nQueries = 6, k = 5, nProbe = 2)
+    val r1 = recallVsBrute(p1, brute)
+    val r2 = recallVsBrute(p2, brute)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 $r1")
+  }
+
   test("paragraph dedup keeps first global occurrence and reassembles in order") {
     val docs = Seq(
       (1L, "a b. c d. e f"),
