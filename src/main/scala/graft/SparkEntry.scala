@@ -141,6 +141,7 @@ object SparkEntry {
     }),
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
+    "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
@@ -313,6 +314,7 @@ object SparkEntry {
         |  ON e.event_type = d.event_type""".stripMargin,
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
     "paragraph_dedup" -> DedupOps.paragraphDedupOracle,
+    "decontaminate" -> DedupOps.decontaminateOracle(),
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent

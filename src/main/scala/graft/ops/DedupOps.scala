@@ -416,6 +416,52 @@ object DedupOps {
       |FROM ranked WHERE rn = 1
       |GROUP BY doc_id, n_total""".stripMargin
 
+  /** B8k — benchmark DECONTAMINATION (the GPT-3/PaLM training-data
+    * hygiene step): drop every training document sharing at least one
+    * long n-gram (default 8 tokens — long enough that sharing one is
+    * overlap, not chance) with a held-out benchmark set. Here the
+    * benchmark is the `doc_id % 50 = 0` slice of the corpus (stand-in
+    * for an external eval set); output is the surviving documents.
+    *
+    * Scale shape: the benchmark gram set is eval-corpus-sized (tiny next
+    * to training data) — digest it, broadcast it, LEFT SEMI the exploded
+    * training grams against it to find contaminated doc_ids, then one
+    * LEFT ANTI join back onto the docs. Training documents never join
+    * each other, and only 16-byte digests cross the broadcast.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> md5(concat_ws(' ', slice(toks, i + 1, $n))))"))
+        .as("g"))
+      .distinct()
+    val bench = grams(documents.filter(col("doc_id") % 50 === 0)).select("g").distinct()
+    val contaminated = grams(documents.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    documents.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  def decontaminateOracle(n: Int = 8): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, md5(array_to_string(toks[i:i+${n - 1}], ' ')) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       (SELECT unnest(range(1,
+       |          (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) FROM documents)))
+       |        AS i) t
+       |  WHERE len(toks) >= $n AND i <= len(toks) - ${n - 1}),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id % 50 <> 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+
   /** Group-level MinHash sketch: the signature of a SET of documents is
     * the elementwise min of the member signatures (min is associative —
     * equal to hashing the union of their shingles). Pure built-ins:

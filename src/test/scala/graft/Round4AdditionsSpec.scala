@@ -72,6 +72,19 @@ class Round4AdditionsSpec extends SparkSpec {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 $r1")
   }
 
+  test("decontamination drops exactly the docs sharing a long n-gram with the benchmark") {
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (0L, bench, "en", "s1"),                                       // benchmark slice
+      (1L, s"intro words then $bench and a tail", "en", "s1"),       // contaminated
+      (2L, "an entirely different document with its own eight gram span here", "en", "s2"),
+      (3L, "the quick brown fox jumps over seven lazy dogs instead okay", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")                      // 3: 6-gram overlap only
+    val kept = graft.ops.DedupOps.decontaminate(docs, n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("paragraph dedup keeps first global occurrence and reassembles in order") {
     val docs = Seq(
       (1L, "a b. c d. e f"),
