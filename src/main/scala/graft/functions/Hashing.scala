@@ -38,4 +38,13 @@ object Hashing {
     while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** Full md5 hex digest JVM-side — equals Spark's `md5()` / DuckDB's
+    * `md5()` on the same string (used where executor code must agree
+    * with plan-side digests, e.g. streaming decontamination).
+    */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
 }

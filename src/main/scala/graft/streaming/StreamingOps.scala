@@ -133,6 +133,31 @@ object StreamingOps {
       r(rightTimeCol) <= l(leftTimeCol))
   }
 
+  /** B8k streaming — decontaminate a LIVE document stream against a
+    * static benchmark digest set. Stream-static LEFT ANTI joins are
+    * unsupported by Structured Streaming (and a post-explode per-doc
+    * aggregate would add streaming state), so the stateless production
+    * shape is the reference's own in-memory-dimension pattern
+    * (CurrencyExchangeRepo → broadcast variable): the eval-set 8-gram
+    * digests ship once per executor, and each document is a map-side
+    * typed filter — Append mode, zero state, the stream never shuffles.
+    * Digests match [[graft.ops.DedupOps.decontaminate]]'s batch
+    * digestion (md5 of the space-joined n-gram), so batch and stream
+    * decontamination agree document-for-document.
+    */
+  def decontaminateStream(spark: SparkSession, stream: DataFrame,
+                          benchDigests: Set[String], n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchDigests)
+    stream.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .filter { case (_, text) =>
+        val toks = text.split(" ", -1)
+        toks.length < n ||
+          !toks.sliding(n).exists(w => bc.value.contains(graft.functions.Hashing.md5Hex(w.mkString(" "))))
+      }
+      .toDF("doc_id", "text")
+  }
+
   /** B8a streaming — event-time dedup with bounded state: duplicates
     * arriving within the watermark are dropped, state for keys older than
     * the watermark is evicted (unlike plain dropDuplicates, whose state

@@ -85,6 +85,31 @@ class Round4AdditionsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("streaming decontamination agrees with the batch operator, stateless in Append mode") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val benchDigests = bench.split(" ").sliding(8)
+      .map(w => graft.functions.Hashing.md5Hex(w.mkString(" "))).toSet
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingOps.decontaminateStream(
+      spark, input.toDF().toDF("doc_id", "text"), benchDigests)
+    // Append mode start proves the pipeline is stateless (an aggregate
+    // would demand Update/Complete)
+    val query = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, s"prefix $bench suffix"),                     // contaminated
+        (2L, "a clean document with enough words to have eight grams of its own"),
+        (3L, "short doc"))                                 // < n tokens: kept
+      query.processAllAvailable()
+      val kept = spark.table("decon_stream").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(2L, 3L))
+    } finally query.stop()
+  }
+
   test("paragraph dedup keeps first global occurrence and reassembles in order") {
     val docs = Seq(
       (1L, "a b. c d. e f"),
