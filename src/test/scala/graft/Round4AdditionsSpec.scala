@@ -124,6 +124,16 @@ class Round4AdditionsSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("decontaminate plans broadcast digest joins — documents never join documents") {
+    val docs = (0L until 200L).map(i => (i, s"tok$i a b c d e f g h i j k", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val plan = graft.ops.DedupOps.decontaminate(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
   test("doc repetition: duplicated segments and dominant bigrams are measured") {
     val docs = Seq(
       (1L, "spam spam spam spam"),   // top bigram "spam spam" = 3/3
