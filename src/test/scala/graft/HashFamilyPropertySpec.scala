@@ -118,6 +118,57 @@ class HashFamilyPropertySpec extends SparkSpec {
     val r = check(params, prop); assert(r.passed, r.status.toString)
   }
 
+  test("paragraph dedup: kept segments are exactly the corpus' distinct segments (property)") {
+    val prop = Prop.forAll(Gen.chooseNum(0L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val sentences = (0 until 30).map(i => s"s$i w${rnd.nextInt(50)} w${rnd.nextInt(50)}")
+      // random docs of 1-6 sentences, heavy cross-doc repetition
+      val docs = (0L until 20L).map { d =>
+        (d, Seq.fill(1 + rnd.nextInt(6))(sentences(rnd.nextInt(sentences.size)))
+          .mkString(". "))
+      }.toDF("doc_id", "text")
+      val out = graft.ops.DedupOps.paragraphDedup(docs)
+        .select("text_dedup").as[String].collect()
+      val keptSegs = out.flatMap(_.split("\\. ")).toSeq
+      val corpusSegs = docs.select("text").as[String].collect()
+        .flatMap(_.split("\\. ")).filter(_.nonEmpty).distinct.toSeq
+      // every distinct corpus segment survives exactly once, nothing else
+      keptSegs.sorted == corpusSegs.sorted
+    }
+    val r = check(params, prop); assert(r.passed, r.status.toString)
+  }
+
+  test("decontamination: no survivor shares an n-gram with the benchmark (property)") {
+    val n = 8
+    val prop = Prop.forAll(Gen.chooseNum(0L, 1000000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val pool = (0 until 40).map(i => s"t$i")
+      def sentence(len: Int) = Seq.fill(len)(pool(rnd.nextInt(pool.size)))
+      // ids multiple of 50 are the benchmark slice; others get a 50%
+      // chance of embedding a benchmark span (guaranteed contamination)
+      val benchDocs = Seq(0L, 50L).map(d => (d, sentence(12)))
+      val trainDocs = (1L until 30L).map { d =>
+        val base = sentence(10 + rnd.nextInt(10))
+        val doc = if (rnd.nextBoolean()) {
+          val span = benchDocs(rnd.nextInt(2))._2.slice(0, n)
+          base.take(5) ++ span ++ base.drop(5)
+        } else base
+        (d, doc)
+      }
+      val all = (benchDocs ++ trainDocs)
+        .map { case (d, toks) => (d, toks.mkString(" "), "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+      val kept = graft.ops.DedupOps.decontaminate(all, n)
+        .select("doc_id").as[Long].collect().toSet
+      val benchGrams = benchDocs.flatMap(_._2.sliding(n).map(_.mkString(" "))).toSet
+      trainDocs.forall { case (d, toks) =>
+        val contaminated = toks.sliding(n).exists(g => benchGrams(g.mkString(" ")))
+        kept(d) == !contaminated
+      }
+    }
+    val r = check(params, prop); assert(r.passed, r.status.toString)
+  }
+
   test("winnow fingerprint never increases when text is extended (property)") {
     val gen = for {
       s <- Gen.listOfN(64, Gen.alphaNumChar).map(_.mkString)
