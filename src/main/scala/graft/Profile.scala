@@ -45,6 +45,39 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale [factor]` — the "one more decade" check: amplify the
+    // sf0.1 documents corpus `factor`× (each copy's shingle space is
+    // disjoint — a salt token is interleaved after every token, so every
+    // 3-gram contains it and the corpus-wide near-dup RATE stays constant
+    // instead of exploding quadratically with copy count) and time the
+    // heavy dedup operators. A bucketed algorithm must scale ~linearly
+    // here; results recorded in BASELINE.md.
+    if (args.headOption.contains("scale")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val base = DedupOps.augmented(docs)
+      val amplified = (0 until factor).map { k =>
+        if (k == 0) base
+        // the salt token is unique per (copy, position): with a SHARED
+        // per-copy salt, half of every doc's tokens become one dominant
+        // token, token distributions homogenize, and unweighted SimHash
+        // legitimately collapses into quadratic near-dup pairs (measured
+        // 153M pairs / 416 s at 10×) — see PLANS.md "SimHash homogeneity
+        // hazard". Positional salts keep the corpus heterogeneous.
+        else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
+            .as("text"))
+      }.reduce(_ unionAll _)
+      amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
+      t("exact_dedup")(DedupOps.exactDedup(amplified).count())
+      t("simhash_pairs")(DedupOps.simhashPairs(amplified).count())
+      t("minhash_pairs")(DedupOps.minhashPairs(amplified).count())
+      spark.catalog.clearCache(); amplified.persist()
+      t("ngram_jaccard")(DedupOps.ngramJaccardPairs(amplified).count())
+      spark.catalog.clearCache(); amplified.persist()
+      t("clusters")(DedupOps.nearDupClusters(amplified).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))
