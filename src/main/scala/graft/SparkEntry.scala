@@ -142,6 +142,7 @@ object SparkEntry {
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
+    "simhash_shingles" -> ((s, dir) => DedupOps.simhashShingles(DedupOps.augmented(D(s, dir)))),
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
@@ -315,6 +316,7 @@ object SparkEntry {
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
     "paragraph_dedup" -> DedupOps.paragraphDedupOracle,
     "decontaminate" -> DedupOps.decontaminateOracle(),
+    "simhash_shingles" -> DedupOps.simhashShinglesOracle,
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent

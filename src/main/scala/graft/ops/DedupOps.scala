@@ -211,6 +211,32 @@ object DedupOps {
     corpus.select(col("doc_id"),
       graft.functions.native.simhash60(split(col("text"), " ", -1)).as("simhash"))
 
+  /** B8c-guard — SimHash over 3-gram SHINGLES instead of unigrams: the
+    * homogeneity guard (PLANS.md "SimHash homogeneity hazard"). Shingles
+    * are rare keys, so a corpus-wide dominant TOKEN (boilerplate,
+    * templating) no longer drags every fingerprint together — the
+    * measured 153M-pair collapse on a salted 58k corpus cannot happen.
+    * Same vote/bit machinery; docs under 3 tokens have no shingles and
+    * are excluded (consistent with the other shingle operators).
+    */
+  def simhashShingles(corpus: DataFrame): DataFrame =
+    withShingles(corpus).select(col("doc_id"),
+      graft.functions.native.simhash60(col("shingles")).as("simhash"))
+
+  // lazy: corpusShingledCte is declared later in this object
+  lazy val simhashShinglesOracle: String =
+    s"""$corpusShingledCte,
+       |tok AS (
+       |  SELECT doc_id, ${Hashing.hash64Duck("unnest(shingles)")} AS h
+       |  FROM shingled),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tok, range(0, 60) t(b) GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY 1""".stripMargin
+
   /** B8c — SimHash near-dup pairs: equality join on 15-bit chunks
     * (pigeonhole guarantees recall for hamming ≤ 3), verify with popcount
     * of the XOR. Never all-pairs.

@@ -110,6 +110,26 @@ class Round4AdditionsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("shingle simhash resists token-homogeneity collapse (the 153M-pair hazard)") {
+    val rnd = new scala.util.Random(7)
+    // every doc: 10 unique tokens + 12 copies of one corpus-wide token —
+    // the homogenized shape that collapses unigram simhash
+    val docs = (0L until 40L).map { d =>
+      val unique = Seq.fill(10)(s"u${d}_${rnd.nextInt(100000)}")
+      (d, rnd.shuffle(unique ++ Seq.fill(12)("common")).mkString(" "))
+    }.toDF("doc_id", "text")
+    def closePairs(sigs: Array[Long]): Int =
+      (for { i <- sigs.indices; j <- i + 1 until sigs.length
+             if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 3 } yield 1).size
+    val uni = graft.ops.DedupOps.simhash(docs)
+      .select("simhash").as[Long].collect()
+    val shi = graft.ops.DedupOps.simhashShingles(docs)
+      .select("simhash").as[Long].collect()
+    val (cUni, cShi) = (closePairs(uni), closePairs(shi))
+    assert(cShi == 0, s"shingle simhash produced $cShi spurious close pairs")
+    assert(cUni > 10, s"homogenized corpus should collapse unigram simhash (got $cUni)")
+  }
+
   test("paragraph dedup keeps first global occurrence and reassembles in order") {
     val docs = Seq(
       (1L, "a b. c d. e f"),
