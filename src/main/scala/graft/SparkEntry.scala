@@ -111,6 +111,7 @@ object SparkEntry {
     "cube_pricing" -> ((s, dir) => RelationalOps.pricingCube(Tables.lineitem(s, dir))),
     "pivot_returnflag" -> ((s, dir) => RelationalOps.returnFlagPivot(Tables.lineitem(s, dir))),
     "running_totals" -> ((s, dir) => RelationalOps.runningTotals(O(s, dir))),
+    "window_analytics" -> ((s, dir) => RelationalOps.windowAnalytics(O(s, dir))),
     "q16_supplier_count" -> ((s, dir) => RelationalOps.supplierCountByBrand(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q17_small_qty_revenue" -> ((s, dir) => RelationalOps.smallQuantityRevenue(
@@ -290,6 +291,7 @@ object SparkEntry {
     "cube_pricing" -> RelationalOps.pricingCubeOracle,
     "pivot_returnflag" -> RelationalOps.returnFlagPivotOracle,
     "running_totals" -> RelationalOps.runningTotalsOracle,
+    "window_analytics" -> RelationalOps.windowAnalyticsOracle,
     "q16_supplier_count" -> RelationalOps.supplierCountByBrandOracle,
     "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenueOracle,
     "vocab_encode" -> TextOps.vocabEncodeOracle,

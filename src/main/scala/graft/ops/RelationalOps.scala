@@ -251,6 +251,37 @@ object RelationalOps {
       count(lit(1)).over(w).as("order_seq"))
   }
 
+  /** The analytic window-function family over per-customer order
+    * history: offset functions (lag/lead), distribution functions
+    * (percent_rank — exact: (rank-1)/(n-1) on integers, one IEEE
+    * division), bucketing (ntile), and frame-anchored first_value. One
+    * per-customer partitioned window — local sorts, no global ordering
+    * anywhere; at 100 TB this is one shuffle on the partition key and
+    * per-partition sort, the same shape as every other windowed query.
+    */
+  def windowAnalytics(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_totalprice")).over(w).as("first_price"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pr"))
+  }
+
+  val windowAnalyticsOracle: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pr
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** TPC-H Q16-flavored: DISTINCT aggregation — suppliers per brand.
     * Spark plans count(DISTINCT) as a two-phase aggregate (partial
     * distinct on (brand, suppkey), then count) — the shuffle carries
