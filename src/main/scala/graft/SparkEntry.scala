@@ -143,8 +143,13 @@ object SparkEntry {
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
+    "substring_dup" -> ((s, dir) => DedupOps.substringDup(D(s, dir))),
+    "stats_corr" -> ((s, dir) => StatsOps.statsCorr(Tables.lineitem(s, dir))),
+    "median_quantiles" -> ((s, dir) => StatsOps.quantiles(Tables.lineitem(s, dir))),
     "simhash_shingles" -> ((s, dir) => DedupOps.simhashShingles(DedupOps.augmented(D(s, dir)))),
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
+    "pii_scrub" -> ((s, dir) => TextOps.piiScrub(D(s, dir))),
+    "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
     // HLL++ sketch — no oracle entry by design: estimates are engine-
@@ -318,8 +323,13 @@ object SparkEntry {
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
     "paragraph_dedup" -> DedupOps.paragraphDedupOracle,
     "decontaminate" -> DedupOps.decontaminateOracle(),
+    "substring_dup" -> DedupOps.substringDupOracle(),
+    "stats_corr" -> StatsOps.statsCorrOracle,
+    "median_quantiles" -> StatsOps.quantilesOracle,
     "simhash_shingles" -> DedupOps.simhashShinglesOracle,
     "doc_repetition" -> TextOps.docRepetitionOracle,
+    "pii_scrub" -> TextOps.piiScrubOracle,
+    "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.

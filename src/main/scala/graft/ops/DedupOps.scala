@@ -488,6 +488,61 @@ object DedupOps {
        |WHERE doc_id % 50 <> 0
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
 
+  /** B8 — exact duplicated-substring signal (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    * statistic, gram-bucketed instead of suffix-array'd): for every
+    * character k-gram position in every document, is that exact k-gram
+    * seen anywhere else in the corpus (another doc OR another position of
+    * the same doc)? Emits per-document position counts and the duplicated
+    * fraction — the gate a training pipeline thresholds on before the
+    * expensive span-removal pass.
+    *
+    * Scale shape: positions never carry text past the map side — each
+    * becomes a 16-byte md5 digest immediately. Stage 1 partial-aggregates
+    * (doc_id, digest) → local count m (combiner absorbs within-doc
+    * repeats); stage 2 is a window SUM over the digest partition (corpus
+    * count C) — a shuffle keyed by digest carrying (digest, doc_id, m)
+    * triples only; stage 3 re-keys by doc_id for the final roll-up. Three
+    * count-sized shuffles, no join-back, no all-pairs anything. A true
+    * suffix array finds *maximal* spans; the fixed-k gram statistic is the
+    * standard distributed approximation (any duplicated span ≥ k marks
+    * exactly its |span|-k+1 covered positions on both sides).
+    */
+  def substringDup(documents: DataFrame, k: Int = 20): DataFrame = {
+    val pos = documents
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))"))
+        .as("g"))
+    val local = pos.groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    local.withColumn("c", sum("m").over(w))
+      .groupBy("doc_id")
+      .agg(
+        sum("m").cast("long").as("n_grams"),
+        sum(when(col("c") > 1, col("m")).otherwise(lit(0))).cast("long").as("dup_grams"))
+      .withColumn("dup_frac",
+        col("dup_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Same formulation in DuckDB: bounded positional unnest, identical
+    * grouping, one IEEE division on exactly-counted integers. */
+  def substringDupOracle(k: Int = 20): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, md5(substr(text, i, $k)) AS g
+       |  FROM documents, (SELECT unnest(range(1,
+       |         (SELECT CAST(max(length(text)) AS BIGINT) - ${k - 1} + 1 FROM documents)))
+       |       AS i) t
+       |  WHERE length(text) >= $k AND i <= length(text) - ${k - 1}),
+       |local AS (SELECT doc_id, g, count(*) AS m FROM pos GROUP BY 1, 2),
+       |tot AS (SELECT *, sum(m) OVER (PARTITION BY g) AS c FROM local)
+       |SELECT doc_id,
+       |  CAST(sum(m) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN c > 1 THEN m ELSE 0 END) AS BIGINT) AS dup_grams,
+       |  CAST(CAST(sum(CASE WHEN c > 1 THEN m ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) AS dup_frac
+       |FROM tot GROUP BY doc_id""".stripMargin
+
   /** Group-level MinHash sketch: the signature of a SET of documents is
     * the elementwise min of the member signatures (min is associative —
     * equal to hashing the union of their shingles). Pure built-ins:

@@ -266,6 +266,77 @@ object TextOps {
       |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
       |FROM flat f LEFT JOIN vocab v ON f.tok = v.tok""".stripMargin
 
+  /** PII scrubbing — the redaction pass every public-corpus pipeline runs
+    * before training (emails, IPv4 addresses → typed placeholder tokens),
+    * plus per-doc redaction counts for audit metrics. Pure map-side
+    * regexp_replace: composes with the scan, prunes nothing, shuffles
+    * nothing — at 100 TB this is embarrassingly parallel and codegen'd.
+    *
+    * The synthetic corpus carries no natural PII, so the op derives a
+    * deterministic PII-bearing column from real ones first (email + IP
+    * seeded by doc_id) — the regexes are exercised on every row and the
+    * oracle rebuilds the identical column. Patterns are restricted to the
+    * syntax subset where Java regex (Spark) and RE2 (DuckDB) agree:
+    * character classes, bounded repetition, no backrefs/lookaround.
+    */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    documents.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10."),
+        col("doc_id") % 256, lit(".0."), col("doc_id") % 200 + 1).as("raw"))
+      .select(
+        col("doc_id"), col("source"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>").as("scrubbed"))
+  }
+
+  val piiScrubOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id, source,
+      |    concat(text, ' contact user', doc_id, '@mail.example.com from 10.',
+      |           doc_id % 256, '.0.', doc_id % 200 + 1) AS raw
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw,
+      |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+      |FROM raw""".stripMargin
+
+  /** Deterministic hash split — the reproducible train/validation/test
+    * assignment a pipeline must make identically on every engine, every
+    * run, every re-shard (content-addressed, never random()): bucket =
+    * first byte of md5(doc_id), split by fixed thresholds (~90/5/5).
+    * Map-side only; the same idiom scales to weighted source mixing
+    * (threshold per source) without any shuffle.
+    */
+  def hashSplit(documents: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    documents.select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 230, lit("train"))
+          .when(col("bucket") < 243, lit("valid"))
+          .otherwise(lit("test")))
+  }
+
+  val hashSplitOracle: String =
+    """SELECT doc_id, source,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT < 230
+      |         THEN 'train'
+      |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT < 243
+      |         THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   val tfIdfTopOracle: String =
     """WITH tokens AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

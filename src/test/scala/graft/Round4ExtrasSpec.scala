@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.{DedupOps, StatsOps, TextOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-4 extras: exact duplicated-substring signal, deterministic
+  * statistical profiling, PII scrubbing, hash splits, and the analytic
+  * window family.
+  */
+class Round4ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("substringDup marks planted duplicate spans and leaves unique text at zero") {
+    // doc 0 and 1 share a 30-char span (> k=20 -> 11 shared positions
+    // each); doc 2 repeats its own 20-gram (self-repetition counts);
+    // doc 3 is all-unique; doc 4 is shorter than k and must be absent.
+    val shared = "the quick brown fox jumps over"            // 30 chars
+    val docs = Seq(
+      (0L, s"A$shared${"x" * 20}"),
+      (1L, s"B${"y" * 20}$shared"),
+      (2L, "z" * 41),                                         // every 20-gram identical
+      (3L, ('a' to 'z').mkString + "0123456789"),             // 36 chars, all distinct grams
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringDup(docs, k = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(4L), "short doc must be excluded")
+    assert(got(3L)._2 == 0L, "unique doc has zero duplicated grams")
+    assert(got(0L)._1 == 32L && got(1L)._1 == 32L)            // 51 - 20 + 1
+    assert(got(0L)._2 == 11L, s"30-char shared span covers 11 grams, got ${got(0L)._2}")
+    assert(got(1L)._2 == 11L)
+    assert(got(2L)._2 == got(2L)._1 && got(2L)._1 == 22L,
+      "self-repeating doc is 100% duplicated")
+  }
+
+  test("substringDup: two identical documents are 100% duplicated") {
+    val docs = Seq((1L, "a perfectly ordinary sentence of some length"),
+      (2L, "a perfectly ordinary sentence of some length")).toDF("doc_id", "text")
+    val fracs = DedupOps.substringDup(docs).select("dup_frac").as[Double].collect()
+    assert(fracs.length == 2 && fracs.forall(_ == 1.0))
+  }
+
+  test("statsCorr matches Spark's built-in corr/covar_pop to float tolerance") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ours = StatsOps.statsCorr(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = li.groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_extendedprice").as("c"),
+        covar_pop("l_quantity", "l_extendedprice").as("cv"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours.foreach { case (flag, (c, cv)) =>
+      assert(math.abs(c - ref(flag)._1) < 1e-9, s"corr($flag): $c vs ${ref(flag)._1}")
+      assert(math.abs(cv - ref(flag)._2) / math.abs(ref(flag)._2) < 1e-9,
+        s"covar($flag): $cv vs ${ref(flag)._2}")
+    }
+  }
+
+  test("statsCorr on exact linear data: corr ~ 1, slope/intercept exact") {
+    val li = (1 to 1000).map(i => ("X", i.toDouble % 50 + 1, (i.toDouble % 50 + 1) * 3 + 7))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val r = StatsOps.statsCorr(li).collect().head
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, s"corr=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(4) - 3.0) < 1e-12, s"slope=${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - 7.0) < 1e-9, s"intercept=${r.getDouble(5)}")
+  }
+
+  test("statsCorr is partitioning-invariant (exact integer sums)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = StatsOps.statsCorr(li.repartition(32)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val b = StatsOps.statsCorr(li.coalesce(1)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // bitwise, not approximate: the whole point of the integer-cent sums
+    assert(a == b)
+  }
+
+  test("quantiles: exact type-7 quartiles on a known set") {
+    val li = Seq.tabulate(9)(i => ("Q", (i + 1).toDouble))    // 1..9
+      .toDF("l_returnflag", "l_quantity")
+    val r = StatsOps.quantiles(li).collect().head
+    assert(r.getLong(1) == 9L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 5.0 && r.getDouble(4) == 7.0)
+  }
+
+  test("piiScrub redacts every planted email and IP and counts them") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextOps.piiScrub(docs)
+    val bad = out.filter(col("scrubbed").contains("@") ||
+      col("scrubbed").rlike("[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+")).count()
+    assert(bad == 0, s"$bad rows with surviving PII")
+    val counts = out.agg(sum("n_emails"), sum("n_ips")).collect().head
+    assert(counts.getLong(0) == docs.count() && counts.getLong(1) == docs.count())
+    assert(out.filter(col("scrubbed").contains("<EMAIL>") &&
+      col("scrubbed").contains("<IP>")).count() == docs.count())
+  }
+
+  test("hashSplit is deterministic, total, and near the 90/5/5 design") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = TextOps.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = TextOps.hashSplit(docs.repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a == b, "split assignment must not depend on partitioning")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"train=${frac("train")}")
+    assert(frac.getOrElse("valid", 0.0) > 0.005 && frac.getOrElse("test", 0.0) > 0.005)
+    assert(math.abs(frac.values.sum - 1.0) < 1e-9)
+  }
+}
