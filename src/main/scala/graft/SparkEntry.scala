@@ -109,6 +109,7 @@ object SparkEntry {
       Tables.customer(s, dir), O(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.pricingRollup(Tables.lineitem(s, dir))),
     "cube_pricing" -> ((s, dir) => RelationalOps.pricingCube(Tables.lineitem(s, dir))),
+    "grouping_sets_pricing" -> ((s, dir) => RelationalOps.pricingGroupingSets(Tables.lineitem(s, dir))),
     "pivot_returnflag" -> ((s, dir) => RelationalOps.returnFlagPivot(Tables.lineitem(s, dir))),
     "running_totals" -> ((s, dir) => RelationalOps.runningTotals(O(s, dir))),
     "window_analytics" -> ((s, dir) => RelationalOps.windowAnalytics(O(s, dir))),
@@ -294,6 +295,7 @@ object SparkEntry {
     "anti_join" -> RelationalOps.customersWithoutOrdersOracle,
     "rollup_pricing" -> RelationalOps.pricingRollupOracle,
     "cube_pricing" -> RelationalOps.pricingCubeOracle,
+    "grouping_sets_pricing" -> RelationalOps.pricingGroupingSetsOracle,
     "pivot_returnflag" -> RelationalOps.returnFlagPivotOracle,
     "running_totals" -> RelationalOps.runningTotalsOracle,
     "window_analytics" -> RelationalOps.windowAnalyticsOracle,

@@ -215,6 +215,23 @@ object RelationalOps {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         grouping_id().cast("long").as("lvl"))
 
+  /** Arbitrary GROUPING SETS — the non-lattice case neither ROLLUP nor
+    * CUBE can express: detail rows at (flag, status) plus per-status
+    * subtotals only (no per-flag level, no grand total). Still ONE
+    * Expand pass + one aggregate: each input row is replicated once per
+    * grouping set (2× here) before a single shuffle — the same plan
+    * family and the same 100 TB shape as the cube, with replication
+    * bounded by |sets|, not 2^dims.
+    */
+  def pricingGroupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        grouping_id().cast("long").as("lvl"))
+
   /** PIVOT — wide conditional aggregation: one row per linestatus, one
     * count column per return flag. The flag domain is declared (A/N/R),
     * so Spark skips the extra distinct-values job and plans a single
@@ -352,6 +369,13 @@ object RelationalOps {
       |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  val pricingGroupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))""".stripMargin
 
   val returnFlagPivotOracle: String =
     """SELECT l_linestatus,

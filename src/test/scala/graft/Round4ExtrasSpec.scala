@@ -97,6 +97,24 @@ class Round4ExtrasSpec extends SparkSpec {
       col("scrubbed").contains("<IP>")).count() == docs.count())
   }
 
+  test("groupingSets emits exactly the requested sets from one Expand pass") {
+    val li = Seq(("A", "F", 1.0), ("A", "F", 2.0), ("N", "O", 4.0), ("R", "F", 8.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val df = graft.ops.RelationalOps.pricingGroupingSets(li)
+    val got = df.collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+      r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (Some("A"), Some("F"), 2L, 3.0, 0L),
+      (Some("N"), Some("O"), 1L, 4.0, 0L),
+      (Some("R"), Some("F"), 1L, 8.0, 0L),
+      (None, Some("F"), 3L, 11.0, 2L),      // per-status subtotal ONLY
+      (None, Some("O"), 1L, 4.0, 2L)))      // no per-flag level, no grand total
+    // fresh instance: the executed df's AQE plan prints initial+final
+    val plan = graft.ops.RelationalOps.pricingGroupingSets(li)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size == 1, s"expected ONE Expand:\n$plan")
+  }
+
   test("hashSplit is deterministic, total, and near the 90/5/5 design") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
