@@ -69,6 +69,7 @@ object Profile {
       }.reduce(_ unionAll _)
       amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
       t("exact_dedup")(DedupOps.exactDedup(amplified).count())
+      t("substring_dup")(DedupOps.substringDup(amplified).count())
       t("simhash_pairs")(DedupOps.simhashPairs(amplified).count())
       t("minhash_pairs")(DedupOps.minhashPairs(amplified).count())
       spark.catalog.clearCache(); amplified.persist()
