@@ -153,6 +153,7 @@ object SparkEntry {
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
+    "source_overlap" -> ((s, dir) => DedupOps.sourceOverlap(D(s, dir), "source")),
     // HLL++ sketch — no oracle entry by design: estimates are engine-
     // specific, so the driver records the weaker rows-only check.
     "approx_users" -> ((s, dir) => EventOps.approxUsersByType(E(s, dir))),
@@ -362,6 +363,25 @@ object SparkEntry {
          |sigs AS (${DedupOps.minhashSignaturesSql()})
          |SELECT source, perm, min(minhash) AS minhash
          |FROM sigs JOIN documents USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+    "source_overlap" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |shingled AS (
+         |  SELECT doc_id,
+         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS shingles
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+         |  WHERE len(toks) >= 3),
+         |sigs AS (${DedupOps.minhashSignaturesSql()}),
+         |gsigs AS (
+         |  SELECT source, perm, min(minhash) AS minhash
+         |  FROM sigs JOIN documents USING (doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT a.source AS group_a, b.source AS group_b,
+         |  CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_match,
+         |  CAST(CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS DOUBLE) / 16.0 AS jaccard_est
+         |FROM gsigs a JOIN gsigs b ON a.perm = b.perm AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin
   )
 

@@ -557,6 +557,30 @@ object DedupOps {
       .groupBy(groupCol, "perm")
       .agg(min("minhash").as("minhash"))
 
+  /** B8h-matrix — pairwise group-overlap Jaccard estimates from the
+    * group sketches: est(A, B) = |matching permutations| / numPerm — the
+    * standard MinHash estimator applied at the group level (source-vs-
+    * source contamination matrix, the triage that decides which source
+    * pairs deserve a full document-level dedup pass). Everything after
+    * the per-group sketch aggregation is metadata-sized: |groups|×perm
+    * rows self-joined on perm — the corpus itself is touched exactly
+    * once, by the sketch pass.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String,
+                    numPerm: Int = 16): DataFrame = {
+    val sigs = groupSignatures(docs, groupCol)
+    val a = sigs.select(col(groupCol).as("group_a"), col("perm"),
+      col("minhash").as("mh_a"))
+    val b = sigs.select(col(groupCol).as("group_b"), col("perm"),
+      col("minhash").as("mh_b"))
+    a.join(b, Seq("perm")).filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .cast("long").as("n_match"))
+      .withColumn("jaccard_est",
+        col("n_match").cast("double") / lit(numPerm.toDouble))
+  }
+
   /** B8 composite — the full corpus-dedup pipeline a training run
     * executes: exact dedup keeps the min-doc_id copy of identical texts,
     * then banded MinHash removes the fuzzy-duplicate side (doc_b) of

@@ -43,6 +43,44 @@ class Round4ExtrasSpec extends SparkSpec {
     assert(fracs.length == 2 && fracs.forall(_ == 1.0))
   }
 
+  test("substringDup agrees with an independent brute-force reference on a randomized corpus") {
+    // The DuckDB oracle is a mirrored formulation; this reference is an
+    // independent one (driver-side hash map over raw substrings).
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val texts = (0 until 60).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 8
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    texts.foreach { case (_, t) =>
+      if (t.length >= k) (0 to t.length - k).foreach { p =>
+        val g = t.substring(p, p + k); counts(g) = counts.getOrElse(g, 0) + 1
+      }
+    }
+    val expected = texts.filter(_._2.length >= k).map { case (id, t) =>
+      val grams = (0 to t.length - k).map(p => t.substring(p, p + k))
+      id -> ((grams.size.toLong, grams.count(g => counts(g) > 1).toLong))
+    }.toMap
+    val got = DedupOps.substringDup(texts.toDF("doc_id", "text"), k = k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("sourceOverlap: identical groups estimate Jaccard 1, template-only overlap stays low") {
+    val g12 = (0 until 30).map(i =>
+      (i.toLong, s"some text number $i about topic ${i % 7} end", if (i < 15) "g1" else "g2"))
+    val g3 = (0 until 15).map(i =>
+      ((i + 100).toLong, s"some text number $i about topic ${i % 7} end", "g3"))
+    val df = (g12 ++ g3).toDF("doc_id", "text", "source")
+    val est = DedupOps.sourceOverlap(df, "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(est(("g1", "g3")) == 1.0, s"copied group must match every perm: $est")
+    assert(est(("g1", "g2")) < 0.5, s"distinct contents must not estimate high: $est")
+    assert(est.keySet == Set(("g1", "g2"), ("g1", "g3"), ("g2", "g3")))
+  }
+
   test("statsCorr matches Spark's built-in corr/covar_pop to float tolerance") {
     val li = Tables.lineitem(spark, sfDir)
     val ours = StatsOps.statsCorr(li).collect()
