@@ -47,15 +47,15 @@ object TextOps {
     */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  def textStats(documents: DataFrame): DataFrame = {
+  def textStats(documents: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val toks = split(col("text"), " ", -1)
     val isStop = (w: Column) => w.isInCollection(stopwords)
     documents.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      length(col("text")).cast("long").as("n_chars"),
-      aggregate(toks, lit(0L), (acc, w) => acc + when(isStop(w), 1L).otherwise(0L))
-        .as("n_stop")
+      (col("doc_id") +: keep.map(col)) ++ Seq(
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        aggregate(toks, lit(0L), (acc, w) => acc + when(isStop(w), 1L).otherwise(0L))
+          .as("n_stop")): _*
     ).withColumn("avg_token_len",
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .withColumn("stop_ratio",
@@ -279,9 +279,15 @@ object TextOps {
     * syntax subset where Java regex (Spark) and RE2 (DuckDB) agree:
     * character classes, bounded repetition, no backrefs/lookaround.
     */
+  /** The RE2∩Java regex subset used by the scrub (see [[piiScrub]]). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redaction expression, reusable on any text column (batch or stream). */
+  def scrubbed(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), ipRe, "<IP>")
+
   def piiScrub(documents: DataFrame): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
     documents.select(col("doc_id"), col("source"),
       concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10."),
@@ -290,8 +296,7 @@ object TextOps {
         col("doc_id"), col("source"),
         regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
         regexp_count(col("raw"), lit(ipRe)).cast("long").as("n_ips"),
-        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
-          ipRe, "<IP>").as("scrubbed"))
+        scrubbed(col("raw")).as("scrubbed"))
   }
 
   val piiScrubOracle: String =
@@ -317,15 +322,18 @@ object TextOps {
     * Map-side only; the same idiom scales to weighted source mixing
     * (threshold per source) without any shuffle.
     */
-  def hashSplit(documents: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-      .cast("long")
-    documents.select(col("doc_id"), col("source"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 230, lit("train"))
-          .when(col("bucket") < 243, lit("valid"))
-          .otherwise(lit("test")))
-  }
+  /** Content-addressed split bucket/label expressions (batch or stream). */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
+  def splitLabel(bucket: Column): Column =
+    when(bucket < 230, lit("train"))
+      .when(bucket < 243, lit("valid"))
+      .otherwise(lit("test"))
+
+  def hashSplit(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"),
+      splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitLabel(col("bucket")))
 
   val hashSplitOracle: String =
     """SELECT doc_id, source,

@@ -158,6 +158,28 @@ object StreamingOps {
       .toDF("doc_id", "text")
   }
 
+  /** B10 streaming — the corpus-cleaning pipeline as a STATELESS stream:
+    * quality gate → PII scrub → deterministic hash split, every stage a
+    * map-side expression from the batch operators (the same Columns,
+    * literally — batch/stream parity is by construction, and the spec
+    * still asserts it). No watermark, no state store, Append mode: at
+    * 100 TB/day this is the shape you want — each micro-batch is
+    * embarrassingly parallel, and a failed batch replays with zero state
+    * reconciliation.
+    */
+  def cleanStream(stream: DataFrame,
+                  minTokens: Long = 20, maxStopRatio: Double = 0.3,
+                  maxAvgTokenLen: Double = 8.0): DataFrame =
+    graft.ops.TextOps.textStats(stream, keep = Seq("text", "source"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stop_ratio") <= maxStopRatio &&
+        col("avg_token_len") <= maxAvgTokenLen)
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextOps.scrubbed(col("text")).as("text_clean"),
+        col("quality_score"),
+        graft.ops.TextOps.splitLabel(
+          graft.ops.TextOps.splitBucket(col("doc_id"))).as("split"))
+
   /** B8a streaming — event-time dedup with bounded state: duplicates
     * arriving within the watermark are dropped, state for keys older than
     * the watermark is evicted (unlike plain dropDuplicates, whose state

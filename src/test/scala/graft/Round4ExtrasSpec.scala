@@ -153,6 +153,39 @@ class Round4ExtrasSpec extends SparkSpec {
     assert("Expand".r.findAllIn(plan).size == 1, s"expected ONE Expand:\n$plan")
   }
 
+  test("cleanStream: stateless streaming corpus cleaning agrees with the batch composition") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      // passes gates; carries an email and an IP to scrub
+      (1L, ("the a of and " + Seq.tabulate(30)(i => s"tok$i").mkString(" ") +
+        " mail me at bob@corp.example.org or 192.168.0.7 ok"), "srcA"),
+      (2L, "too short", "srcA"),                              // < minTokens: dropped
+      (3L, ("the " * 30).trim, "srcB"))                       // stop_ratio 1: dropped
+    val input = MemoryStream[(Long, String, String)]
+    val out = graft.streaming.StreamingOps.cleanStream(
+      input.toDF().toDF("doc_id", "text", "source"))
+    // Append mode start proves the pipeline is stateless
+    val query = out.writeStream.format("memory").queryName("clean_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("clean_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(4))).toList
+      assert(got.map(_._1) == List(1L))
+      val (_, src, clean, split) = got.head
+      assert(src == "srcA" && !clean.contains("@") && !clean.contains("192.168"))
+      assert(clean.contains("<EMAIL>") && clean.contains("<IP>"))
+      // batch/stream parity on the same rows
+      val batch = graft.streaming.StreamingOps.cleanStream(
+        rows.toDF("doc_id", "text", "source")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(4))).toList
+      assert(batch == got)
+      assert(Set("train", "valid", "test").contains(split))
+    } finally query.stop()
+  }
+
   test("hashSplit is deterministic, total, and near the 90/5/5 design") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
