@@ -95,6 +95,17 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, dir) => RelationalOps.localSupplierRevenue(
       Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q7_volume_shipping" -> ((s, dir) => RelationalOps.volumeShipping(
+      Tables.lineitem(s, dir), O(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q13_order_distribution" -> ((s, dir) => RelationalOps.orderCountDistribution(
+      Tables.customer(s, dir), O(s, dir))),
+    "q14_promo_revenue" -> ((s, dir) => RelationalOps.promoRevenue(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q15_top_supplier" -> ((s, dir) => RelationalOps.topSupplier(
+      Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q19_discount_revenue" -> ((s, dir) => RelationalOps.discountedRevenue(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q18_big_orders" -> ((s, dir) => RelationalOps.bigOrders(O(s, dir), Tables.lineitem(s, dir))),
     "q10_top_return_customers" -> ((s, dir) => RelationalOps.topReturnCustomers(
       Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir), Tables.nation(s, dir))),
@@ -301,6 +312,11 @@ object SparkEntry {
     "running_totals" -> RelationalOps.runningTotalsOracle,
     "window_analytics" -> RelationalOps.windowAnalyticsOracle,
     "q16_supplier_count" -> RelationalOps.supplierCountByBrandOracle,
+    "q7_volume_shipping" -> RelationalOps.volumeShippingOracle,
+    "q13_order_distribution" -> RelationalOps.orderCountDistributionOracle,
+    "q14_promo_revenue" -> RelationalOps.promoRevenueOracle,
+    "q15_top_supplier" -> RelationalOps.topSupplierOracle,
+    "q19_discount_revenue" -> RelationalOps.discountedRevenueOracle,
     "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenueOracle,
     "vocab_encode" -> TextOps.vocabEncodeOracle,
     "except_users" -> EventOps.churnedUsersOracle,

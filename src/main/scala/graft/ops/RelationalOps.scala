@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -493,4 +493,161 @@ object RelationalOps {
       |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
       |  FROM orders)
       |WHERE rank <= 3""".stripMargin
+
+  /** Exact revenue term shared by the Q7/Q14/Q19 family. */
+  private def revD: Column =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  /** TPC-H Q7-flavored volume shipping: revenue between DISTINCT
+    * (supplier nation, customer nation) pairs per ship year. Two
+    * broadcast nation dims under two aliases; the fact chain shuffles on
+    * its join keys once each; final agg groups ≤ |nations|²·years rows.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revD).cast("double").as("revenue"))
+  }
+
+  val volumeShippingOracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q13-flavored: distribution of per-customer order counts,
+    * orders filtered by an exclusion predicate BEFORE a LEFT join so
+    * order-less customers land in the 0 bucket. Double aggregation: the
+    * first bounds its shuffle by customers, the second by distinct
+    * counts.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(!col("o_orderpriority").startsWith("1")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  val orderCountDistributionOracle: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority NOT LIKE '1%') o
+      |    ON c_custkey = o.o_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q14-flavored promo revenue share per ship year: conditional
+    * aggregation over one broadcast part join; the share is one fixed
+    * IEEE sequence over two exact decimal sums.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revD).otherwise(lit(0))).as("promo"),
+        sum(revD).as("total"))
+      .select(col("l_year"),
+        ((lit(100.0) * col("promo").cast("double")) / col("total").cast("double"))
+          .as("promo_share"),
+        col("total").cast("double").as("total_revenue"))
+
+  val promoRevenueOracle: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  (100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |       ELSE 0 END) AS DOUBLE))
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |         AS DOUBLE) AS promo_share,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q15-flavored top supplier(s): per-supplier revenue, then the
+    * suppliers matching the global max. The max side is a 1-row
+    * broadcast; equality compares EXACT decimals (a double max could
+    * tie-break differently across engines).
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem.groupBy(col("l_suppkey"))
+      .agg(sum(revD).as("rev_d"))
+    val mx = rev.agg(max(col("rev_d")).as("mx"))
+    rev.join(broadcast(mx), col("rev_d") === col("mx"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("total_revenue"))
+  }
+
+  val topSupplierOracle: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+      |  FROM lineitem GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_d = (SELECT max(rev_d) FROM rev)""".stripMargin
+
+  /** TPC-H Q19-flavored discounted revenue: OR-of-ANDs predicate over
+    * brand/size/quantity after a broadcast part join — the disjunction
+    * stays inside one codegen'd filter; the common `l_partkey =
+    * p_partkey` conjunct is the join key, so no fallback to a nested
+    * loop.
+    */
+  def discountedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revD).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val discountedRevenueOracle: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 }
