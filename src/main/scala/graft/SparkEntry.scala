@@ -98,6 +98,11 @@ object SparkEntry {
     "q7_volume_shipping" -> ((s, dir) => RelationalOps.volumeShipping(
       Tables.lineitem(s, dir), O(s, dir), Tables.customer(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q8_market_share" -> ((s, dir) => RelationalOps.marketShare(
+      Tables.lineitem(s, dir), O(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q22_sales_opportunity" -> ((s, dir) => RelationalOps.salesOpportunity(
+      Tables.customer(s, dir), O(s, dir), Tables.nation(s, dir))),
     "q13_order_distribution" -> ((s, dir) => RelationalOps.orderCountDistribution(
       Tables.customer(s, dir), O(s, dir))),
     "q14_promo_revenue" -> ((s, dir) => RelationalOps.promoRevenue(
@@ -313,6 +318,8 @@ object SparkEntry {
     "window_analytics" -> RelationalOps.windowAnalyticsOracle,
     "q16_supplier_count" -> RelationalOps.supplierCountByBrandOracle,
     "q7_volume_shipping" -> RelationalOps.volumeShippingOracle,
+    "q8_market_share" -> RelationalOps.marketShareOracle(),
+    "q22_sales_opportunity" -> RelationalOps.salesOpportunityOracle,
     "q13_order_distribution" -> RelationalOps.orderCountDistributionOracle,
     "q14_promo_revenue" -> RelationalOps.promoRevenueOracle,
     "q15_top_supplier" -> RelationalOps.topSupplierOracle,

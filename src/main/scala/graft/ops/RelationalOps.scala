@@ -617,6 +617,83 @@ object RelationalOps {
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
       |WHERE rev_d = (SELECT max(rev_d) FROM rev)""".stripMargin
 
+  /** TPC-H Q8-flavored market share: the share of one supplier nation in
+    * total cross-nation revenue per order year. Same join graph as
+    * [[volumeShipping]]; the share is a conditional-agg ratio — two
+    * exact decimal sums, one IEEE division.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, targetNation: String = "NATION_1"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === targetNation, revD).otherwise(lit(0)))
+          .as("target"),
+        sum(revD).as("total"))
+      .select(col("o_year"),
+        (col("target").cast("double") / col("total").cast("double"))
+          .as("mkt_share"))
+  }
+
+  def marketShareOracle(targetNation: String = "NATION_1"): String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum(CASE WHEN n1.n_name = '$targetNation'
+       |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |       ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       |         AS DOUBLE) AS mkt_share
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q22-flavored sales opportunity: customers with above-average
+    * positive balance and no URGENT orders (every synthetic customer has
+    * SOME order, so the literal Q22 predicate would select nothing),
+    * counted per nation. The average is a 1-row broadcast scalar (exact
+    * decimal sum / count, one division each side); the exclusion is a
+    * LEFT ANTI join — never a NOT IN subquery, which would nested-loop
+    * at scale.
+    */
+  def salesOpportunity(customer: DataFrame, orders: DataFrame,
+                       nation: DataFrame): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    customer
+      .join(broadcast(avgBal), col("c_acctbal").cast("double") > col("avg_bal"))
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+  }
+
+  val salesOpportunityOracle: String =
+    """SELECT n_name, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DOUBLE) >
+      |    (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |            / CAST(count(*) AS DOUBLE)
+      |     FROM customer WHERE c_acctbal > 0)
+      |  AND c_custkey NOT IN
+      |    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q19-flavored discounted revenue: OR-of-ANDs predicate over
     * brand/size/quantity after a broadcast part join — the disjunction
     * stays inside one codegen'd filter; the common `l_partkey =
