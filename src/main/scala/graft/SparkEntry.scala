@@ -174,6 +174,8 @@ object SparkEntry {
     // specific, so the driver records the weaker rows-only check.
     "approx_users" -> ((s, dir) => EventOps.approxUsersByType(E(s, dir))),
     // ---- joins Spark lacks natively, composed from built-ins ----
+    "funnel_conversion" -> ((s, dir) => EventOps.funnelConversion(E(s, dir))),
+    "retention_cohorts" -> ((s, dir) => EventOps.retentionCohorts(E(s, dir))),
     "asof_join" -> ((s, dir) => {
       val e = E(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val left = e.select("event_id", "user_id", "ts_us", "event_type")
@@ -359,6 +361,8 @@ object SparkEntry {
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.
+    "funnel_conversion" -> EventOps.funnelConversionOracle,
+    "retention_cohorts" -> EventOps.retentionCohortsOracle,
     "asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

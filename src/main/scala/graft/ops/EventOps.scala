@@ -199,4 +199,71 @@ object EventOps {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+
+  /** Funnel conversion: for every purchase, the latest preceding view by
+    * the same user (inclusive), and whether it falls inside the
+    * conversion window. COMPOSES [[JoinOps.asofJoin]] — the union+window
+    * merge, one shuffle on user_id, no range join — rather than
+    * reimplementing the sequence-match; the oracle is DuckDB's NATIVE
+    * ASOF JOIN (an independent engine formulation, not a mirror).
+    */
+  def funnelConversion(events: DataFrame,
+                       windowUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val e = events.withColumn("ts_us", expr("ts div 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("ts_us").as("v_ts"))
+    JoinOps.asofJoin(purchases, views, "user_id", "ts_us", "event_id",
+        Seq("v_ts"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_v_ts").as("last_view_us"),
+        when(col("asof_v_ts").isNotNull &&
+          col("ts_us") - col("asof_v_ts") <= windowUs, 1L).otherwise(0L)
+          .as("converted"))
+  }
+
+  val funnelConversionOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, ts_us, max(ts_us) AS v_ts
+      |  FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      |  v.v_ts AS last_view_us,
+      |  CAST(CASE WHEN v.v_ts IS NOT NULL
+      |    AND p.ts_us - v.v_ts <= 3600000000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS converted
+      |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin
+
+  /** Retention cohorts: users grouped by first-activity week, distinct
+    * active users per (cohort, week offset). Pure integer epoch-week
+    * arithmetic (no calendar functions — exact on every engine). Two
+    * shuffles on user_id (cohort agg + join back — co-partitioned, AQE
+    * merges them in practice), then a count-distinct whose partial
+    * distinct bounds the final shuffle by |cohorts × offsets|.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    val weeks = events.select(col("user_id"),
+      expr(s"(ts div 1000) div $weekUs").as("week"))
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val retentionCohortsOracle: String =
+    """WITH weeks AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |  count(DISTINCT w.user_id) AS n_users
+      |FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
 }
