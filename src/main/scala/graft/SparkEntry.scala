@@ -166,6 +166,8 @@ object SparkEntry {
     "simhash_shingles" -> ((s, dir) => DedupOps.simhashShingles(DedupOps.augmented(D(s, dir)))),
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
     "pii_scrub" -> ((s, dir) => TextOps.piiScrub(D(s, dir))),
+    "source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
+    "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
@@ -357,6 +359,8 @@ object SparkEntry {
     "simhash_shingles" -> DedupOps.simhashShinglesOracle,
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "pii_scrub" -> TextOps.piiScrubOracle,
+    "source_mix" -> TextOps.sourceMixOracle,
+    "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent

@@ -345,6 +345,55 @@ object TextOps {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Deterministic source mixing — the data-mixing step that up/down-
+    * samples corpus sources to target weights before training. Each
+    * source gets a keep-rate in {¼, ½, ¾, 1} (derived here from the
+    * source index; production passes a broadcast weight map); a document
+    * survives iff its content-addressed bucket (SECOND md5 byte —
+    * independent of the [[hashSplit]] byte, so mixing never biases the
+    * split) clears the rate. Map-side only, reproducible on any engine,
+    * any partitioning, any rerun — never `rand()`, whose sample changes
+    * under retry/speculation.
+    */
+  def sourceMix(documents: DataFrame): DataFrame = {
+    val rate256 = (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 64
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 3, 2), 16, 10)
+      .cast("long")
+    documents
+      .filter(bucket < rate256)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+  }
+
+  val sourceMixOracle: String =
+    """SELECT source, count(*) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT <
+      |      (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 64
+      |GROUP BY 1""".stripMargin
+
+  /** Integer-binned value histogram per event type — the profiling pass
+    * a pipeline runs to pick thresholds and spot drift. Bin = floor of
+    * one IEEE division (deterministic); shuffle carries (type, bin)
+    * partial counts only.
+    */
+  def valueHistogram(events: DataFrame, width: Double = 50.0): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * 100).cast("decimal(18,0)")).cast("double")
+          .divide(lit(100.0)).as("sum_value"))
+
+  def valueHistogramOracle(width: Double = 50.0): String =
+    s"""SELECT event_type,
+       |  CAST(floor(value / $width) AS BIGINT) AS bin, count(*) AS n,
+       |  CAST(sum(CAST(value * 100 AS DECIMAL(18,0))) AS DOUBLE) / 100.0
+       |    AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   val tfIdfTopOracle: String =
     """WITH tokens AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -186,6 +186,19 @@ class Round4ExtrasSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sourceMix is partitioning-invariant and honors per-source keep rates") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = TextOps.sourceMix(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TextOps.sourceMix(docs.repartition(7)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "mix must not depend on partitioning")
+    val per = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("src3") == per("src3"), "rate-1.0 source keeps everything")
+    assert(a("src0") < per("src0"), "rate-0.25 source must downsample")
+  }
+
   test("hashSplit is deterministic, total, and near the 90/5/5 design") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
