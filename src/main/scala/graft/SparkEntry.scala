@@ -163,6 +163,7 @@ object SparkEntry {
     "substring_dup" -> ((s, dir) => DedupOps.substringDup(D(s, dir))),
     "stats_corr" -> ((s, dir) => StatsOps.statsCorr(Tables.lineitem(s, dir))),
     "median_quantiles" -> ((s, dir) => StatsOps.quantiles(Tables.lineitem(s, dir))),
+    "outlier_screen" -> ((s, dir) => StatsOps.outliers(Tables.lineitem(s, dir))),
     "simhash_shingles" -> ((s, dir) => DedupOps.simhashShingles(DedupOps.augmented(D(s, dir)))),
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
     "pii_scrub" -> ((s, dir) => TextOps.piiScrub(D(s, dir))),
@@ -356,6 +357,7 @@ object SparkEntry {
     "substring_dup" -> DedupOps.substringDupOracle(),
     "stats_corr" -> StatsOps.statsCorrOracle,
     "median_quantiles" -> StatsOps.quantilesOracle,
+    "outlier_screen" -> StatsOps.outliersOracle(),
     "simhash_shingles" -> DedupOps.simhashShinglesOracle,
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "pii_scrub" -> TextOps.piiScrubOracle,

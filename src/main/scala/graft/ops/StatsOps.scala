@@ -114,6 +114,60 @@ object StatsOps {
       expr("percentile(l_quantity, 0.5)").as("median"),
       expr("percentile(l_quantity, 0.75)").as("q75"))
 
+  /** 1.5σ outlier screen per return flag (the synthetic prices are
+    * near-uniform — max z ≈ 1.8 — so a 3σ default would select nothing):
+    * mean/σ from the same exact
+    * integer-cent moments as [[statsCorr]] (population σ), broadcast
+    * back as 1-row-per-group scalars; each row compares against bounds
+    * computed once per group — both engines evaluate the identical IEEE
+    * sequence, so the flagged sets agree bitwise. Two passes over the
+    * fact table (agg, then filter) — at 100 TB the second pass prunes
+    * at the scan because the broadcast side is group-level metadata.
+    */
+  def outliers(lineitem: DataFrame, nSigma: Double = 1.5): DataFrame = {
+    val yc = round(col("l_extendedprice") * 100).cast("long")
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val moments = lineitem
+      .select(col("l_returnflag"), yc.as("yc"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"),
+        sum(col("yc") * col("yc")).as("syy"))
+      .select(col("l_returnflag"),
+        (d("sy") / nd).as("mean_c"),
+        sqrt((d("syy") - d("sy") * d("sy") / nd) / nd).as("sd_c"))
+    lineitem.select(col("l_returnflag"), yc.as("yc"))
+      .join(broadcast(moments), "l_returnflag")
+      .filter(abs(col("yc").cast("double") - col("mean_c")) >
+        lit(nSigma) * col("sd_c"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_outliers"),
+        (min(col("yc")).cast("double") / lit(100.0)).as("min_price"),
+        (max(col("yc")).cast("double") / lit(100.0)).as("max_price"))
+  }
+
+  def outliersOracle(nSigma: Double = 1.5): String =
+    s"""WITH cents AS (
+       |  SELECT l_returnflag,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |      AS mean_c,
+       |    sqrt((CAST(CAST(sum(yc * yc) AS BIGINT) AS DOUBLE)
+       |          - CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
+       |            * CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
+       |            / CAST(count(*) AS DOUBLE))
+       |         / CAST(count(*) AS DOUBLE)) AS sd_c
+       |  FROM cents GROUP BY 1)
+       |SELECT l_returnflag, count(*) AS n_outliers,
+       |  CAST(min(yc) AS DOUBLE) / 100.0 AS min_price,
+       |  CAST(max(yc) AS DOUBLE) / 100.0 AS max_price
+       |FROM cents JOIN m USING (l_returnflag)
+       |WHERE abs(CAST(yc AS DOUBLE) - mean_c) > $nSigma * sd_c
+       |GROUP BY 1""".stripMargin
+
   val quantilesOracle: String =
     """SELECT l_returnflag, count(*) AS n,
       |  quantile_cont(l_quantity, 0.25) AS q25,
