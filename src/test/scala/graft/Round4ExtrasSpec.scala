@@ -186,6 +186,67 @@ class Round4ExtrasSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnelConversion attributes purchases to the latest in-window view") {
+    val us = 1000000L
+    // user 1: view at t=0, purchase at t=30min (converted), purchase at
+    // t=2h (view too old -> not converted); user 2: purchase with no
+    // view ever; user 3: two views, purchase right after the second.
+    val events = Seq(
+      (10L, 0L * us, 1L, "view"),
+      (11L, 1800L * us, 1L, "purchase"),
+      (12L, 7200L * us, 1L, "purchase"),
+      (20L, 100L * us, 2L, "purchase"),
+      (30L, 0L * us, 3L, "view"),
+      (31L, 5000L * us, 3L, "view"),
+      (32L, 5001L * us, 3L, "purchase")
+    ).toDF("event_id", "ts_us_in", "user_id", "event_type")
+      .select(col("event_id"), (col("ts_us_in") * 1000).as("ts"),
+        col("user_id"), col("event_type"))
+    val got = graft.ops.EventOps.funnelConversion(events)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))).toMap
+    assert(got(11L) == ((Some(0L), 1L)), s"in-window view converts: $got")
+    assert(got(12L) == ((Some(0L), 0L)), "stale view attributed but not converted")
+    assert(got(20L) == ((None, 0L)), "no view -> NULL attribution")
+    assert(got(32L) == ((Some(5000L * us), 1L)), "latest of two views wins")
+  }
+
+  test("AQE runtime bloom filter prunes the big side of a selective fact join") {
+    val s = spark
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = s.sessionState.conf
+    val keys = Seq(
+      SQLConf.RUNTIME_BLOOM_FILTER_ENABLED.key ->
+        conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_ENABLED).toString,
+      SQLConf.RUNTIME_BLOOM_FILTER_CREATION_SIDE_THRESHOLD.key ->
+        conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_CREATION_SIDE_THRESHOLD).toString,
+      SQLConf.RUNTIME_BLOOM_FILTER_APPLICATION_SIDE_SCAN_SIZE_THRESHOLD.key ->
+        conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_APPLICATION_SIDE_SCAN_SIZE_THRESHOLD).toString,
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      s.conf.set(SQLConf.RUNTIME_BLOOM_FILTER_ENABLED.key, "true")
+      s.conf.set(SQLConf.RUNTIME_BLOOM_FILTER_CREATION_SIDE_THRESHOLD.key, "1GB")
+      s.conf.set(SQLConf.RUNTIME_BLOOM_FILTER_APPLICATION_SIDE_SCAN_SIZE_THRESHOLD.key, "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  // force non-broadcast
+      val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+      s.range(0, 100000).select(col("id").as("fk"),
+        (col("id") % 97).as("payload")).write.mode("overwrite")
+        .parquet(s"$dir/fact")
+      s.range(0, 100000).select(col("id").as("pk"),
+        (col("id") % 7).as("cat")).write.mode("overwrite")
+        .parquet(s"$dir/dim")
+      val fact = s.read.parquet(s"$dir/fact")
+      val dim = s.read.parquet(s"$dir/dim").filter(col("cat") === 3)  // selective
+      val joined = fact.join(dim, col("fk") === col("pk"))
+      val n = joined.count()
+      assert(n == 100000L / 7 + (if (100000 % 7 > 3) 1 else 0))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side:\n${plan.take(2000)}")
+    } finally keys.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("sourceMix is partitioning-invariant and honors per-source keep rates") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.sourceMix(docs).collect()
