@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccardPairs(DedupOps.augmented(D(s, dir)))),
     "simhash" -> ((s, dir) => DedupOps.simhash(DedupOps.augmented(D(s, dir)))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(DedupOps.augmented(D(s, dir)))),
+    "dedup_editdist" -> ((s, dir) => DedupOps.editDistPairs(DedupOps.augmented(D(s, dir)))),
     // ---- embedding similarity (B9) ----
     "cosine_topk" -> ((s, dir) => SimilarityOps.cosineTopK(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
@@ -128,6 +129,7 @@ object SparkEntry {
     "grouping_sets_pricing" -> ((s, dir) => RelationalOps.pricingGroupingSets(Tables.lineitem(s, dir))),
     "pivot_returnflag" -> ((s, dir) => RelationalOps.returnFlagPivot(Tables.lineitem(s, dir))),
     "running_totals" -> ((s, dir) => RelationalOps.runningTotals(O(s, dir))),
+    "rolling_revenue" -> ((s, dir) => RelationalOps.rollingRevenue(O(s, dir))),
     "window_analytics" -> ((s, dir) => RelationalOps.windowAnalytics(O(s, dir))),
     "q16_supplier_count" -> ((s, dir) => RelationalOps.supplierCountByBrand(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
@@ -300,6 +302,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccardOracle,
     "simhash" -> DedupOps.simhashOracle,
     "dedup_simhash" -> DedupOps.simhashPairsOracle,
+    "dedup_editdist" -> DedupOps.editDistPairsOracle(),
     "cosine_topk" -> SimilarityOps.cosineTopKOracle,
     "ann_ivf" -> SimilarityOps.ivfTopKOracle,
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
@@ -320,6 +323,7 @@ object SparkEntry {
     "grouping_sets_pricing" -> RelationalOps.pricingGroupingSetsOracle,
     "pivot_returnflag" -> RelationalOps.returnFlagPivotOracle,
     "running_totals" -> RelationalOps.runningTotalsOracle,
+    "rolling_revenue" -> RelationalOps.rollingRevenueOracle,
     "window_analytics" -> RelationalOps.windowAnalyticsOracle,
     "q16_supplier_count" -> RelationalOps.supplierCountByBrandOracle,
     "q7_volume_shipping" -> RelationalOps.volumeShippingOracle,

@@ -719,4 +719,39 @@ object DedupOps {
        |  FROM chunks a JOIN chunks b
        |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  /** B8 — edit-distance verification of SimHash candidates: unit-cost
+    * Levenshtein over a fixed prefix, the second-opinion check a dedup
+    * pipeline runs where token-level similarity can false-positive
+    * (templated text with different fill-ins). Distance runs ONLY on
+    * candidate pairs (never all-pairs) and only on `prefixLen`-char
+    * prefixes — O(candidates × prefixLen²), bounded regardless of
+    * document length. Unit-cost edit distance is engine-agnostic
+    * (identical DP values everywhere), so the oracle mirrors bitwise.
+    */
+  def editDistPairs(corpus: DataFrame, maxDist: Int = 20,
+                    prefixLen: Int = 40): DataFrame = {
+    val texts = corpus.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("prefix"))
+    simhashPairs(corpus)
+      .join(texts.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("editdist"))
+      .filter(col("editdist") <= maxDist)
+  }
+
+  /** [[simhashPairsOracle]] with its final SELECT swapped for the
+    * edit-distance verification — same candidate CTE chain verbatim. */
+  def editDistPairsOracle(maxDist: Int = 20, prefixLen: Int = 40): String =
+    simhashPairsOracle.replace(
+      "SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3",
+      s"""SELECT doc_a, doc_b, hamming,
+         |  CAST(levenshtein(ta.prefix, tb.prefix) AS BIGINT) AS editdist
+         |FROM (SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3) cand
+         |JOIN (SELECT doc_id, substr(text, 1, $prefixLen) AS prefix FROM corpus) ta
+         |  ON doc_a = ta.doc_id
+         |JOIN (SELECT doc_id, substr(text, 1, $prefixLen) AS prefix FROM corpus) tb
+         |  ON doc_b = tb.doc_id
+         |WHERE levenshtein(ta.prefix, tb.prefix) <= $maxDist""".stripMargin)
 }

@@ -268,6 +268,37 @@ object RelationalOps {
       count(lit(1)).over(w).as("order_seq"))
   }
 
+  /** Moving-frame aggregates: 4-order rolling spend (sum + mean) per
+    * customer — the bounded sliding frame (ROWS BETWEEN 3 PRECEDING AND
+    * CURRENT ROW) that complements [[runningTotals]]' unbounded prefix
+    * frame. Exact decimal rolling sums; the mean divides by the frame's
+    * actual row count (< 4 at partition heads) — one IEEE division on
+    * exact operands. Same one-shuffle-per-customer shape as every
+    * window here.
+    */
+  def rollingRevenue(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("rolling_spend"),
+      (sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double")).as("rolling_avg"))
+  }
+
+  val rollingRevenueOracle: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS rolling_spend,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / CAST(count(*) OVER w AS DOUBLE) AS rolling_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** The analytic window-function family over per-customer order
     * history: offset functions (lag/lead), distribution functions
     * (percent_rank — exact: (rank-1)/(n-1) on integers, one IEEE
