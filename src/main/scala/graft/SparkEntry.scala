@@ -371,7 +371,7 @@ object SparkEntry {
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.
-    "funnel_conversion" -> EventOps.funnelConversionOracle,
+    "funnel_conversion" -> EventOps.funnelConversionOracle(),
     "retention_cohorts" -> EventOps.retentionCohortsOracle,
     "asof_join" ->
       """WITH e AS (

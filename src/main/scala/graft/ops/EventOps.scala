@@ -224,8 +224,8 @@ object EventOps {
           .as("converted"))
   }
 
-  val funnelConversionOracle: String =
-    """WITH e AS (
+  def funnelConversionOracle(windowUs: Long = 3600L * 1000 * 1000): String =
+    s"""WITH e AS (
       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
       |  FROM events),
       |v AS (
@@ -234,7 +234,7 @@ object EventOps {
       |SELECT p.event_id, p.user_id, p.ts_us,
       |  v.v_ts AS last_view_us,
       |  CAST(CASE WHEN v.v_ts IS NOT NULL
-      |    AND p.ts_us - v.v_ts <= 3600000000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AND p.ts_us - v.v_ts <= $windowUs THEN 1 ELSE 0 END AS BIGINT)
       |    AS converted
       |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin
