@@ -76,6 +76,36 @@ object Profile {
       t("ngram_jaccard")(DedupOps.ngramJaccardPairs(amplified).count())
       spark.catalog.clearCache(); amplified.persist()
       t("clusters")(DedupOps.nearDupClusters(amplified).count())
+      spark.catalog.clearCache(); amplified.persist()
+      t("paragraph_dedup")(DedupOps.paragraphDedup(amplified).count())
+      // decontaminate projects (doc_id, lang, source); the amplifier
+      // carries only (doc_id, text) — stub the metadata columns.
+      t("decontaminate")(DedupOps.decontaminate(
+        amplified.withColumn("lang", lit("xx")).withColumn("source", lit("amp")))
+        .count())
+      spark.stop(); return
+    }
+
+    // `Profile scale-ann [factor]` — the similarity-family decade check:
+    // amplify the embeddings corpus with deterministically perturbed
+    // copies (per-copy scale + offset keeps cluster structure, so LSH/IVF
+    // bucket occupancy grows linearly with the corpus) and time candidate
+    // generation + scoring end to end.
+    if (args.headOption.contains("scale-ann")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val base = Tables.embeddings(spark, sfDir)
+      val amplified = (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, x -> float(x * (1.0 + $k * 0.0003) + $k * 0.001))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
+      t("cosine_topk")(SimilarityOps.cosineTopK(amplified).count())
+      t("ann_lsh")(SimilarityOps.lshTopK(amplified).count())
+      t("ann_ivf")(SimilarityOps.ivfTopK(amplified).count())
+      t("dedup_embedding_lsh")(SimilarityOps.embeddingNearDupLsh(amplified).count())
       spark.stop(); return
     }
 
