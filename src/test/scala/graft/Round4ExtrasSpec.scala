@@ -115,6 +115,20 @@ class Round4ExtrasSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("statsCorr moment sums fail loudly on int64 overflow (ANSI), never wrap") {
+    // yc = round(1e8 * 100) = 1e10; yc*yc = 1e20 > Long.MaxValue. The
+    // documented domain bound: outside it the op must throw, not return
+    // silently-wrapped garbage (production swaps to DECIMAL(38,0) sums).
+    val li = Seq(("X", 1.0, 1.0e8), ("X", 2.0, 1.0e8))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val e = intercept[Exception] { StatsOps.statsCorr(li).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null &&
+      (m.contains("ARITHMETIC_OVERFLOW") || m.toLowerCase.contains("overflow"))),
+      s"expected an overflow error, got: $e")
+  }
+
   test("quantiles: exact type-7 quartiles on a known set") {
     val li = Seq.tabulate(9)(i => ("Q", (i + 1).toDouble))    // 1..9
       .toDF("l_returnflag", "l_quantity")
