@@ -170,6 +170,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
     "pii_scrub" -> ((s, dir) => TextOps.piiScrub(D(s, dir))),
     "source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
+    "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
@@ -366,6 +367,7 @@ object SparkEntry {
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "pii_scrub" -> TextOps.piiScrubOracle,
     "source_mix" -> TextOps.sourceMixOracle,
+    "pack_sequences" -> TextOps.packSequencesOracle(),
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,

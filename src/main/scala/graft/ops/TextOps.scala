@@ -345,6 +345,44 @@ object TextOps {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Sequence packing — the pre-training step that bins documents into
+    * fixed token budgets (one "pack" ≈ one training sequence). This is
+    * the deterministic distributed formulation real pipelines use:
+    * CONTIGUOUS packing within each source shard — exclusive prefix-sum
+    * of token counts over a per-source window, pack = prefix div
+    * capacity (a doc straddling a boundary opens the next pack; bounded
+    * waste, no bin-packing search, no serial driver loop). One shuffle
+    * on source, local sorts; at 100 TB the window never sees more than
+    * a shard.
+    */
+  def packSequences(documents: DataFrame, capacity: Long = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("cum_excl", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer `div`, not `/` (Column./ on longs is DOUBLE division)
+        expr(s"cum_excl div $capacity").as("pack_id"),
+        (col("cum_excl") % capacity).as("pack_offset"))
+  }
+
+  def packSequencesOracle(capacity: Long = 2048): String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  cum_excl // $capacity AS pack_id,
+       |  cum_excl % $capacity AS pack_offset
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER w
+       |      AS BIGINT) - CAST(len(string_split(text, ' ')) AS BIGINT)
+       |      AS cum_excl
+       |  FROM documents
+       |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+
   /** Deterministic source mixing — the data-mixing step that up/down-
     * samples corpus sources to target weights before training. Each
     * source gets a keep-rate in {¼, ½, ¾, 1} (derived here from the

@@ -261,6 +261,19 @@ class Round4ExtrasSpec extends SparkSpec {
     } finally keys.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  test("packSequences assigns contiguous fixed-budget packs per source") {
+    // tokens: 3, 2, 2, 3 with capacity 4 -> exclusive prefixes 0,3,5,7
+    // -> packs 0,0,1,1; the 2nd doc straddles the pack-0 boundary.
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g", "s1"),
+      (4L, "h i j", "s1"), (5L, "k", "s2")).toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.packSequences(docs, capacity = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 3L)), 3L -> ((1L, 1L)),
+      4L -> ((1L, 3L)), 5L -> ((0L, 0L))))
+  }
+
   test("sourceMix is partitioning-invariant and honors per-source keep rates") {
     val docs = Tables.documents(spark, sfDir)
     val a = TextOps.sourceMix(docs).collect()
