@@ -33,9 +33,11 @@ object GraftFunctions {
   * functions resolve in plain SQL across all sessions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    ext.injectOptimizerRule(_ => EditDistancePrefilter)
+  }
 }
