@@ -44,6 +44,9 @@ object Bench {
     } + "\""
 
     val timings = collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-query OUTPUT rows (VERDICT r4 item 7): regressions normalize by
+    // data touched instead of re-arbitrating co-tenant noise each round.
+    val rowCounts = collection.mutable.LinkedHashMap.empty[String, Long]
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
     // MEDIAN-OF-3 per query: the bench host is co-tenant contended (2-4×
     // single-run variance observed across rounds; identical plans measured
@@ -60,7 +63,7 @@ object Bench {
         var r = 0
         while (r < reps) {
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          rowCounts(name) = fn(spark, sfDir).count()
           ts += (System.nanoTime() - t0) / 1e9
           // Untimed: drop persist()ed intermediates between reps/queries so
           // cached blocks don't accumulate and each rep is independent.
@@ -75,9 +78,10 @@ object Bench {
       }
     }
     val qs = timings.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val rs = rowCounts.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

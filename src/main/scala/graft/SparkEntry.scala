@@ -82,7 +82,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccardPairs(DedupOps.augmented(D(s, dir)))),
     "simhash" -> ((s, dir) => DedupOps.simhash(DedupOps.augmented(D(s, dir)))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(DedupOps.augmented(D(s, dir)))),
-    "dedup_editdist" -> ((s, dir) => DedupOps.editDistPairs(DedupOps.augmented(D(s, dir)))),
+    "dedup_prefix_editdist" -> ((s, dir) => DedupOps.editDistPairs(DedupOps.augmented(D(s, dir)))),
     // ---- embedding similarity (B9) ----
     "cosine_topk" -> ((s, dir) => SimilarityOps.cosineTopK(Tables.embeddings(s, dir))),
     "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
@@ -120,6 +120,18 @@ object SparkEntry {
       Tables.customer(s, dir), O(s, dir), Tables.lineitem(s, dir))),
     "q4_priority_returns" -> ((s, dir) => RelationalOps.prioritiesWithReturns(
       O(s, dir), Tables.lineitem(s, dir))),
+    // ---- Catalyst decorrelation shapes (round 5; see RelationalOps) ----
+    "q21_waiting_supplier" -> ((s, dir) => RelationalOps.waitingSuppliers(
+      s, Tables.supplier(s, dir), Tables.lineitem(s, dir), O(s, dir))),
+    "q2_min_cost_supplier" -> ((s, dir) => RelationalOps.minCostSupplier(
+      s, Tables.part(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q11_important_balance" -> ((s, dir) => RelationalOps.importantNationBalance(
+      s, Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q12_priority_lines" -> ((s, dir) => RelationalOps.priorityLineClasses(
+      s, O(s, dir), Tables.lineitem(s, dir))),
+    "q20_promo_suppliers" -> ((s, dir) => RelationalOps.promoSuppliers(
+      s, Tables.supplier(s, dir), Tables.lineitem(s, dir),
+      Tables.part(s, dir), Tables.nation(s, dir))),
     "window_tumbling" -> ((s, dir) => EventOps.tumblingCounts(E(s, dir))),
     "window_sliding" -> ((s, dir) => EventOps.slidingCounts(E(s, dir))),
     "anti_join" -> ((s, dir) => RelationalOps.customersWithoutOrders(
@@ -136,6 +148,9 @@ object SparkEntry {
     "q17_small_qty_revenue" -> ((s, dir) => RelationalOps.smallQuantityRevenue(
       s, Tables.lineitem(s, dir), Tables.part(s, dir))),
     "vocab_encode" -> ((s, dir) => TextOps.vocabEncode(D(s, dir))),
+    // Tokenizer-realistic vocab size: same plan shape (TakeOrderedAndProject
+    // + broadcast encode join) proven at 32k ids, not a toy 16.
+    "vocab_encode_32k" -> ((s, dir) => TextOps.vocabEncode(D(s, dir), 32768)),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -174,6 +189,14 @@ object SparkEntry {
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
+    // Incremental dedup: index = base docs' persisted signatures, delta =
+    // the injected near/exact copies arriving "later" (doc_id >= 100000).
+    "dedup_incremental" -> ((s, dir) => {
+      val aug = DedupOps.augmented(D(s, dir))
+      DedupOps.dedupIncremental(
+        DedupOps.signatureIndex(aug.filter(col("doc_id") < 100000)),
+        aug.filter(col("doc_id") >= 100000))
+    }),
     "source_signatures" -> ((s, dir) => DedupOps.groupSignatures(D(s, dir), "source")),
     "source_overlap" -> ((s, dir) => DedupOps.sourceOverlap(D(s, dir), "source")),
     // HLL++ sketch — no oracle entry by design: estimates are engine-
@@ -303,7 +326,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccardOracle,
     "simhash" -> DedupOps.simhashOracle,
     "dedup_simhash" -> DedupOps.simhashPairsOracle,
-    "dedup_editdist" -> DedupOps.editDistPairsOracle(),
+    "dedup_prefix_editdist" -> DedupOps.editDistPairsOracle(),
     "cosine_topk" -> SimilarityOps.cosineTopKOracle,
     "ann_ivf" -> SimilarityOps.ivfTopKOracle,
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
@@ -316,6 +339,11 @@ object SparkEntry {
     "q6_revenue_change" -> RelationalOps.revenueChangeOracle,
     "q3_shipping_priority" -> RelationalOps.shippingPriorityOracle,
     "q4_priority_returns" -> RelationalOps.prioritiesWithReturnsOracle,
+    "q21_waiting_supplier" -> RelationalOps.waitingSuppliersOracle,
+    "q2_min_cost_supplier" -> RelationalOps.minCostSupplierOracle,
+    "q11_important_balance" -> RelationalOps.importantNationBalanceOracle,
+    "q12_priority_lines" -> RelationalOps.priorityLineClassesOracle,
+    "q20_promo_suppliers" -> RelationalOps.promoSuppliersOracle,
     "window_tumbling" -> EventOps.tumblingCountsOracle,
     "window_sliding" -> EventOps.slidingCountsOracle,
     "anti_join" -> RelationalOps.customersWithoutOrdersOracle,
@@ -335,7 +363,8 @@ object SparkEntry {
     "q15_top_supplier" -> RelationalOps.topSupplierOracle,
     "q19_discount_revenue" -> RelationalOps.discountedRevenueOracle,
     "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenueOracle,
-    "vocab_encode" -> TextOps.vocabEncodeOracle,
+    "vocab_encode" -> TextOps.vocabEncodeOracle(),
+    "vocab_encode_32k" -> TextOps.vocabEncodeOracle(32768),
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,
@@ -357,7 +386,7 @@ object SparkEntry {
         |                    FROM events GROUP BY 1) d
         |  ON e.event_type = d.event_type""".stripMargin,
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
-    "paragraph_dedup" -> DedupOps.paragraphDedupOracle,
+    "paragraph_dedup" -> DedupOps.paragraphDedupOracle(),
     "decontaminate" -> DedupOps.decontaminateOracle(),
     "substring_dup" -> DedupOps.substringDupOracle(),
     "stats_corr" -> StatsOps.statsCorrOracle,
@@ -371,6 +400,7 @@ object SparkEntry {
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
+    "dedup_incremental" -> DedupOps.dedupIncrementalOracle(),
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.
     "funnel_conversion" -> EventOps.funnelConversionOracle(),

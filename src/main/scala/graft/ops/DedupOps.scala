@@ -397,9 +397,13 @@ object DedupOps {
     * reassembly shuffle per doc. Segments travel the dedup shuffle once;
     * documents are never joined against documents.
     */
-  def paragraphDedup(documents: DataFrame, sep: String = "\\. "): DataFrame = {
+  def paragraphDedup(documents: DataFrame, sep: String = ". "): DataFrame = {
+    // `sep` is a LITERAL separator (regex-quoted for the split, passed
+    // verbatim to the reassembly), so segmentation and reassembly can
+    // never diverge; [[paragraphDedupOracle]] derives from the same value.
     val base = documents.select(col("doc_id"),
-      filter(split(col("text"), sep), s => length(s) > 0).as("segs"))
+      filter(split(col("text"), java.util.regex.Pattern.quote(sep), -1),
+        s => length(s) > 0).as("segs"))
       .filter(size(col("segs")) > 0)
       .withColumn("n_total", size(col("segs")).cast("long"))
     val segs = base.select(col("doc_id"), col("n_total"),
@@ -413,19 +417,21 @@ object DedupOps {
       .agg(count(lit(1)).as("n_kept"),
         // array_sort on struct(pos, seg) orders by pos: deterministic
         // reassembly regardless of collect order
-        expr("concat_ws('. ', transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg))")
+        concat_ws(sep,
+          expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"))
           .as("text_dedup"))
       .select(col("doc_id"), col("text_dedup"), col("n_kept"), col("n_total"))
   }
 
-  /** Paragraph-dedup oracle: same segmentation (literal '. ' split — the
-    * Spark side's regex `\\. ` is the same literal), same global
-    * first-occurrence rank, string_agg reassembly ordered by position.
+  /** Paragraph-dedup oracle: same literal segmentation, same global
+    * first-occurrence rank, string_agg reassembly ordered by position —
+    * both sides derive the separator from the same `sep` value.
     * The positional unnest is bounded by the measured max segment count.
     */
-  val paragraphDedupOracle: String =
-    """WITH arrs AS (
-      |  SELECT doc_id, list_filter(string_split(text, '. '), s -> len(s) > 0) AS arr
+  def paragraphDedupOracle(sep: String = ". "): String = {
+    val q = sep.replace("'", "''")
+    s"""WITH arrs AS (
+      |  SELECT doc_id, list_filter(string_split(text, '$q'), s -> len(s) > 0) AS arr
       |  FROM documents),
       |segs AS (
       |  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_total, i AS pos, arr[i] AS seg
@@ -436,11 +442,12 @@ object DedupOps {
       |  SELECT *, row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
       |  FROM segs)
       |SELECT doc_id,
-      |  string_agg(seg, '. ' ORDER BY pos) AS text_dedup,
+      |  string_agg(seg, '$q' ORDER BY pos) AS text_dedup,
       |  count(*) AS n_kept,
       |  n_total
       |FROM ranked WHERE rn = 1
       |GROUP BY doc_id, n_total""".stripMargin
+  }
 
   /** B8k — benchmark DECONTAMINATION (the GPT-3/PaLM training-data
     * hygiene step): drop every training document sharing at least one
@@ -551,8 +558,9 @@ object DedupOps {
     * without touching raw text again; partial aggregation keeps the
     * shuffle at |groups| × numPerm rows.
     */
-  def groupSignatures(docs: DataFrame, groupCol: String): DataFrame =
-    minhashSignatures(docs.select("doc_id", "text"))
+  def groupSignatures(docs: DataFrame, groupCol: String,
+                      numPerm: Int = 16): DataFrame =
+    minhashSignatures(docs.select("doc_id", "text"), numPerm)
       .join(docs.select(col("doc_id"), col(groupCol)), "doc_id")
       .groupBy(groupCol, "perm")
       .agg(min("minhash").as("minhash"))
@@ -568,7 +576,7 @@ object DedupOps {
     */
   def sourceOverlap(docs: DataFrame, groupCol: String,
                     numPerm: Int = 16): DataFrame = {
-    val sigs = groupSignatures(docs, groupCol)
+    val sigs = groupSignatures(docs, groupCol, numPerm)
     val a = sigs.select(col(groupCol).as("group_a"), col("perm"),
       col("minhash").as("mh_a"))
     val b = sigs.select(col(groupCol).as("group_b"), col("perm"),
@@ -623,6 +631,130 @@ object DedupOps {
        |  WHERE jaccard >= 0.9)
        |SELECT doc_id FROM exact_keepers
        |WHERE doc_id NOT IN (SELECT doc_id FROM fuzzy_drops)""".stripMargin
+
+  /** The persisted dedup INDEX for a corpus slice: one row per document,
+    * (doc_id, sig ARRAY<BIGINT>) — the full MinHash signature. This is
+    * what a production pipeline writes to parquet once per corpus slice;
+    * every later increment reads it back and never touches the slice's
+    * text again. Signature-only verification (fraction of agreeing
+    * permutations — the standard MinHash Jaccard estimator) makes the
+    * index self-contained: no shingle sets, no raw text, numPerm longs
+    * per document.
+    */
+  def signatureIndex(corpus: DataFrame, numPerm: Int = 16): DataFrame =
+    withShingles(corpus)
+      .select(col("doc_id"),
+        graft.functions.native.minhashSig(col("shingles"), numPerm).as("sig"))
+
+  /** B8 — INCREMENTAL dedup-against-index: dedup a DELTA slice (today's
+    * crawl) against a persisted signature [[signatureIndex]] (the corpus
+    * so far) plus the delta's own earlier documents, without re-reading
+    * or re-shingling the indexed corpus. The production shape at 100 TB:
+    * the corpus is append-only, increments are daily, and re-sketching
+    * 100 TB to admit 100 GB is the thing this operator exists to avoid.
+    *
+    * Candidates come from the same 4-band LSH as [[minhashPairs]]
+    * (delta bands ⋈ index bands, plus delta ⋈ earlier-delta); each
+    * candidate is verified by SIGNATURE AGREEMENT — |matching perms| /
+    * numPerm ≥ `minEst` — so verification needs nothing but the index
+    * row itself. Exact duplicates agree on every permutation, so their
+    * bands all collide and recall for them is 1 by construction.
+    *
+    * Output: one row per delta document — (doc_id, dup_of, is_dup) with
+    * `dup_of` = the smallest matching document id (index or earlier
+    * delta) and -1 for survivors.
+    *
+    * Scale shape: the index is read once (persisted here — two plan
+    * branches reference it: band derivation + verification join); only
+    * (doc_id, band_key) pairs and numPerm-long signatures shuffle; the
+    * delta side is increment-sized. `index` must carry exactly
+    * (doc_id, sig) — enforced, so the corpus CANNOT be re-shingled here.
+    */
+  def dedupIncremental(index: DataFrame, delta: DataFrame,
+                       minEst: Double = 0.5, numPerm: Int = 16,
+                       cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "sig")),
+      s"index must be a signatureIndex (doc_id, sig); got ${index.columns.mkString(",")}")
+    val rows = numPerm / 4
+    def bandsOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * $rows + 1, $rows)))")))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
+    val isig = index.persist(cacheLevel)
+    val dsig = signatureIndex(delta, numPerm).persist(cacheLevel)
+    val ibands = bandsOf(isig)
+    val dbands = bandsOf(dsig)
+
+    val candIdx = dbands.as("d").join(ibands.as("i"),
+        col("d.band") === col("i.band") && col("d.band_key") === col("i.band_key"))
+      .select(col("d.doc_id").as("delta_id"), col("i.doc_id").as("cand_id"))
+    val candDelta = dbands.as("a").join(dbands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("cand_id"))
+    val cand = candIdx.unionAll(candDelta).distinct()
+
+    val allSigs = isig.unionAll(dsig)
+    val nMatch = expr(
+      "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0L, (acc, v) -> acc + v)")
+    val dups = cand
+      .join(dsig.select(col("doc_id").as("delta_id"), col("sig").as("sa")), "delta_id")
+      .join(allSigs.select(col("doc_id").as("cand_id"), col("sig").as("sb")), "cand_id")
+      .withColumn("est", nMatch.cast("double") / lit(numPerm.toDouble))
+      .filter(col("est") >= minEst)
+      .groupBy("delta_id").agg(min("cand_id").as("dup_of"))
+
+    delta.select(col("doc_id"))
+      .join(dups.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** Incremental-dedup oracle over the same partitioned corpus: index =
+    * the base documents (doc_id < 100000 in [[augmented]]), delta = the
+    * injected copies; identical banding, signature-agreement estimator,
+    * min-candidate labeling.
+    */
+  def dedupIncrementalOracle(minEst: Double = 0.5, numPerm: Int = 16): String = {
+    val rows = numPerm / 4
+    s"""$corpusShingledCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $numPerm), p ->
+       |      list_min(list_transform(shingles, s ->
+       |        ${Hashing.hash64Duck("CAST(p AS VARCHAR) || ':' || s")}))) AS sig
+       |  FROM shingled),
+       |ibands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(sig[b * $rows + 1 : b * $rows + $rows], ',') AS band_key
+       |  FROM sigs, range(0, 4) t(b) WHERE doc_id < 100000),
+       |dbands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(sig[b * $rows + 1 : b * $rows + $rows], ',') AS band_key
+       |  FROM sigs, range(0, 4) t(b) WHERE doc_id >= 100000),
+       |cand AS (
+       |  SELECT d.doc_id AS delta_id, i.doc_id AS cand_id
+       |  FROM dbands d JOIN ibands i ON d.band = i.band AND d.band_key = i.band_key
+       |  UNION
+       |  SELECT a.doc_id AS delta_id, b.doc_id AS cand_id
+       |  FROM dbands a JOIN dbands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND b.doc_id < a.doc_id),
+       |est AS (
+       |  SELECT delta_id, cand_id,
+       |    CAST(len(list_filter(range(1, ${numPerm + 1}),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numPerm.0 AS est
+       |  FROM cand
+       |  JOIN sigs sa ON cand.delta_id = sa.doc_id
+       |  JOIN sigs sb ON cand.cand_id = sb.doc_id),
+       |dups AS (
+       |  SELECT delta_id, min(cand_id) AS dup_of
+       |  FROM est WHERE est >= $minEst GROUP BY 1)
+       |SELECT d.doc_id, coalesce(dup_of, -1) AS dup_of,
+       |  dup_of IS NOT NULL AS is_dup
+       |FROM (SELECT doc_id FROM corpus WHERE doc_id >= 100000) d
+       |LEFT JOIN dups ON d.doc_id = dups.delta_id""".stripMargin
+  }
 
   // ---- DuckDB oracle SQL (kept in lockstep with the Spark ops above) ----
 
@@ -697,7 +829,12 @@ object DedupOps {
        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY 1""".stripMargin
 
-  val simhashPairsOracle: String =
+  /** Shared candidate CTE chain (corpus → simhash → chunk join → `pairs`):
+    * [[simhashPairsOracle]] and [[editDistPairsOracle]] both compose onto
+    * this prefix, so the candidate generation can never silently diverge
+    * between the two oracles.
+    */
+  private val simhashCandidateCtes: String =
     s"""WITH ${augmentedSql},
        |tok AS (
        |  SELECT doc_id, ${Hashing.hash64Duck("unnest(string_split(text, ' '))")} AS h
@@ -717,7 +854,10 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |  FROM chunks a JOIN chunks b
-       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)""".stripMargin
+
+  val simhashPairsOracle: String =
+    s"""$simhashCandidateCtes
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
 
   /** B8 — edit-distance verification of SimHash candidates: unit-cost
@@ -728,6 +868,8 @@ object DedupOps {
     * prefixes — O(candidates × prefixLen²), bounded regardless of
     * document length. Unit-cost edit distance is engine-agnostic
     * (identical DP values everywhere), so the oracle mirrors bitwise.
+    * The output column is named `prefix_editdist` — it is the distance
+    * between PREFIXES, deliberately not whole-document distance.
     */
   def editDistPairs(corpus: DataFrame, maxDist: Int = 20,
                     prefixLen: Int = 40): DataFrame = {
@@ -737,21 +879,20 @@ object DedupOps {
       .join(texts.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
       .join(texts.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"),
-        levenshtein(col("pa"), col("pb")).cast("long").as("editdist"))
-      .filter(col("editdist") <= maxDist)
+        levenshtein(col("pa"), col("pb")).cast("long").as("prefix_editdist"))
+      .filter(col("prefix_editdist") <= maxDist)
   }
 
-  /** [[simhashPairsOracle]] with its final SELECT swapped for the
-    * edit-distance verification — same candidate CTE chain verbatim. */
+  /** [[simhashCandidateCtes]] plus the edit-distance verification — the
+    * candidate CTE chain is shared by construction, not string surgery. */
   def editDistPairsOracle(maxDist: Int = 20, prefixLen: Int = 40): String =
-    simhashPairsOracle.replace(
-      "SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3",
-      s"""SELECT doc_a, doc_b, hamming,
-         |  CAST(levenshtein(ta.prefix, tb.prefix) AS BIGINT) AS editdist
-         |FROM (SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3) cand
-         |JOIN (SELECT doc_id, substr(text, 1, $prefixLen) AS prefix FROM corpus) ta
-         |  ON doc_a = ta.doc_id
-         |JOIN (SELECT doc_id, substr(text, 1, $prefixLen) AS prefix FROM corpus) tb
-         |  ON doc_b = tb.doc_id
-         |WHERE levenshtein(ta.prefix, tb.prefix) <= $maxDist""".stripMargin)
+    s"""$simhashCandidateCtes
+       |SELECT doc_a, doc_b, hamming,
+       |  CAST(levenshtein(ta.prefix, tb.prefix) AS BIGINT) AS prefix_editdist
+       |FROM (SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3) cand
+       |JOIN (SELECT doc_id, substr(text, 1, $prefixLen) AS prefix FROM corpus) ta
+       |  ON doc_a = ta.doc_id
+       |JOIN (SELECT doc_id, substr(text, 1, $prefixLen) AS prefix FROM corpus) tb
+       |  ON doc_b = tb.doc_id
+       |WHERE levenshtein(ta.prefix, tb.prefix) <= $maxDist""".stripMargin
 }

@@ -758,4 +758,199 @@ object RelationalOps {
       |       AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 50
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ---- Catalyst decorrelation shapes (round 5) --------------------------
+  // The synthetic schema lacks partsupp/l_shipmode/l_commitdate, so these
+  // carry the TPC-H Q21/Q2/Q11/Q12/Q20 *plan shapes* — the decorrelation
+  // families a real analytics user hits weekly — re-expressed over the
+  // columns that exist. Written in SQL on purpose: the point is what
+  // Catalyst does to the subqueries (semi/anti joins, decorrelated
+  // aggregates), asserted in Round5AdditionsSpec.
+
+  /** TPC-H Q21-shape: multi-correlated EXISTS + NOT EXISTS against the
+    * same fact table. "Late" is l_shipdate > o_orderdate + 730 days (the
+    * schema has no commitdate/receiptdate). Suppliers counted when they
+    * shipped late on a finished multi-supplier order and NO other supplier
+    * on that order was late. Catalyst plans the EXISTS as a left-semi and
+    * the NOT EXISTS as a left-anti, both equi-keyed on l_orderkey — never
+    * a per-row re-scan; the non-equi suppkey<>suppkey conjunct rides the
+    * join condition.
+    */
+  def waitingSuppliers(spark: org.apache.spark.sql.SparkSession,
+                       supplier: DataFrame, lineitem: DataFrame,
+                       orders: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("graft_q21_supplier")
+    lineitem.createOrReplaceTempView("graft_q21_lineitem")
+    orders.createOrReplaceTempView("graft_q21_orders")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM graft_q21_supplier, graft_q21_lineitem l1, graft_q21_orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 730 DAY
+        |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3, graft_q21_orders o3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND o3.o_orderkey = l3.l_orderkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 730 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin)
+  }
+
+  val waitingSuppliersOracle: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 730 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND o3.o_orderkey = l3.l_orderkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 730 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q2-shape: correlated scalar-MIN subquery in WHERE (min
+    * lineitem price per part stands in for min supplycost — no partsupp
+    * table). Catalyst decorrelates the per-part min into one aggregate
+    * over lineitem joined back on l_partkey — two scans and a shuffle,
+    * never an N+1 re-scan. The equality compares raw stored doubles (no
+    * accumulation), so it is exact on both engines.
+    */
+  def minCostSupplier(spark: org.apache.spark.sql.SparkSession,
+                      part: DataFrame, lineitem: DataFrame,
+                      supplier: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("graft_q2_part")
+    lineitem.createOrReplaceTempView("graft_q2_lineitem")
+    supplier.createOrReplaceTempView("graft_q2_supplier")
+    spark.sql(
+      """SELECT p_partkey, p_name, s_suppkey, s_name,
+        |       l_extendedprice AS min_price
+        |FROM graft_q2_part, graft_q2_lineitem, graft_q2_supplier
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size <= 3
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM graft_q2_lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  val minCostSupplierOracle: String =
+    """SELECT p_partkey, p_name, s_suppkey, s_name,
+      |       l_extendedprice AS min_price
+      |FROM part, lineitem, supplier
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size <= 3
+      |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                         FROM lineitem l2
+      |                         WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q11-shape: HAVING against an uncorrelated GLOBAL scalar
+    * (nations holding > 4% of worldwide supplier balance). The scalar
+    * subquery computes once and broadcasts into the having-filter; sums
+    * are exact DECIMAL on both engines (s_acctbal is a stored double —
+    * double accumulation would be order-dependent), converted to double
+    * once for output.
+    */
+  def importantNationBalance(spark: org.apache.spark.sql.SparkSession,
+                             supplier: DataFrame, nation: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("graft_q11_supplier")
+    nation.createOrReplaceTempView("graft_q11_nation")
+    spark.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM graft_q11_supplier JOIN graft_q11_nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING sum(CAST(s_acctbal AS DECIMAL(18,2))) >
+        |       (SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) * 0.04
+        |        FROM graft_q11_supplier)""".stripMargin)
+  }
+
+  val importantNationBalanceOracle: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |HAVING sum(CAST(s_acctbal AS DECIMAL(18,2))) >
+      |       (SELECT sum(CAST(s_acctbal AS DECIMAL(18,2))) * 0.04
+      |        FROM supplier)""".stripMargin
+
+  /** TPC-H Q12-shape: CASE-conditional aggregation over an orders ⋈
+    * lineitem join (l_returnflag stands in for l_shipmode). One
+    * shuffle-join, one hash aggregate; the CASEs fold into the aggregate
+    * expressions inside whole-stage codegen.
+    */
+  def priorityLineClasses(spark: org.apache.spark.sql.SparkSession,
+                          orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("graft_q12_orders")
+    lineitem.createOrReplaceTempView("graft_q12_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM graft_q12_orders JOIN graft_q12_lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  val priorityLineClassesOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** TPC-H Q20-shape: nested IN chains (suppliers of heavily-shipped red
+    * parts in a nation set). Catalyst turns each IN-subquery into a
+    * left-semi join — the plan is a semi-join chain with the HAVING
+    * aggregate in the middle, no correlated re-execution anywhere.
+    */
+  def promoSuppliers(spark: org.apache.spark.sql.SparkSession,
+                     supplier: DataFrame, lineitem: DataFrame,
+                     part: DataFrame, nation: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("graft_q20_supplier")
+    lineitem.createOrReplaceTempView("graft_q20_lineitem")
+    part.createOrReplaceTempView("graft_q20_part")
+    nation.createOrReplaceTempView("graft_q20_nation")
+    spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM graft_q20_supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM graft_q20_lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM graft_q20_part
+        |                        WHERE p_name LIKE 'red%')
+        |      AND l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 90)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM graft_q20_nation
+        |                      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))""".stripMargin)
+  }
+
+  val promoSuppliersOracle: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 90)
+      |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))""".stripMargin
 }

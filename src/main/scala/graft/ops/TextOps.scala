@@ -253,8 +253,8 @@ object TextOps {
         coalesce(col("token_id"), lit(-1L)).as("token_id"))
   }
 
-  val vocabEncodeOracle: String =
-    """WITH toks AS (
+  def vocabEncodeOracle(vocabSize: Int = 16): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text,' ')) + 1),
       |                 i -> {'pos': i - 1, 'tok': string_split(text,' ')[i]})) AS u
       |  FROM documents),
@@ -262,7 +262,7 @@ object TextOps {
       |vocab AS (
       |  SELECT tok, CAST(row_number() OVER (ORDER BY df DESC, tok ASC) - 1 AS BIGINT) AS token_id
       |  FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1)
-      |  QUALIFY row_number() OVER (ORDER BY df DESC, tok ASC) <= 16)
+      |  QUALIFY row_number() OVER (ORDER BY df DESC, tok ASC) <= $vocabSize)
       |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
       |FROM flat f LEFT JOIN vocab v ON f.tok = v.tok""".stripMargin
 
