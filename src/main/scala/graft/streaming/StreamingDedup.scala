@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One document landed in one LSH band bucket. `sig` is the FULL MinHash
+  * signature (numPerm longs) so verification needs no second lookup.
+  */
+case class BandedDoc(band: Int, band_key: String, doc_id: Long,
+                     sig: Seq[Long], ts: java.sql.Timestamp)
+
+/** A verified near-duplicate match: `doc_id` collided with the earlier
+  * `dup_of` in ≥1 band and their signatures agree on ≥ minEst of the
+  * permutations (the standard MinHash Jaccard estimator).
+  */
+case class DupMatch(doc_id: Long, dup_of: Long, est: Double)
+
+private case class BandBucket(docs: List[(Long, Seq[Long])])
+
+/** Streaming near-duplicate dedup with bounded state (SURVEY §2 streaming
+  * extension; the stateful sibling of [[graft.ops.DedupOps.dedupIncremental]]).
+  *
+  * `dropDuplicatesWithinWatermark` handles EXACT keys; this operator
+  * handles NEAR duplicates: each document is MinHash-signed map-side
+  * (same native codegen'd expression as the batch path), exploded into
+  * 4 LSH band buckets, and each bucket keeps flatMapGroupsWithState
+  * state of the (doc_id, signature) pairs seen within the watermark.
+  * A new arrival is compared ONLY against its own bucket's state —
+  * candidates-by-collision, exactly the batch banding — and emitted as a
+  * [[DupMatch]] when signature agreement ≥ `minEst`. Exact duplicates
+  * agree on every permutation, so all four of their bands collide and
+  * recall for them is 1 by construction.
+  *
+  * State sizing at 100 TB/day (see PLANS.md): per band bucket the state
+  * is numPerm longs + 8 bytes per retained doc, and event-time timeouts
+  * evict buckets untouched for `stateTtl` past the watermark, so total
+  * state is bounded by (docs inside the watermark horizon) × 4 bands ×
+  * (numPerm+1) × 8 bytes — horizon-sized, never corpus-sized. Hot
+  * buckets (boilerplate collisions) are the skew risk: the per-bucket
+  * `maxBucket` cap drops comparison work for degenerate buckets loudly
+  * (emits nothing for overflow docs) rather than melting an executor —
+  * same rationale as the batch df-cap in ngramJaccardPairs.
+  *
+  * A pair colliding in several bands is emitted once per colliding band
+  * (each bucket's state is independent); consumers that need exactly-one
+  * row per pair add `dropDuplicatesWithinWatermark` on (doc_id, dup_of)
+  * downstream or dedup at the sink — the est is identical in every
+  * emission, so any copy is authoritative.
+  */
+object StreamingDedup {
+
+  /** Map-side banding projection: text → shingles → MinHash signature →
+    * 4 band buckets. Identical key derivation to the batch
+    * `dedupIncremental`/`minhashPairs` banding (concat_ws over signature
+    * slices), so a streaming bucket key equals the batch band key for
+    * the same text. Stateless — safe before the stateful operator.
+    * Documents shorter than 3 tokens carry no shingles and are dropped,
+    * matching the batch `withShingles` guard.
+    */
+  def bandedSignatures(spark: SparkSession, stream: DataFrame,
+                       numPerm: Int = 16, tsCol: String = "ts"): Dataset[BandedDoc] = {
+    import spark.implicits._
+    val rows = numPerm / 4
+    stream
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+      .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), numPerm))
+      .select(col("doc_id").cast("long"), col("sig"), col(tsCol).as("ts"),
+        posexplode(expr(
+          s"transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * $rows + 1, $rows)))")))
+      .select(col("pos").cast("int").as("band"), col("col").as("band_key"),
+        col("doc_id"), col("sig"), col("ts"))
+      .as[BandedDoc]
+  }
+
+  /** The stateful core: per (band, band_key) bucket, match each arrival
+    * against the bucket's retained signatures, then retain it. Input must
+    * already carry a watermark on `ts` (set by [[minhashDedupStream]]).
+    */
+  def dedupAgainstState(spark: SparkSession, banded: Dataset[BandedDoc],
+                        minEst: Double, numPerm: Int,
+                        stateTtlMs: Long, maxBucket: Int): Dataset[DupMatch] = {
+    import spark.implicits._
+    banded.groupByKey(d => (d.band, d.band_key))
+      .flatMapGroupsWithState[BandBucket, DupMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, String), events: Iterator[BandedDoc], state: GroupState[BandBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = collection.mutable.ArrayBuffer.empty[DupMatch]
+            // doc_id order makes intra-batch matching deterministic and
+            // oriented smaller-id-first, mirroring the batch candidate
+            // orientation (b.doc_id < a.doc_id).
+            val arrivals = events.toSeq.sortBy(_.doc_id)
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            arrivals.foreach { e =>
+              if (seen.lengthCompare(maxBucket) < 0) {
+                seen.foreach { case (id, sig) =>
+                  if (id != e.doc_id) {
+                    var n = 0
+                    var i = 0
+                    while (i < numPerm) { if (sig(i) == e.sig(i)) n += 1; i += 1 }
+                    val est = n.toDouble / numPerm
+                    if (est >= minEst) out += DupMatch(e.doc_id, id, est)
+                  }
+                }
+                seen = (e.doc_id, e.sig) :: seen
+              }
+            }
+            state.update(BandBucket(seen))
+            // Evict once the watermark passes last-touch + TTL. Keyed off
+            // the batch's max EVENT time (the watermark itself lags events
+            // by the delay — early on it is still epoch 0, and a timeout
+            // derived from it would evict live state immediately); the max
+            // with the current watermark keeps the timestamp legal.
+            val lastTouch = math.max(
+              arrivals.iterator.map(_.ts.getTime).max,
+              state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(lastTouch + stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** End-to-end streaming MinHash near-dup dedup: documents
+    * (doc_id, text, `tsCol`) → watermark → band buckets → stateful match.
+    */
+  def minhashDedupStream(spark: SparkSession, stream: DataFrame,
+                         minEst: Double = 0.5, numPerm: Int = 16,
+                         watermarkDelay: String = "10 minutes",
+                         stateTtlMs: Long = 10L * 60 * 1000,
+                         maxBucket: Int = 10000,
+                         tsCol: String = "ts"): Dataset[DupMatch] = {
+    val banded = bandedSignatures(
+      spark, stream.withWatermark(tsCol, watermarkDelay), numPerm, tsCol)
+    dedupAgainstState(spark, banded, minEst, numPerm, stateTtlMs, maxBucket)
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.ops.{DedupOps, RelationalOps}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: incremental dedup-against-index guarantees and the
+  * Catalyst decorrelation plan shapes (Q21/Q2/Q20 families).
+  */
+class Round5AdditionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // Ten-token texts so every doc carries 8 three-gram shingles.
+  private val corpusRows = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten"))
+  private val freshText = "completely different words entirely novel content nothing shared here at"
+
+  test("dedupIncremental flags exact copies from index and delta, keeps fresh docs") {
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val index = DedupOps.signatureIndex(corpus)
+    val delta = Seq(
+      (10L, corpusRows.head._2),  // exact copy of index doc 1
+      (11L, freshText),           // fresh: survives
+      (12L, freshText)            // exact copy of EARLIER DELTA doc 11
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupIncremental(index, delta).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      10L -> ((1L, true)),    // matched against the index, never re-shingled
+      11L -> ((-1L, false)),  // first occurrence survives
+      12L -> ((11L, true))),  // matched against the earlier delta doc
+      s"got $got")
+  }
+
+  test("dedupIncremental labels with the smallest matching doc id across index and delta") {
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val index = DedupOps.signatureIndex(corpus)
+    // 20 duplicates doc 2 (index) AND doc 15 (delta, arrives earlier by id):
+    // min(2, 15) = 2 must win.
+    val delta = Seq((15L, corpusRows(1)._2), (20L, corpusRows(1)._2))
+      .toDF("doc_id", "text")
+    val got = DedupOps.dedupIncremental(index, delta).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(15L -> 2L, 20L -> 2L), s"got $got")
+  }
+
+  test("dedupIncremental rejects an index that still carries text (re-shingling impossible)") {
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.dedupIncremental(corpus, corpus)
+    }
+    assert(e.getMessage.contains("signatureIndex"))
+  }
+
+  test("dedupIncremental reads the persisted index, not corpus text: one signature derivation, index scan is (doc_id, sig)") {
+    val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+    val corpus = DedupOps.augmented(Tables.documents(spark, sfDir))
+    DedupOps.signatureIndex(corpus.filter(col("doc_id") < 100000))
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val out = DedupOps.dedupIncremental(index, corpus.filter(col("doc_id") >= 100000))
+    val n = out.count()
+    assert(n > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    // The index parquet scan must read exactly (doc_id, sig) — if the
+    // corpus were being re-shingled, a text column would be read here.
+    val idxScans = plan.linesIterator.filter(l =>
+      l.contains("parquet") && l.contains(dir.split('/').last)).toList
+    assert(idxScans.nonEmpty, s"no index scan found in plan:\n$plan")
+    assert(idxScans.forall(l => !l.contains("text")),
+      s"index scan must not read text:\n${idxScans.mkString("\n")}")
+    // Signature derivation (shingle → minhash_sig) exists ONLY on the
+    // delta branch: the index branch carries none.
+    spark.catalog.clearCache()
+  }
+
+  // ---- Catalyst decorrelation plan shapes --------------------------------
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertNoNestedLoop(plan: String, what: String): Unit = {
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"$what must decorrelate to equi-joins, got:\n$plan")
+  }
+
+  test("Q21 shape: EXISTS plans as left-semi, NOT EXISTS as left-anti, no nested loop") {
+    val plan = executedPlan(RelationalOps.waitingSuppliers(spark,
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir)))
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected a left-anti join:\n$plan")
+    assertNoNestedLoop(plan, "Q21")
+  }
+
+  test("Q2 shape: correlated scalar-min decorrelates to an aggregate join, no per-row subquery") {
+    val df = RelationalOps.minCostSupplier(spark, Tables.part(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir))
+    val plan = executedPlan(df)
+    assertNoNestedLoop(plan, "Q2")
+    // The decorrelated form computes min(l_extendedprice) once as an
+    // aggregate (grouped on the correlation key), never as a re-executed
+    // scalar subquery: no Subquery/ScalarSubquery node survives in the
+    // physical plan, and a min aggregate does.
+    assert(!plan.contains("Subquery"), s"subquery must be decorrelated:\n$plan")
+    assert(plan.contains("min("), s"expected the decorrelated min aggregate:\n$plan")
+  }
+
+  test("Q20 shape: nested IN chains plan as a semi-join chain") {
+    val plan = executedPlan(RelationalOps.promoSuppliers(spark,
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.nation(spark, sfDir)))
+    val semis = "LeftSemi".r.findAllIn(plan).size
+    assert(semis >= 2, s"expected >=2 semi joins in the chain, got $semis:\n$plan")
+    assertNoNestedLoop(plan, "Q20")
+  }
+
+  test("Q11 shape: global-scalar HAVING executes the scalar once (one subquery, no nested loop)") {
+    val df = RelationalOps.importantNationBalance(spark,
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir))
+    val plan = executedPlan(df)
+    assertNoNestedLoop(plan, "Q11")
+    // The uncorrelated scalar is a ONE-TIME subquery feeding the filter,
+    // not a join against the aggregate.
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"expected the global scalar as a one-shot subquery:\n$plan")
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.ops.DedupOps
+import graft.sources.Tables
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming MinHash-band near-dup dedup: batch parity, watermark-bounded
+  * state eviction, and the hot-bucket cap.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** Batch reference: same banding + signature-agreement estimator as the
+    * stream, computed declaratively — (later_id, earlier_id, est) with
+    * est ≥ minEst, pair-distinct. Orientation matches the stream's
+    * smaller-id-first matching within one micro-batch.
+    */
+  private def batchSigPairs(docs: DataFrame, minEst: Double,
+                            numPerm: Int): Set[(Long, Long, Double)] = {
+    val rows = numPerm / 4
+    val sig = DedupOps.signatureIndex(docs, numPerm)
+    val bands = sig.select(col("doc_id"), col("sig"), posexplode(expr(
+      s"transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * $rows + 1, $rows)))")))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("late"), col("b.doc_id").as("early"),
+        (expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+          .cast("double") / numPerm).as("est"))
+      .filter(col("est") >= minEst)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  private def streamOf(input: MemoryStream[(Long, String, Timestamp)]) =
+    input.toDF().toDF("doc_id", "text", "ts")
+
+  test("streaming minhash dedup matches the batch banding+agreement pairs on the augmented corpus") {
+    implicit val sq = spark.sqlContext
+    val corpus = DedupOps.augmented(Tables.documents(spark, "/root/testdata/sf0.001"))
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1), t0)).toSeq
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingDedup.minhashDedupStream(spark, streamOf(input))
+    val query = out.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)   // one micro-batch: deterministic doc_id order
+      query.processAllAvailable()
+      val got = spark.table("stream_dedup").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = batchSigPairs(corpus, minEst = 0.5, numPerm = 16)
+      assert(got == want,
+        s"stream-only: ${got -- want}\nbatch-only: ${want -- got}")
+      assert(want.nonEmpty, "augmented corpus must contain near-dups")
+    } finally query.stop()
+  }
+
+  test("exact duplicates match across micro-batches with est 1.0") {
+    implicit val sq = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog today"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingDedup.minhashDedupStream(spark, streamOf(input))
+    val query = out.writeStream.format("memory").queryName("stream_dedup_xb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, text, t0))
+      query.processAllAvailable()
+      assert(spark.table("stream_dedup_xb").count() == 0)
+      input.addData((2L, text, new Timestamp(t0.getTime + 1000)))
+      query.processAllAvailable()
+      val got = spark.table("stream_dedup_xb").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((2L, 1L, 1.0)), s"got $got")
+    } finally query.stop()
+  }
+
+  test("state is evicted once the watermark passes the TTL: late duplicates no longer match") {
+    implicit val sq = spark.sqlContext
+    val text = "some recognizable sentence that repeats verbatim in the stream later"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    // 1-minute watermark delay + 1-minute TTL: an hour-later duplicate
+    // arrives long after the original bucket was evicted.
+    val out = StreamingDedup.minhashDedupStream(spark, streamOf(input),
+      watermarkDelay = "1 minute", stateTtlMs = 60L * 1000)
+    val query = out.writeStream.format("memory").queryName("stream_dedup_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, text, t0))
+      query.processAllAvailable()
+      // advance event time an hour: watermark sweeps past t0 + TTL
+      input.addData((2L, "filler words to push the watermark forward quite far", new Timestamp(t0.getTime + 3600L * 1000)))
+      query.processAllAvailable()
+      // timeout fires in the batch AFTER the watermark advanced
+      input.addData((3L, "more filler to trigger the eviction processing pass now", new Timestamp(t0.getTime + 3610L * 1000)))
+      query.processAllAvailable()
+      input.addData((4L, text, new Timestamp(t0.getTime + 3620L * 1000)))
+      query.processAllAvailable()
+      val got = spark.table("stream_dedup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.isEmpty,
+        s"doc 1's bucket must be evicted before doc 4 arrives, got $got")
+    } finally query.stop()
+  }
+
+  test("hot-bucket cap: overflow arrivals are dropped from matching, not melted") {
+    implicit val sq = spark.sqlContext
+    val text = "identical boilerplate text shared by every document in this bucket"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val banded = StreamingDedup.bandedSignatures(
+      spark, streamOf(input).withWatermark("ts", "10 minutes"))
+    val out = StreamingDedup.dedupAgainstState(spark, banded,
+      minEst = 0.5, numPerm = 16, stateTtlMs = 600000L, maxBucket = 1)
+    val query = out.writeStream.format("memory").queryName("stream_dedup_cap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, text, t0), (2L, text, t0), (3L, text, t0))
+      query.processAllAvailable()
+      // bucket holds doc 1 only; docs 2 and 3 overflow and emit nothing
+      assert(spark.table("stream_dedup_cap").count() == 0)
+    } finally query.stop()
+  }
+}
