@@ -151,6 +151,8 @@ object SparkEntry {
     // Tokenizer-realistic vocab size: same plan shape (TakeOrderedAndProject
     // + broadcast encode join) proven at 32k ids, not a toy 16.
     "vocab_encode_32k" -> ((s, dir) => TextOps.vocabEncode(D(s, dir), 32768)),
+    // CCNet-style corpus-statistics quality scoring (transcendental-free)
+    "unigram_scores" -> ((s, dir) => TextOps.unigramScores(D(s, dir))),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -365,6 +367,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> RelationalOps.smallQuantityRevenueOracle,
     "vocab_encode" -> TextOps.vocabEncodeOracle(),
     "vocab_encode_32k" -> TextOps.vocabEncodeOracle(32768),
+    "unigram_scores" -> TextOps.unigramScoresOracle(),
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,

@@ -266,6 +266,50 @@ object TextOps {
       |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
       |FROM flat f LEFT JOIN vocab v ON f.tok = v.tok""".stripMargin
 
+  /** B10 — unigram corpus-statistics scoring: the engine-native stand-in
+    * for CCNet's LM-perplexity quality filter. The "model" is the global
+    * top-V unigram counts (TakeOrderedAndProject, bounded by vocabSize);
+    * each document is scored by the mean corpus frequency of its tokens
+    * (in-vocab mass / n_tokens) and its OOV fraction — gibberish and
+    * ID-soup score OOV-high / frequency-low, boilerplate scores
+    * frequency-high. Deliberately transcendental-free: a true log-prob
+    * needs ln(), whose last-ulp value differs between engines; both
+    * scores here are one IEEE division over exact integer sums, so the
+    * oracle hash-matches bitwise. Plan: one count shuffle (map-side
+    * partials), a broadcast left join onto the exploded token stream —
+    * the corpus-side stream never shuffles.
+    */
+  def unigramScores(documents: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("vocab_mass"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"),
+        (col("vocab_mass").cast("double") / col("n_tokens")).as("mean_freq"))
+  }
+
+  def unigramScoresOracle(vocabSize: Int = 16): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok, cnt FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+       |  ORDER BY cnt DESC, tok ASC LIMIT $vocabSize)
+       |SELECT t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS oov_frac,
+       |  CAST(CAST(sum(coalesce(v.cnt, 0)) AS BIGINT) AS DOUBLE)
+       |    / count(*) AS mean_freq
+       |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       |GROUP BY t.doc_id""".stripMargin
+
   /** PII scrubbing — the redaction pass every public-corpus pipeline runs
     * before training (emails, IPv4 addresses → typed placeholder tokens),
     * plus per-doc redaction counts for audit metrics. Pure map-side
@@ -393,8 +437,19 @@ object TextOps {
     * any partitioning, any rerun — never `rand()`, whose sample changes
     * under retry/speculation.
     */
-  def sourceMix(documents: DataFrame): DataFrame = {
-    val rate256 = (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 64
+  def sourceMix(documents: DataFrame,
+                rates: Map[String, Double] = Map.empty,
+                defaultRate: Double = 1.0): DataFrame = {
+    // `rates` is the production API: per-source keep rates as a literal
+    // map (codegen'd element_at — effectively a broadcast dimension;
+    // unknown sources fall back to defaultRate). The empty-map default
+    // keeps the demo rule: rate in {¼,½,¾,1} from the source index.
+    val rate256 =
+      if (rates.isEmpty)
+        (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 64
+      else
+        (coalesce(element_at(typedLit(rates), col("source")),
+          lit(defaultRate)) * 256.0).cast("long")
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 3, 2), 16, 10)
       .cast("long")
     documents

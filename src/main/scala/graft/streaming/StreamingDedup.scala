@@ -127,6 +127,48 @@ object StreamingDedup {
       }
   }
 
+  /** STATELESS streaming dedup-against-index — the streaming twin of
+    * [[graft.ops.DedupOps.dedupIncremental]]: a live document stream is
+    * checked against a persisted, STATIC signature index (yesterday's
+    * corpus) with zero streaming state. Each micro-batch is banded
+    * map-side and equi-joined (stream-static inner join, Append-legal)
+    * against the index's band table; signature agreement ≥ `minEst`
+    * emits a [[DupMatch]]. Use this when the reference corpus is fixed
+    * within the run and [[minhashDedupStream]]'s stateful path only for
+    * intra-stream duplicates — production composes both: index join
+    * first (cheap, stateless), stateful bucket match on the survivors.
+    *
+    * Scale: the banded index is persisted (one derivation, re-used every
+    * micro-batch — without it Spark re-reads the static side per batch);
+    * the stream side shuffles only (band, band_key, doc_id, sig) rows.
+    * A pair colliding in several bands emits once per band, as in
+    * [[minhashDedupStream]] — dedup at the sink if exactly-once pairs
+    * are required.
+    */
+  def dedupAgainstIndexStream(spark: SparkSession, index: DataFrame,
+                              stream: DataFrame, minEst: Double = 0.5,
+                              numPerm: Int = 16,
+                              tsCol: String = "ts"): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "sig")),
+      s"index must be a signatureIndex (doc_id, sig); got ${index.columns.mkString(",")}")
+    val rows = numPerm / 4
+    val bandExpr =
+      s"transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * $rows + 1, $rows)))"
+    val ibands = index
+      .select(col("doc_id").as("idx_id"), col("sig").as("idx_sig"),
+        posexplode(expr(bandExpr)))
+      .select(col("pos").as("band"), col("col").as("band_key"),
+        col("idx_id"), col("idx_sig"))
+      .persist()
+    val sbands = bandedSignatures(spark, stream, numPerm, tsCol).toDF()
+    val nMatch = expr(
+      "aggregate(zip_with(sig, idx_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+    sbands.join(ibands, Seq("band", "band_key"))
+      .withColumn("est", nMatch.cast("double") / lit(numPerm.toDouble))
+      .filter(col("est") >= minEst)
+      .select(col("doc_id"), col("idx_id").as("dup_of"), col("est"))
+  }
+
   /** End-to-end streaming MinHash near-dup dedup: documents
     * (doc_id, text, `tsCol`) → watermark → band buckets → stateful match.
     */

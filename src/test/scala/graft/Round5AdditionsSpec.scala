@@ -78,6 +78,40 @@ class Round5AdditionsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sourceMix honors an explicit rates map with default fallback") {
+    val docs = Tables.documents(spark, sfDir)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.ops.TextOps.sourceMix(docs,
+      rates = Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("src0") == perSource("src0"), "rate-1.0 source keeps everything")
+    assert(!got.contains("src1"), "rate-0 source drops everything")
+    perSource.keys.filterNot(Set("src0", "src1")).foreach { s =>
+      assert(got(s) == perSource(s), s"defaultRate 1.0 must keep all of $s")
+    }
+  }
+
+  test("unigramScores: OOV fraction and mean corpus frequency on a known corpus") {
+    // "common" appears 6x (in the top-2 vocab), "mid" 3x, everything else
+    // once. vocabSize=2 -> vocab = {common:6, mid:3}.
+    val docs = Seq(
+      (1L, "common common common mid"),         // all in-vocab
+      (2L, "common rare1 rare2 rare3"),         // 3/4 OOV
+      (3L, "common common mid mid rareX")       // 1/5 OOV
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.unigramScores(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((4L, 0L, 0.0, (6 * 3 + 3).toDouble / 4)), s"got ${got(1L)}")
+    assert(got(2L) == ((4L, 3L, 0.75, 6.0 / 4)), s"got ${got(2L)}")
+    assert(got(3L) == ((5L, 1L, 0.2, (6 * 2 + 3 * 2).toDouble / 5)), s"got ${got(3L)}")
+    // the vocab side is broadcast: the token stream must not shuffle for the join
+    val plan = graft.ops.TextOps.unigramScores(docs, vocabSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
+  }
+
   // ---- Catalyst decorrelation plan shapes --------------------------------
 
   private def executedPlan(df: DataFrame): String = {

@@ -111,6 +111,44 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static dedup-against-index matches index docs with zero streaming state") {
+    implicit val sq = spark.sqlContext
+    val corpusRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+    val index = DedupOps.signatureIndex(corpusRows.toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingDedup.dedupAgainstIndexStream(spark, index, streamOf(input))
+    val query = out.writeStream.format("memory").queryName("stream_vs_index")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (10L, corpusRows.head._2, t0),                                   // exact copy of index doc 1
+        (11L, "a wholly original sentence sharing nothing with the index", t0))
+      query.processAllAvailable()
+      val got = spark.table("stream_vs_index").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((10L, 1L, 1.0)), s"got $got")
+      // stateless by construction: no state-store operators in the query
+      val stateOps = query.lastProgress.stateOperators
+      assert(stateOps.isEmpty,
+        s"stream-static dedup must carry no state, got ${stateOps.mkString(",")}")
+    } finally {
+      query.stop()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("dedupAgainstIndexStream rejects a non-index static side") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val notIndex = Seq((1L, "text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.dedupAgainstIndexStream(spark, notIndex, streamOf(input))
+    }
+    assert(e.getMessage.contains("signatureIndex"))
+  }
+
   test("hot-bucket cap: overflow arrivals are dropped from matching, not melted") {
     implicit val sq = spark.sqlContext
     val text = "identical boilerplate text shared by every document in this bucket"
