@@ -55,9 +55,15 @@ object Bench {
     // cleared between reps), so the median is a cold-query time, not a
     // cache readback.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional comma-separated name filter for targeted re-measurement
+    // (regression triage without a 100-query run); absent = all queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     // Sorted order: stable attribution across rounds (Map iteration order
     // shifts as entries are added, moving the noise-prone early slots).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val ts = collection.mutable.ArrayBuffer.empty[Double]
       try {
         var r = 0

@@ -132,6 +132,9 @@ object SparkEntry {
     "q20_promo_suppliers" -> ((s, dir) => RelationalOps.promoSuppliers(
       s, Tables.supplier(s, dir), Tables.lineitem(s, dir),
       Tables.part(s, dir), Tables.nation(s, dir))),
+    "q9_product_profit" -> ((s, dir) => RelationalOps.productProfit(
+      Tables.lineitem(s, dir), O(s, dir), Tables.part(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir))),
     "window_tumbling" -> ((s, dir) => EventOps.tumblingCounts(E(s, dir))),
     "window_sliding" -> ((s, dir) => EventOps.slidingCounts(E(s, dir))),
     "anti_join" -> ((s, dir) => RelationalOps.customersWithoutOrders(
@@ -346,6 +349,7 @@ object SparkEntry {
     "q11_important_balance" -> RelationalOps.importantNationBalanceOracle,
     "q12_priority_lines" -> RelationalOps.priorityLineClassesOracle,
     "q20_promo_suppliers" -> RelationalOps.promoSuppliersOracle,
+    "q9_product_profit" -> RelationalOps.productProfitOracle,
     "window_tumbling" -> EventOps.tumblingCountsOracle,
     "window_sliding" -> EventOps.slidingCountsOracle,
     "anti_join" -> RelationalOps.customersWithoutOrdersOracle,

@@ -567,6 +567,44 @@ object RelationalOps {
       |WHERE n1.n_name <> n2.n_name
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** TPC-H Q9-flavored product profit: per supplier-nation per order
+    * year, profit = revenue − cost, with the part filter driving the
+    * whole chain (no partsupp table in this schema, so retailprice ×
+    * quantity stands in for supplycost × quantity — the identical plan
+    * shape: a five-table join with an arithmetic aggregate over two
+    * tables' columns). The filtered part dim broadcasts; the fact chain
+    * shuffles once per equi-join; the final agg groups ≤ |nations|·years
+    * rows. All money math in exact DECIMAL, one cast to double on output.
+    */
+  def productProfit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                    supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val cost = col("p_retailprice").cast("decimal(18,2)") *
+      col("l_quantity").cast("decimal(18,2)")
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revD - cost).cast("double").as("profit"))
+  }
+
+  val productProfitOracle: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |         - CAST(p_retailprice AS DECIMAL(18,2)) *
+      |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2""".stripMargin
+
   /** TPC-H Q13-flavored: distribution of per-customer order counts,
     * orders filtered by an exclusion predicate BEFORE a LEFT join so
     * order-less customers land in the 0 bucket. Double aggregation: the

@@ -169,6 +169,44 @@ object StreamingDedup {
       .select(col("doc_id"), col("idx_id").as("dup_of"), col("est"))
   }
 
+  /** The full production incremental-dedup LOOP: per micro-batch, dedup
+    * the arriving documents against the persisted signature index
+    * (batch [[graft.ops.DedupOps.dedupIncremental]] — band candidates +
+    * signature agreement, intra-batch duplicates included), deliver the
+    * batch's (doc_id, dup_of, is_dup) verdicts to `sink`, and APPEND the
+    * survivors' signatures to the index — so tomorrow's batch dedups
+    * against today's survivors without anything ever re-reading old
+    * text. foreachBatch because the index is both read and grown inside
+    * one trigger (a cycle no declarative streaming join can express).
+    *
+    * Idempotence on replay: a re-delivered batch re-matches against the
+    * survivors it already appended (signature agreement 1.0 with
+    * themselves), so re-appends are flagged as dups — dedup-at-sink on
+    * doc_id, or run with exactly-once sinks. At 100 TB the index append
+    * is signature-sized (numPerm longs/doc); compact it periodically so
+    * the band derivation reads few large files.
+    */
+  def incrementalIndexLoop(spark: SparkSession, stream: DataFrame,
+                           indexDir: String, minEst: Double = 0.5,
+                           numPerm: Int = 16)
+                          (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      val index = spark.read.parquet(indexDir)
+      val verdicts = graft.ops.DedupOps
+        .dedupIncremental(index, docs, minEst, numPerm).persist()
+      try {
+        sink(verdicts, batchId)
+        val survivors = docs.join(
+          verdicts.filter(!col("is_dup")).select("doc_id"), "doc_id")
+        graft.ops.DedupOps.signatureIndex(survivors, numPerm)
+          .write.mode("append").parquet(indexDir)
+      } finally {
+        verdicts.unpersist()
+        spark.catalog.clearCache() // dedupIncremental persists its inputs
+      }
+    }
+
   /** End-to-end streaming MinHash near-dup dedup: documents
     * (doc_id, text, `tsCol`) → watermark → band buckets → stateful match.
     */

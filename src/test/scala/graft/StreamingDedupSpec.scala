@@ -139,6 +139,38 @@ class StreamingDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalIndexLoop grows the index with survivors; later batches dedup against them") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("incr_idx").toString
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // seed the index with one known doc
+    DedupOps.signatureIndex(
+      Seq((1L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text")).write.mode("overwrite").parquet(dir)
+
+    val verdicts = collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val query = graft.streaming.StreamingDedup.incrementalIndexLoop(
+      spark, streamOf(input), dir) { (batch, _) =>
+      verdicts ++= batch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    }.start()
+    try {
+      // batch 1: doc 10 is fresh -> survives AND joins the index
+      input.addData((10L, textA, t0))
+      query.processAllAvailable()
+      assert(verdicts.toSet == Set((10L, -1L, false)), s"got $verdicts")
+      // batch 2: doc 20 duplicates doc 10 — caught ONLY if the index grew
+      input.addData((20L, textA, new Timestamp(t0.getTime + 1000)))
+      query.processAllAvailable()
+      assert(verdicts.toSet == Set((10L, -1L, false), (20L, 10L, true)),
+        s"got $verdicts")
+      // the index now holds exactly the seed + the survivor, never the dup
+      val idx = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+      assert(idx == Set(1L, 10L), s"index grew wrong: $idx")
+    } finally query.stop()
+  }
+
   test("dedupAgainstIndexStream rejects a non-index static side") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
