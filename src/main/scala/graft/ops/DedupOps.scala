@@ -266,20 +266,61 @@ object DedupOps {
     * Components come from [[connectedComponents]] — large-star/small-star
     * alternation — over the pair graph; see there for the scale argument.
     */
-  def nearDupClusters(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def nearDupClusters(corpus: DataFrame, minJaccard: Double = 0.5,
+                      driverMaxEdges: Long = 4000000L): DataFrame = {
+    val spark = corpus.sparkSession
     val pairs = minhashPairs(corpus, minJaccard).select("doc_a", "doc_b").persist()
     // The pair graph is orders of magnitude smaller than the corpus
-    // (near-dups are the exception), so the iterative phase sizes its
-    // shuffles to the MEASURED graph, not the corpus-level session
-    // default: with e.g. 2k edges in 32 partitions every round is pure
-    // task overhead, and at 100 TB (billions of edges) this clamps back
-    // up to the session parallelism.
-    val sessionParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = math.max(2L, math.min(sessionParts.toLong, pairs.count() / 25000)).toInt
-    val out = connectedComponents(pairs, parts)
-      .select(col("u").as("doc_id"), col("l").as("label"))
+    // (near-dups are the exception — these are VERIFIED pairs, i.e. the
+    // operator's own output), so the clustering phase is sized to the
+    // MEASURED graph. Two regimes:
+    //  - ≤ driverMaxEdges (default 4M edges ≈ 64 MB): driver union-find.
+    //    The iterative distributed algorithm pays ~10 jobs of scheduling
+    //    latency per O(log n) round, which dwarfs the work for a
+    //    metadata-sized graph; a bounded collect of the verified pairs is
+    //    NOT a corpus collect and is the same cutover GraphFrames-style
+    //    pipelines use for small graphs.
+    //  - above the bound: fully-distributed large-star/small-star
+    //    alternation, shuffles sized up to session parallelism.
+    val nEdges = pairs.count()
+    val out = if (nEdges <= driverMaxEdges) {
+      import spark.implicits._
+      val labels = localComponents(
+        pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+      spark.createDataset(labels.toSeq).toDF("doc_id", "label")
+    } else {
+      val sessionParts = spark.sessionState.conf.numShufflePartitions
+      val parts = math.max(2L, math.min(sessionParts.toLong, nEdges / 25000)).toInt
+      connectedComponents(pairs, parts)
+        .select(col("u").as("doc_id"), col("l").as("label"))
+    }
     pairs.unpersist()
     out
+  }
+
+  /** Driver union-find with path compression for metadata-sized pair
+    * graphs; attaching the larger root under the smaller makes the final
+    * root the component MINIMUM — identical labeling to
+    * [[connectedComponents]]. Iterative find: no stack risk on
+    * adversarial chains.
+    */
+  private[graft] def localComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toArray.map(v => (v, find(v)))
   }
 
   /** Distributed connected components via LARGE-STAR / SMALL-STAR

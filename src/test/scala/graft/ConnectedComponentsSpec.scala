@@ -76,4 +76,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(DedupOps.connectedComponents(empty, parts = 2).isEmpty)
   }
+
+  test("driver union-find fast path matches the union-find reference on adversarial shapes") {
+    val shapes = Seq(
+      (1L to 10000L).map(i => (0L, i)),            // skewed star
+      (0L until 5000L).map(i => (20000L, i)),      // inverted star
+      (0L until 600L).map(i => (i, i + 1)),        // long chain
+      Seq((5L, 9L), (9L, 7L), (20L, 30L), (41L, 40L)))
+    shapes.zipWithIndex.foreach { case (pairs, i) =>
+      val got = DedupOps.localComponents(pairs.toArray).toMap
+      assert(got == ufLabels(pairs), s"shape $i")
+    }
+  }
+
+  test("nearDupClusters: driver fast path and distributed path label identically") {
+    val docs = DedupOps.augmented(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    def labels(threshold: Long): Map[Long, Long] =
+      DedupOps.nearDupClusters(docs, driverMaxEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labels(Long.MaxValue)  // forced driver union-find
+    val dist = labels(-1L)             // forced star alternation
+    assert(local.nonEmpty && local == dist)
+    spark.catalog.clearCache()
+  }
 }
