@@ -266,6 +266,49 @@ object TextOps {
       |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
       |FROM flat f LEFT JOIN vocab v ON f.tok = v.tok""".stripMargin
 
+  /** B10 — sliding-window document chunking: the step before embedding
+    * or long-context packing — each document becomes overlapping
+    * `window`-token chunks every `stride` tokens (stride < window ⇒
+    * window−stride tokens of overlap, the standard RAG/embedding
+    * chunker). Pure map-side: one higher-order transform + posexplode,
+    * no shuffle, no state; output is chunk-addressed (doc_id, chunk_id,
+    * start_pos) so downstream embedding joins stay equi-keyed. Short
+    * documents emit exactly one (possibly short) chunk. Integer-only
+    * arithmetic: the chunk count is greatest(0, ⌈(n−window)/stride⌉)
+    * computed with `div`, so both engines agree bitwise.
+    */
+  def chunkDocuments(documents: DataFrame, window: Int = 64,
+                     stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window; got window=$window stride=$stride")
+    documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"""transform(sequence(0, greatest(0L, (n - $window + ${stride - 1}) div $stride)),
+             |  i -> concat_ws(' ', slice(toks, CAST(i * $stride + 1 AS INT), $window)))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("pos") * stride).cast("long").as("start_pos"),
+        least(lit(window.toLong), col("n") - col("pos") * stride).as("n_chunk_tokens"),
+        col("col").as("chunk"))
+  }
+
+  def chunkDocumentsOracle(window: Int = 64, stride: Int = 48): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, greatest(0, (n - $window + ${stride - 1}) // $stride) + 1)) AS i
+       |  FROM t)
+       |SELECT doc_id, i AS chunk_id, i * $stride AS start_pos,
+       |  CAST(least($window, n - i * $stride) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(toks[CAST(i * $stride + 1 AS BIGINT) :
+       |                       CAST(i * $stride + $window AS BIGINT)], ' ') AS chunk
+       |FROM ex""".stripMargin
+
   /** B10 — unigram corpus-statistics scoring: the engine-native stand-in
     * for CCNet's LM-perplexity quality filter. The "model" is the global
     * top-V unigram counts (TakeOrderedAndProject, bounded by vocabSize);

@@ -112,6 +112,28 @@ class Round5AdditionsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
   }
 
+  test("chunkDocuments: overlapping windows cover every token; short docs emit one chunk") {
+    // 10 tokens, window 4, stride 3 -> k = ceil(6/3) = 2 -> chunks at 0,3,6
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"),                       // shorter than the window: one chunk
+      (3L, "x y z w")                    // exactly one window
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.chunkDocuments(docs, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 3L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 6L, 4L, "t6 t7 t8 t9"),
+      (2L, 0L, 0L, 2L, "a b"),
+      (3L, 0L, 0L, 4L, "x y z w")), s"got $got")
+    // map-side only: no exchange in the plan
+    val plan = graft.ops.TextOps.chunkDocuments(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   // ---- Catalyst decorrelation plan shapes --------------------------------
 
   private def executedPlan(df: DataFrame): String = {
