@@ -210,6 +210,62 @@ case class DotFold(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native signature agreement:
+  * `sig_agree(a: array<long>, b: array<long>) -> int`.
+  *
+  * Counts positions where both arrays hold equal non-null longs —
+  * semantically identical to `aggregate(zip_with(a, b, (x, y) ->
+  * CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)` (a null
+  * or padded slot compares not-equal, contributing 0; integer math, so
+  * no IEEE-order caveats). This is the MinHash Jaccard-estimator hot
+  * loop in the incremental-dedup verify joins: the HOF form builds an
+  * intermediate array and interprets two lambdas per row, this is one
+  * primitive loop inside whole-stage codegen.
+  */
+case class SigAgree(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Same strict loop in generated code — integer counting, so the
+    * interpreted and codegen paths are trivially identical.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def simhash60(tokens: Column): Column =
@@ -218,4 +274,6 @@ object native {
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numPerm))
   def dotFold(a: Column, b: Column): Column =
     ColumnBridge.column(DotFold(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgree(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

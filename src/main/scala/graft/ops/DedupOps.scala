@@ -737,8 +737,9 @@ object DedupOps {
     val cand = candIdx.unionAll(candDelta).distinct()
 
     val allSigs = isig.unionAll(dsig)
-    val nMatch = expr(
-      "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0L, (acc, v) -> acc + v)")
+    // codegen'd primitive loop (see SigAgree) — integer equality count,
+    // identical to the zip_with/aggregate HOF form it replaces
+    val nMatch = graft.functions.native.sigAgree(col("sa"), col("sb"))
     val dups = cand
       .join(dsig.select(col("doc_id").as("delta_id"), col("sig").as("sa")), "delta_id")
       .join(allSigs.select(col("doc_id").as("cand_id"), col("sig").as("sb")), "cand_id")

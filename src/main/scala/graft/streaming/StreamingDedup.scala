@@ -161,8 +161,7 @@ object StreamingDedup {
         col("idx_id"), col("idx_sig"))
       .persist()
     val sbands = bandedSignatures(spark, stream, numPerm, tsCol).toDF()
-    val nMatch = expr(
-      "aggregate(zip_with(sig, idx_sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+    val nMatch = graft.functions.native.sigAgree(col("sig"), col("idx_sig"))
     sbands.join(ibands, Seq("band", "band_key"))
       .withColumn("est", nMatch.cast("double") / lit(numPerm.toDouble))
       .filter(col("est") >= minEst)

@@ -74,6 +74,35 @@ class NativeExpressionsSpec extends SparkSpec {
     else (0 to bytes.length - window).map(i => fold(i, i + window)).min
   }
 
+  test("sig_agree equals the zip_with/aggregate HOF form on random, null-bearing, mismatched arrays") {
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Seq[java.lang.Long], Seq[java.lang.Long])] = Seq.tabulate(200) { _ =>
+      def arr(n: Int): Seq[java.lang.Long] = Seq.fill(n)(
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(4).toLong))
+      val n = 1 + rnd.nextInt(20)
+      val m = if (rnd.nextInt(4) == 0) 1 + rnd.nextInt(20) else n  // 25% length mismatch
+      (arr(n), arr(m))
+    } :+ ((Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      native.sigAgree(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)").as("hof"))
+    val mismatches = got.filter(col("fast") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // whole-stage codegen and interpreted agree (force both paths)
+    val s = spark
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "false")
+      val interp = df.select(native.sigAgree(col("a"), col("b"))).as[Int].collect().toSeq
+      s.conf.set(key, "true")
+      val gen = df.select(native.sigAgree(col("a"), col("b"))).as[Int].collect().toSeq
+      assert(interp == gen)
+    } finally s.conf.set(key, prev)
+  }
+
   test("winnow60 hashes UTF-8 bytes: non-ASCII text matches the naive byte fold") {
     val texts = Seq(
       "héllo wörld — naïve café ★",                // 2- and 3-byte codepoints
