@@ -79,6 +79,16 @@ object Profile {
       t("clusters")(DedupOps.nearDupClusters(amplified).count())
       spark.catalog.clearCache(); amplified.persist()
       t("paragraph_dedup")(DedupOps.paragraphDedup(amplified).count())
+      spark.catalog.clearCache(); amplified.persist()
+      // Incremental shape at scale: the index holds copies 0..factor-2
+      // ((factor-1)/factor of the corpus), the delta is the last copy —
+      // index >> delta, as in production. Index build timed separately:
+      // it is the once-per-slice cost the incremental path amortizes.
+      val idxSide = amplified.filter(col("doc_id") < (factor - 1).toLong * 10000000L)
+      val deltaSide = amplified.filter(col("doc_id") >= (factor - 1).toLong * 10000000L)
+      val sigIdx = DedupOps.signatureIndex(idxSide).persist()
+      t("signature_index")(sigIdx.count())
+      t("dedup_incremental")(DedupOps.dedupIncremental(sigIdx, deltaSide).count())
       // decontaminate projects (doc_id, lang, source); the amplifier
       // carries only (doc_id, text) — stub the metadata columns.
       t("decontaminate")(DedupOps.decontaminate(

@@ -18,6 +18,7 @@ object GraftFunctions {
     "simhash60" -> (es => SimHash60(es.head)),
     "minhash_sig" -> (es => MinHashSignature(es.head, intArg(es, 1, 16))),
     "dot_fold" -> (es => DotFold(es(0), es(1))),
+    "sig_agree" -> (es => SigAgree(es(0), es(1))),
     "winnow60" -> (es => Winnow60(es.head, intArg(es, 1, Winnow60.DefaultWindow)))
   )
 

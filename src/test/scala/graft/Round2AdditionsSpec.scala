@@ -75,10 +75,12 @@ class Round2AdditionsSpec extends SparkSpec {
       """SELECT simhash60(array('a','b')) AS s,
         |       minhash_sig(array('x'), 4) AS m,
         |       dot_fold(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       sig_agree(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS g,
         |       winnow60('hello world') AS w""".stripMargin).collect().head
     assert(r.getAs[Long]("s") != 0L)
     assert(r.getAs[scala.collection.Seq[Long]]("m").size == 4)
     assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Int]("g") == 2)
     assert(r.getAs[Long]("w") > 0L)
   }
 
