@@ -134,6 +134,77 @@ class Round5AdditionsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("chunkDocuments property: chunks tile the token stream exactly (seeded random docs)") {
+    val rnd = new scala.util.Random(11)
+    for ((window, stride) <- Seq((8, 8), (8, 5), (16, 4))) {
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(60)
+        (i.toLong, (0 until n).map(j => s"w${rnd.nextInt(1000)}_$j").mkString(" "))
+      }
+      val byDoc = graft.ops.TextOps.chunkDocuments(
+          docs.toDF("doc_id", "text"), window, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val chunks = byDoc(id).sortBy(_._2)
+        // chunk ids are dense from 0; starts advance by stride
+        assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+        chunks.foreach { case (_, cid, start, nTok, chunk) =>
+          assert(start == cid * stride)
+          val expected = toks.slice(start.toInt, start.toInt + window)
+          assert(chunk == expected.mkString(" "), s"doc $id chunk $cid")
+          assert(nTok == math.min(window.toLong, toks.length - start))
+        }
+        // coverage: the final chunk reaches the last token
+        val last = chunks.last
+        assert(last._3 + last._4 == toks.length.toLong, s"doc $id tail uncovered")
+      }
+    }
+  }
+
+  test("dedupIncremental property: exact copies are always flagged, distinct docs never (seeded)") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, (0 until 15).map(_ => s"tok${rnd.nextInt(100000)}").mkString(" "))
+    }
+    val index = DedupOps.signatureIndex(corpus.toDF("doc_id", "text"))
+    // delta: 20 exact copies of random corpus docs + 10 fresh random docs
+    val copies = (0 until 20).map { j =>
+      val src = corpus(rnd.nextInt(corpus.size))
+      (1000L + j, src._2, src._1)
+    }
+    val fresh = (0 until 10).map { j =>
+      (2000L + j, (0 until 15).map(_ => s"new${rnd.nextInt(100000)}").mkString(" "))
+    }
+    val delta = (copies.map(c => (c._1, c._2)) ++ fresh).toDF("doc_id", "text")
+    val got = DedupOps.dedupIncremental(index, delta).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    copies.foreach { case (id, text, srcId) =>
+      assert(got(id)._2, s"exact copy $id of $srcId must be flagged")
+      // dup_of is the smallest matching doc — at most srcId (corpus dups exist)
+      assert(got(id)._1 <= srcId, s"dup_of must be <= source id for $id")
+      // and the matched doc must carry identical text
+      val matchedText = corpus.find(_._1 == got(id)._1).map(_._2)
+      assert(matchedText.contains(text) ||
+        copies.exists(c => c._1 == got(id)._1 && c._2 == text),
+        s"dup_of for $id must point at identical text")
+    }
+    fresh.foreach { case (id, _) =>
+      assert(!got(id)._2, s"fresh doc $id must survive")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("unigramScores is partitioning-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.unigramScores(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    assert(scores(docs.repartition(13)) == scores(docs.coalesce(1)))
+  }
+
   // ---- Catalyst decorrelation plan shapes --------------------------------
 
   private def executedPlan(df: DataFrame): String = {
