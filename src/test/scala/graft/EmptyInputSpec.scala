@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Empty-input robustness: every operator family must return an empty
+  * (or correctly-degenerate) result on zero rows — never throw. At
+  * 100 TB a daily partition CAN be empty (late landing, upstream
+  * failure), and a pipeline that crashes on it pages someone at 3am.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  // mirrors the documents table schema (doc_id, text, source, n_chars…)
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType))))
+
+  test("dedup family on an empty corpus returns empty, never throws") {
+    assert(DedupOps.exactDedup(emptyDocs).isEmpty)
+    assert(DedupOps.minhashSignatures(emptyDocs).isEmpty)
+    assert(DedupOps.minhashPairs(emptyDocs).isEmpty)
+    assert(DedupOps.simhash(emptyDocs).isEmpty)
+    assert(DedupOps.paragraphDedup(emptyDocs).isEmpty)
+    assert(DedupOps.substringDup(emptyDocs).isEmpty)
+    assert(DedupOps.nearDupClusters(emptyDocs).isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("incremental dedup: empty delta yields empty; empty index flags nothing") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val index = DedupOps.signatureIndex(docs)
+    assert(DedupOps.dedupIncremental(index, emptyDocs).isEmpty)
+    val emptyIndex = DedupOps.signatureIndex(emptyDocs)
+    val got = DedupOps.dedupIncremental(emptyIndex, docs).collect()
+    assert(got.map(r => (r.getLong(0), r.getBoolean(2))).toSeq == Seq((1L, false)))
+    spark.catalog.clearCache()
+  }
+
+  test("text family on an empty corpus returns empty, never throws") {
+    assert(TextOps.textStats(emptyDocs).isEmpty)
+    assert(TextOps.tokenCounts(emptyDocs).isEmpty)
+    assert(TextOps.chunkDocuments(emptyDocs).isEmpty)
+    assert(TextOps.unigramScores(emptyDocs).isEmpty)
+    assert(TextOps.vocabEncode(emptyDocs).isEmpty)
+    assert(TextOps.piiScrub(emptyDocs).isEmpty)
+    assert(TextOps.hashSplit(emptyDocs).isEmpty)
+  }
+
+  test("stats family on empty input returns empty aggregates, never throws") {
+    val emptyLi = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType))))
+    assert(StatsOps.statsCorr(emptyLi).isEmpty)
+    assert(StatsOps.quantiles(emptyLi).isEmpty)
+  }
+}
