@@ -158,6 +158,8 @@ object SparkEntry {
     "unigram_scores" -> ((s, dir) => TextOps.unigramScores(D(s, dir))),
     // RAG/embedding chunker: overlapping token windows, map-side only
     "chunk_docs" -> ((s, dir) => TextOps.chunkDocuments(D(s, dir))),
+    // flagship composite: quality -> scrub -> dedup -> split -> account
+    "corpus_prep" -> ((s, dir) => TextOps.corpusPrep(D(s, dir))),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -375,6 +377,7 @@ object SparkEntry {
     "vocab_encode_32k" -> TextOps.vocabEncodeOracle(32768),
     "unigram_scores" -> TextOps.unigramScoresOracle(),
     "chunk_docs" -> TextOps.chunkDocumentsOracle(),
+    "corpus_prep" -> TextOps.corpusPrepOracle(),
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,

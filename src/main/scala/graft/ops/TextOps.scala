@@ -266,6 +266,72 @@ object TextOps {
       |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
       |FROM flat f LEFT JOIN vocab v ON f.tok = v.tok""".stripMargin
 
+  /** B10 FLAGSHIP composite — the full corpus-prep pipeline a training
+    * run executes, end to end in ONE declarative plan: quality gates
+    * (map-side filter, prunes before any shuffle) → PII scrub (map-side
+    * regex) → exact dedup on the CLEANED text (one shuffle on 16-byte
+    * digests, first-occurrence keeper) → deterministic hash split →
+    * per-(source, split) accounting. The point of registering the
+    * composition (each stage already has its own oracle-checked query)
+    * is that stage INTERACTIONS are verified too: dedup must see
+    * scrubbed text, the split must be assigned on surviving docs, and
+    * the final counts must agree with DuckDB running the same five
+    * stages.
+    */
+  def corpusPrep(documents: DataFrame,
+                 minTokens: Long = 20, maxStopRatio: Double = 0.3,
+                 maxAvgTokenLen: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = textStats(documents, keep = Seq("text", "source"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stop_ratio") <= maxStopRatio &&
+        col("avg_token_len") <= maxAvgTokenLen)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        scrubbed(col("text")).as("text_clean"))
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text_clean"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    deduped
+      .withColumn("split", splitLabel(splitBucket(col("doc_id"))))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  def corpusPrepOracle(minTokens: Long = 20, maxStopRatio: Double = 0.3,
+                       maxAvgTokenLen: Double = 8.0): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |        w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |kept AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    regexp_replace(regexp_replace(text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g') AS text_clean
+       |  FROM base
+       |  WHERE n_tokens >= $minTokens
+       |    AND CAST(n_stop AS DOUBLE) / n_tokens <= $maxStopRatio
+       |    AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= $maxAvgTokenLen),
+       |deduped AS (
+       |  SELECT doc_id, source, n_tokens FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text_clean)
+       |                                 ORDER BY doc_id) AS rn
+       |    FROM kept) WHERE rn = 1)
+       |SELECT source,
+       |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT < 230
+       |         THEN 'train'
+       |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT < 243
+       |         THEN 'valid'
+       |       ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM deduped
+       |GROUP BY 1, 2""".stripMargin
+
   /** B10 — sliding-window document chunking: the step before embedding
     * or long-context packing — each document becomes overlapping
     * `window`-token chunks every `stride` tokens (stride < window ⇒

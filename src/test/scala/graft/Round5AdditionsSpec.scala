@@ -205,6 +205,21 @@ class Round5AdditionsSpec extends SparkSpec {
     assert(scores(docs.repartition(13)) == scores(docs.coalesce(1)))
   }
 
+  test("corpusPrep stage interaction: dedup runs on SCRUBBED text, split on survivors") {
+    val base = ('a' to 't').map(c => s"${c}tok").mkString(" ")  // 20 tokens, no stopwords
+    val docs = Seq(
+      (1L, s"$base mail bob@a.example.com", "s1"),  // scrubs to the same text as doc 2
+      (2L, s"$base mail bob@b.example.com", "s1"),  // -> deduped against doc 1
+      (3L, "too short", "s1"),                      // fails the quality gate
+      (4L, s"$base extra tail tokens here", "s2")   // distinct survivor
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.corpusPrep(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toList
+    // doc 2 only dedups if the scrub ran BEFORE the digest; doc 3 never
+    // reaches dedup; totals: s1 keeps exactly doc 1, s2 keeps doc 4.
+    assert(got.toSet == Set(("s1", 1L), ("s2", 1L)), s"got $got")
+  }
+
   // ---- Catalyst decorrelation plan shapes --------------------------------
 
   private def executedPlan(df: DataFrame): String = {
