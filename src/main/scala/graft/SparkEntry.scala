@@ -160,6 +160,8 @@ object SparkEntry {
     "chunk_docs" -> ((s, dir) => TextOps.chunkDocuments(D(s, dir))),
     // flagship composite: quality -> scrub -> dedup -> split -> account
     "corpus_prep" -> ((s, dir) => TextOps.corpusPrep(D(s, dir))),
+    // n-gram LM counting stage: bigram counts + P(w2|w1)
+    "bigram_lm" -> ((s, dir) => TextOps.bigramLm(D(s, dir))),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -378,6 +380,7 @@ object SparkEntry {
     "unigram_scores" -> TextOps.unigramScoresOracle(),
     "chunk_docs" -> TextOps.chunkDocumentsOracle(),
     "corpus_prep" -> TextOps.corpusPrepOracle(),
+    "bigram_lm" -> TextOps.bigramLmOracle,
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,

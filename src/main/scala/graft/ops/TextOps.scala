@@ -266,6 +266,45 @@ object TextOps {
       |SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS token_id
       |FROM flat f LEFT JOIN vocab v ON f.tok = v.tok""".stripMargin
 
+  /** B10 — bigram LM counts: (w1, w2) frequencies plus the conditional
+    * probability P(w2|w1) — the n-gram language-model counting stage
+    * (and the raw material for Kneser-Ney style smoothing, done
+    * downstream). Bigrams derive MAP-SIDE from each document's token
+    * array (no positional explode-then-self-join); one count shuffle
+    * with partials; the conditional denominator is a w1-partitioned
+    * window sum — no second join, no broadcast of a possibly-huge
+    * vocabulary. P is one IEEE division of exact longs, so the oracle
+    * hash-matches bitwise.
+    */
+  def bigramLm(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        // Spark array subscripts are 0-based (DuckDB's are 1-based)
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .withColumn("p_cond",
+        col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("w1"))).cast("double"))
+  }
+
+  val bigramLmOracle: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |ex AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+      |counts AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS cnt
+      |  FROM ex GROUP BY 1, 2)
+      |SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(CAST(cnt AS BIGINT) AS DOUBLE) /
+      |    CAST(CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE)
+      |      AS p_cond
+      |FROM counts""".stripMargin
+
   /** B10 FLAGSHIP composite — the full corpus-prep pipeline a training
     * run executes, end to end in ONE declarative plan: quality gates
     * (map-side filter, prunes before any shuffle) → PII scrub (map-side

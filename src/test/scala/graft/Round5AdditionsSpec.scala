@@ -220,6 +220,25 @@ class Round5AdditionsSpec extends SparkSpec {
     assert(got.toSet == Set(("s1", 1L), ("s2", 1L)), s"got $got")
   }
 
+  test("bigramLm: counts and conditional probabilities on a known corpus") {
+    // bigrams: (a,b)x2 from doc1, (a,c)x1 from doc2, (b,a)x1, (c,a)x1
+    val docs = Seq(
+      (1L, "a b a b"),       // (a,b) (b,a) (a,b)
+      (2L, "c a c"),         // (c,a) (a,c)
+      (3L, "solo")           // < 2 tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bigramLm(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 2.0 / 3)),   // a followed by b twice, by c once
+      ("a", "c") -> ((1L, 1.0 / 3)),
+      ("b", "a") -> ((1L, 1.0)),
+      ("c", "a") -> ((1L, 1.0))), s"got $got")
+    // per-w1 probabilities must sum to 1
+    val sums = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    sums.foreach { case (w1, s) => assert(math.abs(s - 1.0) < 1e-12, s"w1=$w1 sums to $s") }
+  }
+
   // ---- Catalyst decorrelation plan shapes --------------------------------
 
   private def executedPlan(df: DataFrame): String = {
