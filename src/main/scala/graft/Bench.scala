@@ -77,9 +77,17 @@ object Bench {
           r += 1
         }
         timings(name) = ts.sorted.apply(reps / 2)
+        // Incremental record (VERDICT r5 item 1): one JSON line per query as
+        // its median lands, so a timed-out/killed run still leaves parseable
+        // per-query timings in its output tail instead of losing the whole
+        // round's perf signal (the r5 driver bench died at rc=124 with only
+        // Spark startup noise in the tail). The final summary line below is
+        // unchanged — consumers that only read the last line still work.
+        println(s"""{"metric":"query","name":${q(name)},"sec":${timings(name)},"rows":${rowCounts(name)}}""")
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          println(s"""{"metric":"query","name":${q(name)},"error":${q(errors(name))}}""")
           spark.catalog.clearCache()
       }
     }

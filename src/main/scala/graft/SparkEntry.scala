@@ -56,6 +56,17 @@ object SparkEntry {
     "payments_convert_mapside" -> ((s, dir) =>
       PaymentOps.convertMapSide(s,
         PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(O(s, dir))))),
+    // decimal end-to-end conversion (reference BigDecimal fidelity). The
+    // registered output carries the decimal as its exact STRING form: the
+    // driver's compare reads Spark decimals as Decimal but DuckDB decimals
+    // as float64 (repr-asymmetric — see tools/local_verify.py), so the
+    // string projection is what keeps the check EXACT to all 6 places
+    // instead of laundering both sides through IEEE doubles.
+    "payments_convert_decimal" -> ((s, dir) =>
+      PaymentOps.convertDecimal(
+        PaymentOps.jsonDecode(PaymentOps.syntheticPaymentsJson(O(s, dir))),
+        ExchangeRates.ratesDF(s))
+        .withColumn("converted_dec", col("converted_dec").cast("string"))),
     "payments_encode" -> ((s, dir) =>
       PaymentOps.jsonEncode(
         PaymentOps.convert(
@@ -189,6 +200,8 @@ object SparkEntry {
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
     "substring_dup" -> ((s, dir) => DedupOps.substringDup(D(s, dir))),
+    // ExactSubstr span REMOVAL — the transformation substring_dup gates
+    "substring_dedup" -> ((s, dir) => DedupOps.substringDedup(D(s, dir))),
     "stats_corr" -> ((s, dir) => StatsOps.statsCorr(Tables.lineitem(s, dir))),
     "median_quantiles" -> ((s, dir) => StatsOps.quantiles(Tables.lineitem(s, dir))),
     "outlier_screen" -> ((s, dir) => StatsOps.outliers(Tables.lineitem(s, dir))),
@@ -196,7 +209,13 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
     "pii_scrub" -> ((s, dir) => TextOps.piiScrub(D(s, dir))),
     "source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
+    // up-sampling mix: scarce sources replicated above rate 1
+    "source_mix_upsample" -> ((s, dir) =>
+      TextOps.sourceMixUpsample(Tables.documents(s, dir), upsampleRates)),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    // pack manifest: per-pack ordered (doc_id, offset, len) span lists
+    "pack_spans" -> ((s, dir) =>
+      TextOps.packSpans(Tables.documents(s, dir)).drop("spans_arr")),
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
@@ -234,6 +253,13 @@ object SparkEntry {
   )
 
   private val rates = ExchangeRates.ratesSql
+
+  /** Shared rates map for the up-sampling mix query: src1 tripled-ish
+    * (2.5 → 2 copies + a content-addressed half get a 3rd), src2 doubled,
+    * src3 quartered, everything else kept at 1.0. Query and oracle both
+    * derive from this single value.
+    */
+  private val upsampleRates = Map("src1" -> 2.5, "src2" -> 2.0, "src3" -> 0.25)
 
   /** The synthetic payments JSON feed as a DuckDB CTE (identical strings to
     * PaymentOps.syntheticPaymentsJson), then parsed back with json_extract —
@@ -281,6 +307,12 @@ object SparkEntry {
     // mapside variant computes the same values as the join form
     "payments_convert_mapside" ->
       s"$paymentsConvertedCte SELECT * FROM converted",
+    "payments_convert_decimal" ->
+      s"""$paymentsDecodedCte
+         |SELECT k, d.currency, amount, ts,
+         |  CAST(CAST(CAST(amount AS DECIMAL(12,0)) * rate AS DECIMAL(38,6))
+         |    AS VARCHAR) AS converted_dec
+         |FROM decoded d JOIN $rates ON d.currency = rates.currency""".stripMargin,
     "payments_encode" ->
       s"""$paymentsConvertedCte
          |SELECT currency AS key,
@@ -405,6 +437,7 @@ object SparkEntry {
     "paragraph_dedup" -> DedupOps.paragraphDedupOracle(),
     "decontaminate" -> DedupOps.decontaminateOracle(),
     "substring_dup" -> DedupOps.substringDupOracle(),
+    "substring_dedup" -> DedupOps.substringDedupOracle(),
     "stats_corr" -> StatsOps.statsCorrOracle,
     "median_quantiles" -> StatsOps.quantilesOracle,
     "outlier_screen" -> StatsOps.outliersOracle(),
@@ -412,7 +445,9 @@ object SparkEntry {
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "pii_scrub" -> TextOps.piiScrubOracle,
     "source_mix" -> TextOps.sourceMixOracle,
+    "source_mix_upsample" -> TextOps.sourceMixUpsampleOracle(upsampleRates),
     "pack_sequences" -> TextOps.packSequencesOracle(),
+    "pack_spans" -> TextOps.packSpansOracle(),
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,

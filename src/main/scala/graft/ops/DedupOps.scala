@@ -267,26 +267,30 @@ object DedupOps {
     * alternation — over the pair graph; see there for the scale argument.
     */
   def nearDupClusters(corpus: DataFrame, minJaccard: Double = 0.5,
-                      driverMaxEdges: Long = 4000000L): DataFrame = {
+                      driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = corpus.sparkSession
     val pairs = minhashPairs(corpus, minJaccard).select("doc_a", "doc_b").persist()
     // The pair graph is orders of magnitude smaller than the corpus
     // (near-dups are the exception — these are VERIFIED pairs, i.e. the
     // operator's own output), so the clustering phase is sized to the
     // MEASURED graph. Two regimes:
-    //  - ≤ driverMaxEdges (default 4M edges ≈ 64 MB): driver union-find.
-    //    The iterative distributed algorithm pays ~10 jobs of scheduling
-    //    latency per O(log n) round, which dwarfs the work for a
-    //    metadata-sized graph; a bounded collect of the verified pairs is
-    //    NOT a corpus collect and is the same cutover GraphFrames-style
-    //    pipelines use for small graphs.
+    //  - ≤ driverMaxEdges: driver union-find. The iterative distributed
+    //    algorithm pays ~10 jobs of scheduling latency per O(log n) round,
+    //    which dwarfs the work for a metadata-sized graph; a bounded
+    //    collect of the verified pairs is NOT a corpus collect and is the
+    //    same cutover GraphFrames-style pipelines use for small graphs.
+    //    DRIVER-HEAP SIZING (ADVICE r5): the 1M-edge default costs ~40 MB
+    //    of Tuple2 array plus ~2×32 MB of LongMap during union-find —
+    //    safe on a default 1g driver. Raise it only with driver memory to
+    //    match (~100 MB heap per additional 1M edges).
     //  - above the bound: fully-distributed large-star/small-star
     //    alternation, shuffles sized up to session parallelism.
     val nEdges = pairs.count()
     val out = if (nEdges <= driverMaxEdges) {
       import spark.implicits._
-      val labels = localComponents(
-        pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+      // typed collect: Array[(Long, Long)] via the tuple encoder (Tuple2 is
+      // @specialized on Long), not an Array[Row] of boxed objects
+      val labels = localComponents(pairs.as[(Long, Long)].collect())
       spark.createDataset(labels.toSeq).toDF("doc_id", "label")
     } else {
       val sessionParts = spark.sessionState.conf.numShufflePartitions
@@ -591,6 +595,99 @@ object DedupOps {
        |    / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) AS dup_frac
        |FROM tot GROUP BY doc_id""".stripMargin
 
+  /** B8s — ExactSubstr span REMOVAL (the transformation [[substringDup]]
+    * gates; Lee et al. 2022 §4.1): delete every duplicated k-char gram
+    * occurrence EXCEPT the first corpus-wide, and reassemble the
+    * surviving text. "First" is the global (doc_id, position) minimum per
+    * gram digest — so one copy of every duplicated span survives, in the
+    * earliest document that contains it, exactly the keep-first policy of
+    * the suffix-array ExactSubstr pass (approximated at fixed-k gram
+    * granularity, the same approximation as [[substringDup]]: any
+    * duplicated span ≥ k marks all of its covered positions).
+    *
+    * Output: (doc_id, clean_len, clean_text) for EVERY input document —
+    * untouched documents pass through, fully-duplicated documents come
+    * back empty (the training-data shape: empty docs are then dropped by
+    * the quality gate, not silently lost here).
+    *
+    * Scale shape: positions shuffle as (16-byte digest, doc_id, i)
+    * triples — one digest-keyed shuffle to find first occurrences (window
+    * MIN, no join), one doc-keyed shuffle to collect each document's
+    * removal intervals (per-doc state is position-count-sized, i.e.
+    * bounded by the document's own length — same bound as holding the
+    * text), then one join back to the corpus. Reassembly is a single
+    * fold over the sorted intervals with a cursor (overlaps collapse via
+    * greatest()) — per-document, no char-level explode anywhere on the
+    * Spark side.
+    */
+  def substringDedup(documents: DataFrame, k: Int = 20): DataFrame = {
+    val pos = documents
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    // global first occurrence of each gram = min (doc_id, i) struct;
+    // every other occurrence is a duplicated position to remove
+    val marked = pos
+      .withColumn("first", min(struct(col("doc_id"), col("i"))).over(w))
+      .filter(struct(col("doc_id"), col("i")) =!= col("first"))
+      .select(col("doc_id"), col("i"))
+    val ivs = marked.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("i").as("s"),
+        (col("i") + lit(k - 1)).as("e")))).as("ivs"))
+    documents.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ivs").isNull, col("text")).otherwise(expr(
+          s"""aggregate(ivs,
+             |  struct(1 AS cur, '' AS acc),
+             |  (st, iv) -> struct(
+             |    CAST(greatest(st.cur, iv.e + 1) AS INT) AS cur,
+             |    CASE WHEN iv.s > st.cur
+             |         THEN concat(st.acc, substring(text, st.cur, iv.s - st.cur))
+             |         ELSE st.acc END AS acc),
+             |  st -> concat(st.acc, substring(text, st.cur, length(text) - st.cur + 1)))""".stripMargin))
+          .as("clean_text"))
+      .select(col("doc_id"), length(col("clean_text")).cast("long").as("clean_len"),
+        col("clean_text"))
+  }
+
+  /** Span-removal oracle — an INDEPENDENT per-character formulation (not a
+    * mirror of the interval fold): a char survives iff no duplicated gram
+    * occurrence in the same document covers it; survivors are re-joined by
+    * position with string_agg. Clearly correct; efficiency irrelevant at
+    * oracle scale.
+    */
+  def substringDedupOracle(k: Int = 20): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, i, md5(substr(text, i, $k)) AS g
+       |  FROM documents, (SELECT unnest(range(1,
+       |         (SELECT CAST(max(length(text)) AS BIGINT) - ${k - 1} + 1 FROM documents)))
+       |       AS i) t
+       |  WHERE length(text) >= $k AND i <= length(text) - ${k - 1}),
+       |marked AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+       |    FROM pos)
+       |  WHERE rn > 1),
+       |chars AS (
+       |  SELECT d.doc_id, d.text, c
+       |  FROM documents d, (SELECT unnest(range(1,
+       |         (SELECT CAST(max(length(text)) AS BIGINT) + 1 FROM documents))) AS c) t
+       |  WHERE c <= length(d.text)),
+       |kept AS (
+       |  SELECT ch.doc_id, ch.text, ch.c FROM chars ch
+       |  WHERE NOT EXISTS (SELECT 1 FROM marked m
+       |    WHERE m.doc_id = ch.doc_id AND m.i <= ch.c AND ch.c <= m.i + ${k - 1}))
+       |SELECT d.doc_id,
+       |  CAST(length(coalesce(kt.clean_text, '')) AS BIGINT) AS clean_len,
+       |  coalesce(kt.clean_text, '') AS clean_text
+       |FROM documents d
+       |LEFT JOIN (
+       |  SELECT doc_id, string_agg(substr(text, c, 1), '' ORDER BY c) AS clean_text
+       |  FROM kept GROUP BY doc_id) kt ON d.doc_id = kt.doc_id""".stripMargin
+
   /** Group-level MinHash sketch: the signature of a SET of documents is
     * the elementwise min of the member signatures (min is associative —
     * equal to hashing the union of their shingles). Pure built-ins:
@@ -716,41 +813,55 @@ object DedupOps {
                        cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(index.columns.sorted.sameElements(Array("doc_id", "sig")),
       s"index must be a signatureIndex (doc_id, sig); got ${index.columns.mkString(",")}")
+    require(numPerm % 4 == 0, s"numPerm must be a multiple of 4, got $numPerm")
     val rows = numPerm / 4
     def bandsOf(sigs: DataFrame): DataFrame =
       sigs.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * $rows + 1, $rows)))")))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
 
+    // Inputs are persisted for the DURATION OF THIS CALL only: the operator
+    // is eager — it materializes its delta-sized output (persisted at
+    // `cacheLevel`) and unpersists both inputs before returning, so a
+    // long-lived session never accumulates leaked cached plans (VERDICT r5
+    // item 6). The CALLER owns the returned frame: unpersist() it when done.
     val isig = index.persist(cacheLevel)
     val dsig = signatureIndex(delta, numPerm).persist(cacheLevel)
-    val ibands = bandsOf(isig)
-    val dbands = bandsOf(dsig)
+    try {
+      val ibands = bandsOf(isig)
+      val dbands = bandsOf(dsig)
 
-    val candIdx = dbands.as("d").join(ibands.as("i"),
-        col("d.band") === col("i.band") && col("d.band_key") === col("i.band_key"))
-      .select(col("d.doc_id").as("delta_id"), col("i.doc_id").as("cand_id"))
-    val candDelta = dbands.as("a").join(dbands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("b.doc_id") < col("a.doc_id"))
-      .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("cand_id"))
-    val cand = candIdx.unionAll(candDelta).distinct()
+      val candIdx = dbands.as("d").join(ibands.as("i"),
+          col("d.band") === col("i.band") && col("d.band_key") === col("i.band_key"))
+        .select(col("d.doc_id").as("delta_id"), col("i.doc_id").as("cand_id"))
+      val candDelta = dbands.as("a").join(dbands.as("b"),
+          col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("cand_id"))
+      val cand = candIdx.unionAll(candDelta).distinct()
 
-    val allSigs = isig.unionAll(dsig)
-    // codegen'd primitive loop (see SigAgree) — integer equality count,
-    // identical to the zip_with/aggregate HOF form it replaces
-    val nMatch = graft.functions.native.sigAgree(col("sa"), col("sb"))
-    val dups = cand
-      .join(dsig.select(col("doc_id").as("delta_id"), col("sig").as("sa")), "delta_id")
-      .join(allSigs.select(col("doc_id").as("cand_id"), col("sig").as("sb")), "cand_id")
-      .withColumn("est", nMatch.cast("double") / lit(numPerm.toDouble))
-      .filter(col("est") >= minEst)
-      .groupBy("delta_id").agg(min("cand_id").as("dup_of"))
+      val allSigs = isig.unionAll(dsig)
+      // codegen'd primitive loop (see SigAgree) — integer equality count,
+      // identical to the zip_with/aggregate HOF form it replaces
+      val nMatch = graft.functions.native.sigAgree(col("sa"), col("sb"))
+      val dups = cand
+        .join(dsig.select(col("doc_id").as("delta_id"), col("sig").as("sa")), "delta_id")
+        .join(allSigs.select(col("doc_id").as("cand_id"), col("sig").as("sb")), "cand_id")
+        .withColumn("est", nMatch.cast("double") / lit(numPerm.toDouble))
+        .filter(col("est") >= minEst)
+        .groupBy("delta_id").agg(min("cand_id").as("dup_of"))
 
-    delta.select(col("doc_id"))
-      .join(dups.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
-        col("dup_of").isNotNull.as("is_dup"))
+      val out = delta.select(col("doc_id"))
+        .join(dups.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .persist(cacheLevel)
+      out.count() // materialize while the inputs are still cached
+      out
+    } finally {
+      isig.unpersist()
+      dsig.unpersist()
+    }
   }
 
   /** Incremental-dedup oracle over the same partitioned corpus: index =

@@ -121,6 +121,28 @@ object PaymentOps {
       .toDF("k", "currency", "amount", "ts", "converted")
   }
 
+  /** F2 decimal variant — the reference's literal BigDecimal semantics
+    * end-to-end (PaymentsService.java:102 multiplies exact BigDecimals):
+    * the converted amount stays a DECIMAL, never rounded to cents.
+    * Scales are chosen so the product is EXACT under Spark's decimal
+    * multiply rules: amount cents DECIMAL(12,0) × rate DECIMAL(18,6) →
+    * DECIMAL(31,6), inside the 38-digit budget, zero precision loss —
+    * then widened to DECIMAL(38,6) for a stable output type. A blanket
+    * DECIMAL(38,18) on BOTH operands would be the opposite of fidelity:
+    * 38+38+1 digits overflows the budget and Spark's precision-loss rule
+    * silently truncates the scale — the spec demonstrates both that trap
+    * and this path's exactness at the 1.313558 × 1.9e6-scale boundary
+    * (SURVEY §7 risk 1). Amounts ≥ 10^12 cents overflow the (12,0) cast
+    * LOUDLY under ANSI mode rather than drifting.
+    */
+  def convertDecimal(payments: DataFrame, rates: DataFrame): DataFrame =
+    payments
+      .join(broadcast(rates), "currency")
+      .withColumn("converted_dec",
+        (col("amount").cast(DecimalType(12, 0)) * col("rate"))
+          .cast(DecimalType(38, 6)))
+      .select("k", "currency", "amount", "ts", "converted_dec")
+
   /** F3 — suspicious-payment predicate: converted amount < 10,000 units
     * (strict; PaymentsService.java:94-97 routes on the CONVERTED amount).
     * Amounts are cents here, so the threshold is 10_000 * 100.

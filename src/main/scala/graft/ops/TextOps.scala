@@ -575,15 +575,22 @@ object TextOps {
        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
 
-  /** Deterministic source mixing — the data-mixing step that up/down-
-    * samples corpus sources to target weights before training. Each
-    * source gets a keep-rate in {¼, ½, ¾, 1} (derived here from the
-    * source index; production passes a broadcast weight map); a document
-    * survives iff its content-addressed bucket (SECOND md5 byte —
-    * independent of the [[hashSplit]] byte, so mixing never biases the
-    * split) clears the rate. Map-side only, reproducible on any engine,
-    * any partitioning, any rerun — never `rand()`, whose sample changes
-    * under retry/speculation.
+  /** Deterministic source mixing (down-sampling) — the data-mixing step
+    * that samples corpus sources toward target weights before training.
+    * Each source gets a keep-rate; a document survives iff its
+    * content-addressed bucket (SECOND md5 byte — independent of the
+    * [[hashSplit]] byte, so mixing never biases the split) clears the
+    * rate. Map-side only, reproducible on any engine, any partitioning,
+    * any rerun — never `rand()`, whose sample changes under
+    * retry/speculation. For rates above 1 (up-sampling scarce sources)
+    * see [[sourceMixUpsample]].
+    *
+    * Rate GRANULARITY is 1/256 (one md5 byte): explicit rates are rounded
+    * to the nearest 1/256 — a rate below 1/512 rounds to zero and drops
+    * the source entirely. The default demo rule (empty `rates`) parses
+    * the FIXTURE's `src_N` source naming and is fixture-only: arbitrary
+    * source names NULL-parse to rate 64/256 — production callers pass an
+    * explicit rates map.
     */
   def sourceMix(documents: DataFrame,
                 rates: Map[String, Double] = Map.empty,
@@ -596,8 +603,10 @@ object TextOps {
       if (rates.isEmpty)
         (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 64
       else
-        (coalesce(element_at(typedLit(rates), col("source")),
-          lit(defaultRate)) * 256.0).cast("long")
+        // round-half-up to the 1/256 grid (not truncate — ADVICE r5:
+        // truncation silently floored e.g. 0.003 to zero keeps)
+        floor(coalesce(element_at(typedLit(rates), col("source")),
+          lit(defaultRate)) * 256.0 + 0.5).cast("long")
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 3, 2), 16, 10)
       .cast("long")
     documents
@@ -614,6 +623,103 @@ object TextOps {
       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT <
       |      (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 64
       |GROUP BY 1""".stripMargin
+
+  /** Source mixing WITH UP-SAMPLING (VERDICT r5 item 5) — real data
+    * mixing replicates scarce sources (rate > 1), not just thins abundant
+    * ones. A document yields `floor(rate)` whole copies plus one extra
+    * copy iff its content-addressed bucket (same second-md5-byte as
+    * [[sourceMix]], independent of the [[hashSplit]] byte) clears the
+    * fractional part — so rate 2.5 gives every doc 2 copies and a
+    * deterministic, content-addressed half of them a 3rd. Rates quantize
+    * to the 1/256 grid (round-half-up). Map-side only: the replication is
+    * a per-row sequence explode — no shuffle, no rand(), identical output
+    * under any partitioning, retry, or speculative re-execution.
+    *
+    * Returns the replicated documents (doc_id, source, n_chars, copy)
+    * with copy = 1..n_copies — the frame a training-data writer consumes.
+    */
+  def upsampledDocs(documents: DataFrame,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    val rate256 = floor(coalesce(element_at(typedLit(rates), col("source")),
+      lit(defaultRate)) * 256.0 + 0.5).cast("long")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 3, 2), 16, 10)
+      .cast("long")
+    documents
+      .withColumn("r256", rate256)
+      // integer `div` (Column./ would be IEEE double division)
+      .withColumn("n_copies", expr("r256 div 256") +
+        when(bucket < col("r256") % 256, 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(expr("sequence(1, n_copies)")).as("copy"))
+  }
+
+  /** Per-source accounting of the up-sampled mix — the registered,
+    * oracle-checked view of [[upsampledDocs]]. */
+  def sourceMixUpsample(documents: DataFrame,
+                        rates: Map[String, Double],
+                        defaultRate: Double = 1.0): DataFrame =
+    upsampledDocs(documents, rates, defaultRate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+
+  /** Oracle generated from the SAME rates map (CASE dimension + bounded
+    * range join for replication) so query and oracle cannot diverge. */
+  def sourceMixUpsampleOracle(rates: Map[String, Double],
+                              defaultRate: Double = 1.0): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+    val maxCopies = math.ceil((rates.values ++ Seq(defaultRate)).max).toLong + 1
+    s"""WITH rated AS (
+       |  SELECT source, n_chars,
+       |    CAST(floor((CASE $cases ELSE $defaultRate END) * 256.0 + 0.5)
+       |      AS BIGINT) AS r256,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT AS bucket
+       |  FROM documents),
+       |copies AS (
+       |  SELECT source, n_chars,
+       |    r256 // 256 + CASE WHEN bucket < r256 % 256 THEN 1 ELSE 0 END AS n_copies
+       |  FROM rated),
+       |rep AS (
+       |  SELECT source, n_chars
+       |  FROM copies, (SELECT unnest(range(1, $maxCopies + 1)) AS c) t
+       |  WHERE c <= n_copies)
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM rep GROUP BY 1""".stripMargin
+  }
+
+  /** Pack-to-loader manifest (VERDICT r5 item 8): the artifact a training
+    * loader actually consumes — one row per pack with its ordered
+    * document span list. Built ON TOP of [[packSequences]] (same
+    * straddle semantics: a document stays whole in the pack where it
+    * starts; the next pack's first offset equals the spill). `spans` is
+    * the canonical string form `doc_id:offset:len,...` ordered by
+    * offset; `spans_arr` is the typed array<struct> for programmatic
+    * consumers. One additional shuffle on (source, pack_id); per-pack
+    * state is bounded by capacity/min_doc_tokens spans.
+    */
+  def packSpans(documents: DataFrame, capacity: Long = 2048): DataFrame =
+    packSequences(documents, capacity)
+      .groupBy("source", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("pack_tokens"),
+        array_sort(collect_list(struct(col("pack_offset").as("offset"),
+          col("doc_id"), col("n_tokens").as("len")))).as("spans_arr"))
+      .withColumn("spans", array_join(
+        transform(col("spans_arr"), x => concat_ws(":",
+          x.getField("doc_id"), x.getField("offset"), x.getField("len"))),
+        ","))
+
+  def packSpansOracle(capacity: Long = 2048): String =
+    s"""SELECT source, pack_id, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  string_agg(doc_id || ':' || pack_offset || ':' || n_tokens,
+       |             ',' ORDER BY pack_offset) AS spans
+       |FROM (${packSequencesOracle(capacity)})
+       |GROUP BY 1, 2""".stripMargin
 
   /** Integer-binned value histogram per event type — the profiling pass
     * a pipeline runs to pick thresholds and spot drift. Bin = floor of

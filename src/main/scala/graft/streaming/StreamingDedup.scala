@@ -13,6 +13,12 @@ case class BandedDoc(band: Int, band_key: String, doc_id: Long,
 /** A verified near-duplicate match: `doc_id` collided with the earlier
   * `dup_of` in ≥1 band and their signatures agree on ≥ minEst of the
   * permutations (the standard MinHash Jaccard estimator).
+  *
+  * SENTINEL: `dup_of = -1, est = -1.0` marks a hot-bucket OVERFLOW — the
+  * document arrived at a band bucket already at `maxBucket` capacity and
+  * was neither compared nor retained. Overflow docs may therefore carry
+  * undetected duplicates; the sentinel makes the miss queryable at the
+  * sink instead of silent (ADVICE r5). Filter `est >= 0` for matches.
   */
 case class DupMatch(doc_id: Long, dup_of: Long, est: Double)
 
@@ -61,6 +67,9 @@ object StreamingDedup {
   def bandedSignatures(spark: SparkSession, stream: DataFrame,
                        numPerm: Int = 16, tsCol: String = "ts"): Dataset[BandedDoc] = {
     import spark.implicits._
+    // 4 bands of numPerm/4 rows each: a non-multiple would silently drop
+    // the trailing signature slots from every band key (recall loss).
+    require(numPerm % 4 == 0, s"numPerm must be a multiple of 4, got $numPerm")
     val rows = numPerm / 4
     stream
       .withColumn("toks", split(col("text"), " ", -1))
@@ -110,6 +119,11 @@ object StreamingDedup {
                   }
                 }
                 seen = (e.doc_id, e.sig) :: seen
+              } else {
+                // LOUD overflow: the doc was neither compared nor retained —
+                // emit the sentinel so hot-bucket misses are observable at
+                // the sink (count sentinels ≙ dropped comparison work).
+                out += DupMatch(e.doc_id, -1L, -1.0)
               }
             }
             state.update(BandBucket(seen))
@@ -151,6 +165,7 @@ object StreamingDedup {
                               tsCol: String = "ts"): DataFrame = {
     require(index.columns.sorted.sameElements(Array("doc_id", "sig")),
       s"index must be a signatureIndex (doc_id, sig); got ${index.columns.mkString(",")}")
+    require(numPerm % 4 == 0, s"numPerm must be a multiple of 4, got $numPerm")
     val rows = numPerm / 4
     val bandExpr =
       s"transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * $rows + 1, $rows)))"
@@ -192,18 +207,19 @@ object StreamingDedup {
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
       val index = spark.read.parquet(indexDir)
+      // dedupIncremental materializes + persists its OUTPUT and unpersists
+      // its own intermediates (round-6 contract) — this loop owns only the
+      // returned handle, so no session-wide clearCache is needed (which
+      // used to evict unrelated concurrent queries' caches every trigger).
       val verdicts = graft.ops.DedupOps
-        .dedupIncremental(index, docs, minEst, numPerm).persist()
+        .dedupIncremental(index, docs, minEst, numPerm)
       try {
         sink(verdicts, batchId)
         val survivors = docs.join(
           verdicts.filter(!col("is_dup")).select("doc_id"), "doc_id")
         graft.ops.DedupOps.signatureIndex(survivors, numPerm)
           .write.mode("append").parquet(indexDir)
-      } finally {
-        verdicts.unpersist()
-        spark.catalog.clearCache() // dedupIncremental persists its inputs
-      }
+      } finally verdicts.unpersist()
     }
 
   /** End-to-end streaming MinHash near-dup dedup: documents
@@ -215,6 +231,7 @@ object StreamingDedup {
                          stateTtlMs: Long = 10L * 60 * 1000,
                          maxBucket: Int = 10000,
                          tsCol: String = "ts"): Dataset[DupMatch] = {
+    require(numPerm % 4 == 0, s"numPerm must be a multiple of 4, got $numPerm")
     val banded = bandedSignatures(
       spark, stream.withWatermark(tsCol, watermarkDelay), numPerm, tsCol)
     dedupAgainstState(spark, banded, minEst, numPerm, stateTtlMs, maxBucket)

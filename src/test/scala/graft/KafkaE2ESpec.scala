@@ -1,0 +1,111 @@
+package graft
+
+import graft.model.ExchangeRates
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Live-broker Kafka end-to-end (VERDICT r5 item 4): the one reference
+  * behavior (spark/kafka/App.java:66-85 — Kafka source → transform →
+  * Kafka sink) this sandbox can never execute, made provable wherever a
+  * broker exists.
+  *
+  * GATED on the `KAFKA_BROKERS` env var (e.g. `KAFKA_BROKERS=localhost:9092
+  * sbt test`): when unset the tests cancel (reported as canceled, not
+  * failed). Running them additionally requires the Kafka connector jars on
+  * the classpath — `spark-sql-kafka-0-10_2.13` + `kafka-clients` matching
+  * the Spark version — which this sandbox does not ship; any environment
+  * with a broker has them.
+  *
+  * Topic names are uniquified per run so reruns against a shared broker
+  * never cross-read. Production and readback both go through Spark's own
+  * Kafka batch source/sink, so no separate client library is needed.
+  */
+class KafkaE2ESpec extends SparkSpec {
+
+  private val brokers = sys.env.get("KAFKA_BROKERS")
+  private def topic(base: String) = s"graft_${base}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def writeKafka(df: DataFrame, servers: String, t: String): Unit =
+    df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", t)
+      .save()
+
+  private def readKafka(servers: String, t: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", t)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  test("payments flow Kafka->decode->convert->fanout->Kafka against a live broker") {
+    assume(brokers.nonEmpty, "KAFKA_BROKERS unset — live-broker e2e skipped")
+    val servers = brokers.get
+    import spark.implicits._
+
+    val in = topic("payments_in")
+    val mainOut = topic("payments_out")
+    val suspOut = topic("payments_suspicious")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka_e2e_ckpt").toString
+
+    // seed the input topic with the deterministic payments feed (including
+    // the malformed every-97th records the decode stage must drop)
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val feed = graft.ops.PaymentOps.syntheticPaymentsJson(orders)
+      .select(col("k").cast("string").as("key"), col("value"))
+    writeKafka(feed, servers, in)
+    val nIn = feed.count()
+    val nValid = graft.ops.PaymentOps.jsonDecode(
+      graft.ops.PaymentOps.syntheticPaymentsJson(orders)).count()
+    val nSusp = graft.ops.PaymentOps.convert(
+      graft.ops.PaymentOps.jsonDecode(graft.ops.PaymentOps.syntheticPaymentsJson(orders)),
+      ExchangeRates.ratesDF(spark)).filter(graft.ops.PaymentOps.suspicious).count()
+
+    // stream: Kafka source -> envelope projection -> decode/convert/route
+    // fan-out -> two Kafka sinks (K1 + K2), exactly the reference topology
+    val stream = StreamingOps.kafkaRecords(
+      StreamingOps.kafkaSource(spark, servers, in))
+    val query = StreamingOps.paymentsFanout(stream, ExchangeRates.ratesDF(spark),
+        mainSink = (b, _) => writeKafka(b, servers, mainOut),
+        suspiciousSink = (b, _) => writeKafka(b, servers, suspOut))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable() finally query.stop()
+
+    val gotMain = readKafka(servers, mainOut)
+    val gotSusp = readKafka(servers, suspOut)
+    assert(gotMain.count() == nValid,
+      s"main sink: expected $nValid of $nIn records (malformed dropped)")
+    assert(gotSusp.count() == nSusp && nSusp > 0)
+    // key = currency on the encoded output (PaymentsService.java:92-93)
+    val keys = gotMain.select(col("key").cast("string")).distinct()
+      .as[String].collect().toSet
+    assert(keys == ExchangeRates.currencies.toSet, s"got keys $keys")
+  }
+
+  test("streaming word count reads from and writes to a live broker in update mode") {
+    assume(brokers.nonEmpty, "KAFKA_BROKERS unset — live-broker e2e skipped")
+    val servers = brokers.get
+    import spark.implicits._
+
+    val in = topic("lines_in")
+    val out = topic("counts_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka_wc_ckpt").toString
+    writeKafka(Seq(("1", "to be or not to be")).toDF("key", "value"), servers, in)
+
+    val counts = StreamingOps.wordCountSpace(
+        StreamingOps.kafkaRecords(StreamingOps.kafkaSource(spark, servers, in)))
+      .select(col("word").as("key"),
+        col("cnt").cast("string").as("value"))
+    val query = StreamingOps.kafkaSink(counts, servers, out, ckpt).start()
+    try query.processAllAvailable() finally query.stop()
+
+    val got = readKafka(servers, out)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.toLong).max }
+    assert(got == Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L), s"got $got")
+  }
+}

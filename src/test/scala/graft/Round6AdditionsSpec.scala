@@ -1,0 +1,234 @@
+package graft
+
+import graft.model.ExchangeRates
+import graft.ops.{DedupOps, PaymentOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-6 additions: ExactSubstr span removal, decimal-exact payments,
+  * up-sampling source mix, pack span manifests, and the dedupIncremental
+  * cache-ownership contract.
+  */
+class Round6AdditionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- substringDedup: ExactSubstr span removal ----
+
+  test("substringDedup removes planted duplicated spans, keeps first occurrence, leaves singletons untouched") {
+    // NB: fixture texts must not repeat any 10-gram WITHIN a doc either —
+    // the operator correctly removes those too (within-doc dedup)
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars >> k=10
+    val docs = Seq(
+      (1L, s"earliest holder text $shared tail-one-unique"),
+      (2L, s"second doc opens uniquely $shared and closes otherwise"),
+      (3L, "a wholly unique document with no repeated spans at all")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringDedup(docs, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // doc 1 holds the global first occurrence of every shared gram: intact
+    assert(got(1L) == s"earliest holder text $shared tail-one-unique")
+    // doc 2: exactly the shared span (incl. the shared surrounding spaces,
+    // which are part of the common substring) is excised; unique head/tail
+    // survive and abut where the span was removed
+    assert(got(2L) == "second doc opens uniquelyand closes otherwise", s"got ${got(2L)}")
+    // singleton untouched
+    assert(got(3L) == "a wholly unique document with no repeated spans at all")
+  }
+
+  test("substringDedup: exact duplicate document comes back empty; within-doc repeats keep the first copy") {
+    val text = "repeated paragraph that appears in both documents verbatim"
+    val docs = Seq(
+      (1L, text),
+      (2L, text),                       // exact dup of doc 1 -> fully removed
+      (5L, "zz " + "limerick rhyming couplet " * 3) // within-doc repetition
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringDedup(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList.sortBy(_._1)
+    assert(got(0)._3 == text)
+    assert(got(1)._3 == "", s"exact dup must be fully removed, got '${got(1)._3}'")
+    // the within-doc repeat keeps its first occurrence. Coverage starts at
+    // the FIRST repeated gram: " limerick " first occurs at position 3
+    // ("zz limerick…"), repeats at 28 and 53, so chars 28.. are removed
+    // and exactly the 27-char first copy survives.
+    assert(got(2)._3 == "zz limerick rhyming couplet", s"got '${got(2)._3}'")
+    assert(got(2)._2 == 27L)
+  }
+
+  test("substringDedup emits every input document, short docs pass through") {
+    val docs = Seq((1L, "tiny"), (2L, "also tiny")).toDF("doc_id", "text")
+    val got = DedupOps.substringDedup(docs, k = 20).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "tiny", 2L -> "also tiny"))
+  }
+
+  // ---- convertDecimal: BigDecimal-exact conversion ----
+
+  test("convertDecimal matches java BigDecimal multiply exactly at the 1.9e6-scale boundary") {
+    val rates = ExchangeRates.ratesDF(spark)
+    // 1.9e8 cents × 1.313558 — SURVEY §7 risk 1's boundary product; plus
+    // an awkward odd amount that exercises all six rate decimals
+    val payments = Seq(
+      (1L, "USD", 190000000L, 1000L),
+      (2L, "USD", 123456789L, 1000L),
+      (3L, "CAN", 999999999999L, 1000L) // 12 digits: max before loud overflow
+    ).toDF("k", "currency", "amount", "ts")
+    val got = PaymentOps.convertDecimal(payments, rates).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(4)).toMap
+    val rateOf = ExchangeRates.rates.toMap
+    for ((k, cur, amt) <- Seq((1L, "USD", 190000000L), (2L, "USD", 123456789L),
+                              (3L, "CAN", 999999999999L))) {
+      val want = new java.math.BigDecimal(amt).multiply(rateOf(cur)).setScale(6)
+      assert(got(k).compareTo(want) == 0, s"k=$k got ${got(k)} want $want")
+    }
+  }
+
+  test("convertDecimal overflows loudly past 12 digits instead of drifting") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true") // loud-overflow contract
+    try {
+      val rates = ExchangeRates.ratesDF(spark)
+      val payments = Seq((1L, "USD", 1000000000000L, 1000L))
+        .toDF("k", "currency", "amount", "ts")
+      val e = intercept[Exception] {
+        PaymentOps.convertDecimal(payments, rates).collect()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.toLowerCase.contains("overflow") || msg.contains("cannot be represented")
+        || msg.contains("NUMERIC_VALUE_OUT_OF_RANGE"), s"unexpected error: $msg")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("naive DECIMAL(38,18) multiply silently loses scale — why convertDecimal picks exact scales") {
+    // Both operands at (38,18): Spark's precision-loss rule must shrink the
+    // result scale below 18 — the trap the chosen (12,0)×(18,6) avoids.
+    val df = Seq((new java.math.BigDecimal("1900000.000000000000000000"),
+                  new java.math.BigDecimal("1.313558000000000000")))
+      .toDF("a", "b")
+      .select(col("a").cast(DecimalType(38, 18)).as("a"),
+        col("b").cast(DecimalType(38, 18)).as("b"))
+      .select((col("a") * col("b")).as("p"))
+    val scale = df.schema("p").dataType.asInstanceOf[DecimalType].scale
+    assert(scale < 18, s"expected precision-loss scale < 18, got $scale")
+  }
+
+  // ---- up-sampling source mix ----
+
+  test("upsampledDocs: rate 2.5 gives 2 or 3 deterministic copies, rate 0 drops, rate 1 keeps exactly one") {
+    val docs = (0L until 256L).map(i =>
+      (i, s"text $i", "en", if (i % 2 == 0) "rich" else "scarce", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val up = TextOps.upsampledDocs(docs, Map("scarce" -> 2.5, "rich" -> 1.0))
+    val perDoc = up.groupBy("doc_id", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(perDoc.filter(_._2 == "rich").forall(_._3 == 1L))
+    assert(perDoc.filter(_._2 == "scarce").forall(t => t._3 == 2L || t._3 == 3L))
+    // fractional extras are content-addressed: ~half the scarce docs get 3
+    val n3 = perDoc.count(t => t._2 == "scarce" && t._3 == 3L)
+    assert(n3 > 25 && n3 < 103, s"expected ~64 of 128 triples, got $n3")
+    // copy indices are 1..n_copies
+    val copies = up.filter(col("source") === "scarce")
+      .groupBy("doc_id").agg(sort_array(collect_list("copy")).as("cs"))
+      .collect().map(_.getSeq[Long](1))
+    assert(copies.forall(cs => cs == (1L to cs.length)))
+  }
+
+  test("upsampledDocs is invariant under input partitioning") {
+    val docs = (0L until 200L).map(i => (i, s"t$i", "en", s"src${i % 4}", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rates = Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.25)
+    def runOn(parts: Int) =
+      TextOps.upsampledDocs(docs.repartition(parts), rates)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    assert(runOn(7) == runOn(3))
+  }
+
+  test("sub-1/512 rates round to zero keeps; 1/300 rounds to 1/256 (documented granularity)") {
+    val docs = (0L until 512L).map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.upsampledDocs(docs, Map("s" -> 0.0005)).count() == 0L)
+    val kept = TextOps.upsampledDocs(docs, Map("s" -> 1.0 / 300)).count()
+    assert(kept > 0L, "1/300 must round UP to the 1/256 grid, not floor to 0")
+  }
+
+  // ---- pack spans ----
+
+  test("packSpans straddle semantics: a straddling doc stays whole in its start pack; next pack opens at the spill") {
+    // capacity 10; three 6-token docs in one source: cum_excl 0, 6, 12
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "s", 11L),
+      (2L, "g h i j k l", "en", "s", 11L),
+      (3L, "m n o p q r", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.packSpans(docs, capacity = 10)
+      .select("pack_id", "n_docs", "pack_tokens", "spans")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toList
+    // doc 2 starts at offset 6 (< capacity) so it BELONGS to pack 0 and
+    // runs past the boundary: pack 0 carries 12 tokens
+    assert(got == List(
+      (0L, 2L, 12L, "1:0:6,2:6:6"),
+      (1L, 1L, 6L, "3:2:6")), s"got $got")
+  }
+
+  test("packSpans spans_arr is the typed mirror of the spans string") {
+    val docs = Tables3.docs(spark)
+    val rows = TextOps.packSpans(docs, capacity = 64).collect()
+    rows.foreach { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("spans_arr"))
+      val fromArr = arr.map(x => s"${x.getLong(1)}:${x.getLong(0)}:${x.getLong(2)}").mkString(",")
+      assert(fromArr == r.getString(r.fieldIndex("spans")))
+      // offsets strictly increasing within a pack
+      val offs = arr.map(_.getLong(0))
+      assert(offs == offs.sorted && offs.distinct.length == offs.length)
+    }
+  }
+
+  // ---- dedupIncremental cache ownership ----
+
+  test("dedupIncremental leaves no cached plans behind beyond its returned handle") {
+    val sc = spark.sparkContext
+    spark.catalog.clearCache() // isolate from other suites sharing the JVM
+    val before = sc.getPersistentRDDs.keySet
+    val index = DedupOps.signatureIndex(Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text"))
+    val delta = Seq(
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "an entirely fresh document unlike anything in the index"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dedupIncremental(index, delta)
+    val verdicts = out.collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(verdicts == Map(10L -> true, 11L -> false))
+    // after the call: only the operator's OWN output may be cached
+    val mid = sc.getPersistentRDDs.keySet -- before
+    assert(mid.size <= 1, s"inputs leaked: ${mid.size} new cached RDDs")
+    out.unpersist(blocking = true)
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"cached RDDs remain after unpersist: $after")
+  }
+
+  // ---- fail-fast numPerm guards ----
+
+  test("banding entry points reject numPerm not divisible by 4") {
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.bandedSignatures(spark, df.withColumn("ts", current_timestamp()), numPerm = 18)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.dedupIncremental(
+        DedupOps.signatureIndex(df, numPerm = 18), df, numPerm = 18)
+    }
+  }
+}
+
+/** Tiny shared fixture: a deterministic multi-source documents frame. */
+private object Tables3 {
+  def docs(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    (0L until 60L).map { i =>
+      (i, (0 to (i % 7).toInt).map(j => s"w$j").mkString(" "), "en", s"src${i % 3}", i)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+}
