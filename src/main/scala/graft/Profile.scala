@@ -33,6 +33,16 @@ object Profile {
     val docs = Tables.documents(spark, sfDir)
     val corpus = DedupOps.augmented(docs)
 
+    // `Profile explain <query> [...]` — print the formatted physical plan
+    // of one or more registered queries (plan-audit workflow; PLANS.md).
+    if (args.headOption.contains("explain")) {
+      args.drop(1).foreach { name =>
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
+
     // `Profile time <query> [reps]` — isolate one registered query's
     // wall-clock (3 reps default; cache cleared between reps like Bench).
     if (args.headOption.contains("time")) {
