@@ -216,6 +216,8 @@ object SparkEntry {
     // pack manifest: per-pack ordered (doc_id, offset, len) span lists
     "pack_spans" -> ((s, dir) =>
       TextOps.packSpans(Tables.documents(s, dir)).drop("spans_arr")),
+    // boundary-splitting packing: exact-capacity packs, straddlers split
+    "pack_split" -> ((s, dir) => TextOps.packSplit(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
@@ -448,6 +450,7 @@ object SparkEntry {
     "source_mix_upsample" -> TextOps.sourceMixUpsampleOracle(upsampleRates),
     "pack_sequences" -> TextOps.packSequencesOracle(),
     "pack_spans" -> TextOps.packSpansOracle(),
+    "pack_split" -> TextOps.packSplitOracle(),
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,

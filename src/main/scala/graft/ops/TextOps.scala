@@ -561,19 +561,25 @@ object TextOps {
         (col("cum_excl") % capacity).as("pack_offset"))
   }
 
+  /** Shared oracle prefix: per-source exclusive token prefix-sums —
+    * [[packSequencesOracle]] and [[packSplitOracle]] both build on this
+    * subquery so the cum_excl derivation cannot diverge. */
+  private val cumExclSql: String =
+    """SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER w
+      |      AS BIGINT) - CAST(len(string_split(text, ' ')) AS BIGINT)
+      |      AS cum_excl
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   def packSequencesOracle(capacity: Long = 2048): String =
     s"""SELECT doc_id, source, n_tokens,
        |  cum_excl // $capacity AS pack_id,
        |  cum_excl % $capacity AS pack_offset
        |FROM (
-       |  SELECT doc_id, source,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER w
-       |      AS BIGINT) - CAST(len(string_split(text, ' ')) AS BIGINT)
-       |      AS cum_excl
-       |  FROM documents
-       |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
-       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+       |  $cumExclSql)""".stripMargin
 
   /** Deterministic source mixing (down-sampling) — the data-mixing step
     * that samples corpus sources toward target weights before training.
@@ -720,6 +726,57 @@ object TextOps {
        |             ',' ORDER BY pack_offset) AS spans
        |FROM (${packSequencesOracle(capacity)})
        |GROUP BY 1, 2""".stripMargin
+
+  /** Boundary-SPLITTING sequence packing — the GPT-style loader format
+    * where every pack is EXACTLY `capacity` tokens and a document
+    * straddling a boundary is split into fragments ([[packSequences]]
+    * instead keeps documents whole and lets the straddler's pack run
+    * long — both shapes exist in real pipelines; this is the one that
+    * feeds fixed-shape training batches). A document occupying token
+    * interval [cum_excl, cum_excl + n_tokens) contributes one fragment
+    * to every pack that interval intersects:
+    *   doc_offset  = where in the DOCUMENT the fragment starts,
+    *   pack_offset = where in the PACK it lands,
+    *   frag_len    = intersection length.
+    * Same one-shuffle window prefix-sum as packSequences, then a
+    * map-side explode over each doc's (usually 1-element) pack range —
+    * output grows only by the number of boundary crossings, ≤ total
+    * tokens / capacity extra rows corpus-wide.
+    */
+  def packSplit(documents: DataFrame, capacity: Long = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("cum_excl", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id", explode(expr(
+        s"sequence(cum_excl div $capacity, (cum_excl + n_tokens - 1) div $capacity)")))
+      .select(
+        col("doc_id"), col("source"), col("pack_id"),
+        greatest(lit(0L), col("pack_id") * capacity - col("cum_excl")).as("doc_offset"),
+        greatest(lit(0L), col("cum_excl") - col("pack_id") * capacity).as("pack_offset"),
+        (least((col("pack_id") + 1) * capacity, col("cum_excl") + col("n_tokens"))
+          - greatest(col("pack_id") * capacity, col("cum_excl"))).as("frag_len"))
+  }
+
+  def packSplitOracle(capacity: Long = 2048): String =
+    s"""WITH packed AS (
+       |  $cumExclSql),
+       |frags AS (
+       |  SELECT doc_id, source, n_tokens, cum_excl, p AS pack_id
+       |  FROM packed, (SELECT unnest(range(0,
+       |         (SELECT CAST((max(cum_excl + n_tokens) - 1) // $capacity AS BIGINT) + 1
+       |          FROM packed))) AS p) t
+       |  WHERE p BETWEEN cum_excl // $capacity
+       |            AND (cum_excl + n_tokens - 1) // $capacity)
+       |SELECT doc_id, source, pack_id,
+       |  greatest(0, pack_id * $capacity - cum_excl) AS doc_offset,
+       |  greatest(0, cum_excl - pack_id * $capacity) AS pack_offset,
+       |  least((pack_id + 1) * $capacity, cum_excl + n_tokens)
+       |    - greatest(pack_id * $capacity, cum_excl) AS frag_len
+       |FROM frags""".stripMargin
 
   /** Integer-binned value histogram per event type — the profiling pass
     * a pipeline runs to pick thresholds and spot drift. Bin = floor of

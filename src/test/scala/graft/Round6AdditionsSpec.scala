@@ -184,6 +184,81 @@ class Round6AdditionsSpec extends SparkSpec {
     }
   }
 
+  // ---- boundary-splitting packing ----
+
+  test("packSplit: fragments reassemble documents exactly and fill every non-final pack to capacity") {
+    val docs = Tables3.docs(spark)
+    val frags = TextOps.packSplit(docs, capacity = 16).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val tokensOf = docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per doc: fragment lengths sum to n_tokens; doc_offsets tile [0, n)
+    frags.groupBy(_._1).foreach { case (id, fs) =>
+      assert(fs.map(_._6).sum == tokensOf(id), s"doc $id fragments don't cover it")
+      val sorted = fs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._6 == b._4, s"doc $id gap at ${b._4}")
+        case _ =>
+      }
+    }
+    // per (source, pack): every pack except the last is exactly full,
+    // and pack_offset+frag_len tiles [0, capacity)
+    frags.groupBy(f => (f._2, f._3)).foreach { case ((src, pid), fs) =>
+      val lastPack = frags.filter(_._2 == src).map(_._3).max
+      val filled = fs.map(_._6).sum
+      if (pid < lastPack) assert(filled == 16L, s"pack ($src,$pid) holds $filled")
+      val sorted = fs.sortBy(_._5)
+      assert(sorted.head._5 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._6 == b._5)
+        case _ =>
+      }
+    }
+    // straddlers really split: with 16-token packs over 1..7-token docs
+    // some doc must cross a boundary
+    assert(frags.groupBy(_._1).exists(_._2.length > 1), "fixture has no straddler")
+  }
+
+  test("packSplit agrees with packSequences on each document's FIRST fragment") {
+    val docs = Tables3.docs(spark)
+    val whole = TextOps.packSequences(docs, capacity = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val firstFrag = TextOps.packSplit(docs, capacity = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).map { case (id, fs) => id -> fs.minBy(_._3) }
+    firstFrag.foreach { case (id, (_, pid, _, poff)) =>
+      assert(whole(id) == (pid, poff),
+        s"doc $id: packSequences says ${whole(id)}, packSplit first fragment ($pid, $poff)")
+    }
+  }
+
+  // ---- upsampling is streaming-safe (stateless Append) ----
+
+  test("upsampledDocs runs as a stateless streaming stage with batch-identical output") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 50L).map(i => (i, s"t$i", "en", s"src${i % 2}", i))
+    val batch = TextOps.upsampledDocs(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Map("src0" -> 2.5)).collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val stream = TextOps.upsampledDocs(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      Map("src0" -> 2.5))
+    val query = stream.writeStream.format("memory").queryName("upsample_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("upsample_stream").collect().map(_.toSeq).toSet
+      assert(got == batch)
+      assert(query.lastProgress.stateOperators.isEmpty, "must be stateless")
+    } finally query.stop()
+  }
+
   // ---- dedupIncremental cache ownership ----
 
   test("dedupIncremental leaves no cached plans behind beyond its returned handle") {
