@@ -33,6 +33,31 @@ object Profile {
     val docs = Tables.documents(spark, sfDir)
     val corpus = DedupOps.augmented(docs)
 
+    // `Profile count-prune` — bench-integrity audit: flag any registered
+    // query whose optimized plan LOSES joins under `count()` (Bench's
+    // action). A left join against an aggregate keyed on the join key
+    // with no payload referenced is a no-op to Catalyst, so a bare count
+    // would time only the surviving prefix of such a query; flagged
+    // queries need a semantic no-op guard referencing the join output
+    // (see SparkEntry's vocab_encode/substring_dedup entries).
+    if (args.headOption.contains("count-prune")) {
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+      def joins(p: LogicalPlan): Int =
+        p.collectWithSubqueries { case j: Join => j }.size
+      var flagged = 0
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val df = fn(spark, sfDir)
+        val full = joins(df.queryExecution.optimizedPlan)
+        val cnt = joins(df.groupBy().count().queryExecution.optimizedPlan)
+        if (cnt < full) {
+          flagged += 1
+          println(s"[count-prune] $name: joins $full -> $cnt under count()")
+        }
+      }
+      println(s"[count-prune] flagged=$flagged")
+      spark.stop(); return
+    }
+
     // `Profile explain <query> [...]` — print the formatted physical plan
     // of one or more registered queries (plan-audit workflow; PLANS.md).
     if (args.headOption.contains("explain")) {
@@ -81,6 +106,12 @@ object Profile {
       amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
       t("exact_dedup")(DedupOps.exactDedup(amplified).count())
       t("substring_dup")(DedupOps.substringDup(amplified).count())
+      // the clean_len guard stops Catalyst eliminating the reassembly
+      // join under count() (left join vs aggregate on the join key with
+      // no payload referenced is a no-op to the optimizer) — without it
+      // this line times a parquet metadata count, not the operator
+      t("substring_dedup")(
+        DedupOps.substringDedup(amplified).where(col("clean_len") >= 0).count())
       t("simhash_pairs")(DedupOps.simhashPairs(amplified).count())
       t("minhash_pairs")(DedupOps.minhashPairs(amplified).count())
       spark.catalog.clearCache(); amplified.persist()

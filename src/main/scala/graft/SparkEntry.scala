@@ -161,12 +161,22 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q17_small_qty_revenue" -> ((s, dir) => RelationalOps.smallQuantityRevenue(
       s, Tables.lineitem(s, dir), Tables.part(s, dir))),
-    "vocab_encode" -> ((s, dir) => TextOps.vocabEncode(D(s, dir))),
+    // The `where` guards on vocab_encode/32k, unigram_scores and
+    // doc_repetition below are semantic no-ops (each predicate is always
+    // true for the column's value range) that keep the encode/score join
+    // alive under Bench's count(): Catalyst eliminates a left join whose
+    // aggregate-keyed right side is unreferenced, so without the guard
+    // the bench times token explosion only, not the join being measured
+    // (`Profile count-prune` audits the whole surface for this).
+    "vocab_encode" -> ((s, dir) =>
+      TextOps.vocabEncode(D(s, dir)).where(col("token_id") >= -1L)),
     // Tokenizer-realistic vocab size: same plan shape (TakeOrderedAndProject
     // + broadcast encode join) proven at 32k ids, not a toy 16.
-    "vocab_encode_32k" -> ((s, dir) => TextOps.vocabEncode(D(s, dir), 32768)),
+    "vocab_encode_32k" -> ((s, dir) =>
+      TextOps.vocabEncode(D(s, dir), 32768).where(col("token_id") >= -1L)),
     // CCNet-style corpus-statistics quality scoring (transcendental-free)
-    "unigram_scores" -> ((s, dir) => TextOps.unigramScores(D(s, dir))),
+    "unigram_scores" -> ((s, dir) =>
+      TextOps.unigramScores(D(s, dir)).where(col("mean_freq") >= 0.0)),
     // RAG/embedding chunker: overlapping token windows, map-side only
     "chunk_docs" -> ((s, dir) => TextOps.chunkDocuments(D(s, dir))),
     // flagship composite: quality -> scrub -> dedup -> split -> account
@@ -200,13 +210,20 @@ object SparkEntry {
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
     "substring_dup" -> ((s, dir) => DedupOps.substringDup(D(s, dir))),
-    // ExactSubstr span REMOVAL — the transformation substring_dup gates
-    "substring_dedup" -> ((s, dir) => DedupOps.substringDedup(D(s, dir))),
+    // ExactSubstr span REMOVAL — the transformation substring_dup gates.
+    // The clean_len guard is a semantic no-op (length is never negative)
+    // that keeps the reassembly join alive under Bench's count(): without
+    // it Catalyst eliminates the left join against the interval aggregate
+    // (keyed on the join key, payload unreferenced) and the bench would
+    // time a parquet metadata count instead of the operator.
+    "substring_dedup" -> ((s, dir) =>
+      DedupOps.substringDedup(D(s, dir)).where(col("clean_len") >= 0)),
     "stats_corr" -> ((s, dir) => StatsOps.statsCorr(Tables.lineitem(s, dir))),
     "median_quantiles" -> ((s, dir) => StatsOps.quantiles(Tables.lineitem(s, dir))),
     "outlier_screen" -> ((s, dir) => StatsOps.outliers(Tables.lineitem(s, dir))),
     "simhash_shingles" -> ((s, dir) => DedupOps.simhashShingles(DedupOps.augmented(D(s, dir)))),
-    "doc_repetition" -> ((s, dir) => TextOps.docRepetition(D(s, dir))),
+    "doc_repetition" -> ((s, dir) =>
+      TextOps.docRepetition(D(s, dir)).where(col("top_bigram_frac") >= 0.0)),
     "pii_scrub" -> ((s, dir) => TextOps.piiScrub(D(s, dir))),
     "source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
     // up-sampling mix: scarce sources replicated above rate 1
