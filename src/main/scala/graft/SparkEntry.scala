@@ -235,6 +235,12 @@ object SparkEntry {
       TextOps.packSpans(Tables.documents(s, dir)).drop("spans_arr")),
     // boundary-splitting packing: exact-capacity packs, straddlers split
     "pack_split" -> ((s, dir) => TextOps.packSplit(Tables.documents(s, dir))),
+    // deterministic sharded training-order shuffle (shard, pos) — a
+    // global row_number would single-task the sort; shards are the
+    // loader artifact anyway
+    "corpus_shuffle" -> ((s, dir) => TextOps.corpusShuffle(Tables.documents(s, dir))),
+    // per-source token-budget selection in content-addressed shuffle order
+    "token_budget_mix" -> ((s, dir) => TextOps.tokenBudgetMix(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
@@ -468,6 +474,8 @@ object SparkEntry {
     "pack_sequences" -> TextOps.packSequencesOracle(),
     "pack_spans" -> TextOps.packSpansOracle(),
     "pack_split" -> TextOps.packSplitOracle(),
+    "corpus_shuffle" -> TextOps.corpusShuffleOracle(),
+    "token_budget_mix" -> TextOps.tokenBudgetMixOracle(),
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,

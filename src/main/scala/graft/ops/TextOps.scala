@@ -798,6 +798,84 @@ object TextOps {
        |    AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Deterministic SHARDED corpus shuffle — the global training-order
+    * randomization a loader consumes. A naive global
+    * `row_number() OVER (ORDER BY key)` funnels the whole corpus through
+    * ONE partition (Spark plans an empty-partition window as a
+    * single-task sort), so this uses the formulation real pipelines
+    * write anyway: shard = one md5 byte of the seeded key (256 shard
+    * files), position = rank WITHIN the shard only. Loader order =
+    * (shard, pos); every shard is an independent window over ~1/256 of
+    * the corpus, so the sort is range-partitioned and no task sees more
+    * than a shard. Content-addressed (md5 of doc_id + seed, never
+    * `rand()`): identical output under any partitioning, retry, or
+    * speculative re-execution, and a seed change is a full reshuffle.
+    */
+  def corpusShuffle(documents: DataFrame, seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col("doc_id").cast("string"), lit(":"), lit(seed)))
+    val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    documents
+      .select(col("doc_id"), col("source"), key.as("shuffle_key"))
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"))
+  }
+
+  def corpusShuffleOracle(seed: String = "42"): String =
+    s"""SELECT shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+       |  doc_id, source
+       |FROM (
+       |  SELECT doc_id, source,
+       |    md5(CAST(doc_id AS VARCHAR) || ':$seed') AS shuffle_key,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 2))::BIGINT
+       |      AS shard
+       |  FROM documents)""".stripMargin
+
+  /** Per-source token-budget selection — the epoch-budgeting step that
+    * caps each source's contribution at a fixed token count (mixture
+    * weights are often specified in tokens, not keep-rates; cf.
+    * [[sourceMix]] which thins by rate). Documents are consumed in
+    * content-addressed shuffle order (seeded md5, never doc_id order —
+    * a budget over doc_id order would take a BIASED prefix of the
+    * source), with an exclusive prefix-sum of token counts over the
+    * per-source window; a document is kept iff its tokens START under
+    * budget, so each source yields budget tokens plus at most one
+    * straddling document (bounded overshoot, same straddle convention
+    * as [[packSequences]]). One shuffle on source, shard-local sorts —
+    * the window never sees more than a source shard at 100 TB.
+    */
+  def tokenBudgetMix(documents: DataFrame, budget: Long = 4096,
+                     seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col("doc_id").cast("string"), lit(":b"), lit(seed)))
+    val w = Window.partitionBy("source").orderBy("mix_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        key.as("mix_key"))
+      .withColumn("cum_excl", sum("n_tokens").over(w) - col("n_tokens"))
+      .filter(col("cum_excl") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_excl"))
+  }
+
+  def tokenBudgetMixOracle(budget: Long = 4096, seed: String = "42"): String =
+    s"""SELECT doc_id, source, n_tokens, cum_excl FROM (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER w
+       |      AS BIGINT) - CAST(len(string_split(text, ' ')) AS BIGINT)
+       |      AS cum_excl
+       |  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || ':b$seed') AS mix_key
+       |        FROM documents)
+       |  WINDOW w AS (PARTITION BY source ORDER BY mix_key, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |WHERE cum_excl < $budget""".stripMargin
+
   val tfIdfTopOracle: String =
     """WITH tokens AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

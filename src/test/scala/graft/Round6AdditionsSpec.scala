@@ -296,6 +296,60 @@ class Round6AdditionsSpec extends SparkSpec {
         DedupOps.signatureIndex(df, numPerm = 18), df, numPerm = 18)
     }
   }
+
+  // ---- corpusShuffle: deterministic sharded training order ----
+
+  test("corpusShuffle: every doc exactly once, contiguous 1-based pos per shard, partitioning-invariant") {
+    val docs = Tables3.docs(spark)
+    val out = TextOps.corpusShuffle(docs).collect()
+    assert(out.length == 60)
+    assert(out.map(_.getLong(2)).toSet == (0L until 60L).toSet)
+    // per-shard positions are 1..n with no gaps (a loader can seek by pos)
+    out.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getLong(1)).sorted
+      assert(ps.toList == (1L to rows.length).toList, s"shard $shard: $ps")
+    }
+    // identical output under a different physical partitioning
+    val re = TextOps.corpusShuffle(docs.repartition(13)).collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      .sameElements(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted))
+  }
+
+  test("corpusShuffle: a seed change is a genuine reshuffle") {
+    val docs = Tables3.docs(spark)
+    def order(seed: String) = TextOps.corpusShuffle(docs, seed).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).sortBy(_._1).map(_._2)
+    assert(!order("42").sameElements(order("43")))
+  }
+
+  // ---- tokenBudgetMix: per-source token budgets ----
+
+  test("tokenBudgetMix keeps a prefix of the shuffle order per source, budget + one straddler max") {
+    val docs = Tables3.docs(spark)
+    val budget = 20L
+    val kept = TextOps.tokenBudgetMix(docs, budget).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getLong(3) < budget)) // every kept doc STARTS under budget
+    // per source: total kept tokens < budget + the one straddling doc
+    kept.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val total = rows.map(_.getLong(2)).sum
+      val maxDoc = rows.map(_.getLong(2)).max
+      assert(total < budget + maxDoc, s"$src overshot: $total")
+    }
+    // prefix-closed: a kept doc's cum_excl equals the token sum of kept
+    // docs ordered before it (nothing inside the budget was skipped)
+    kept.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.foldLeft(0L) { (acc, r) =>
+        assert(r.getLong(3) == acc); acc + r.getLong(2)
+      }
+    }
+  }
+
+  test("tokenBudgetMix with an ample budget keeps every document") {
+    val docs = Tables3.docs(spark)
+    assert(TextOps.tokenBudgetMix(docs, budget = 1000000L).count() == 60)
+  }
 }
 
 /** Tiny shared fixture: a deterministic multi-source documents frame. */
