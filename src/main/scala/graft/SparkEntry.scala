@@ -209,6 +209,12 @@ object SparkEntry {
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
+    // fractional per-doc benchmark overlap (decontaminate is the binary
+    // gate). The frac guard is the count-prune no-op (frac is never
+    // negative): without it Catalyst eliminates the bench-mark left join
+    // under Bench's count() and the bench times gram explosion only.
+    "contamination_score" -> ((s, dir) =>
+      DedupOps.contaminationScore(D(s, dir)).where(col("frac") >= 0.0)),
     "substring_dup" -> ((s, dir) => DedupOps.substringDup(D(s, dir))),
     // ExactSubstr span REMOVAL — the transformation substring_dup gates.
     // The clean_len guard is a semantic no-op (length is never negative)
@@ -244,6 +250,8 @@ object SparkEntry {
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
+    // canonical representative per cluster: longest doc survives, rest drop
+    "dedup_canonical" -> ((s, dir) => DedupOps.dedupCanonical(DedupOps.augmented(D(s, dir)))),
     // Incremental dedup: index = base docs' persisted signatures, delta =
     // the injected near/exact copies arriving "later" (doc_id >= 100000).
     "dedup_incremental" -> ((s, dir) => {
@@ -461,6 +469,7 @@ object SparkEntry {
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
     "paragraph_dedup" -> DedupOps.paragraphDedupOracle(),
     "decontaminate" -> DedupOps.decontaminateOracle(),
+    "contamination_score" -> DedupOps.contaminationScoreOracle(),
     "substring_dup" -> DedupOps.substringDupOracle(),
     "substring_dedup" -> DedupOps.substringDedupOracle(),
     "stats_corr" -> StatsOps.statsCorrOracle,
@@ -479,6 +488,7 @@ object SparkEntry {
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
+    "dedup_canonical" -> DedupOps.dedupCanonicalOracle,
     "dedup_incremental" -> DedupOps.dedupIncrementalOracle(),
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.

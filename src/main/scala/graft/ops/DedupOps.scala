@@ -302,6 +302,32 @@ object DedupOps {
     out
   }
 
+  /** B8i-canon — CANONICAL representative per near-dup cluster: the step
+    * a production pipeline runs right after clustering — keep the longest
+    * document of each cluster (tie-break min doc_id, deterministic), and
+    * report the cluster's size. Output is CLUSTER-count-sized (the
+    * survivors to keep; everything else in a cluster is dropped).
+    *
+    * Scale shape: the cluster labeling is pair-graph-sized (see
+    * [[nearDupClusters]]), so it BROADCASTS onto the corpus — the corpus
+    * never shuffles for the join; the representative ranking then
+    * shuffles only the CLUSTERED docs' (doc_id, label, len) triples (a
+    * graph-sized set), one exchange on label. Text itself never moves.
+    */
+  def dedupCanonical(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(corpus, minJaccard)
+    val meta = corpus.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val w = Window.partitionBy("label")
+    val wo = Window.partitionBy("label").orderBy(col("len").desc, col("doc_id").asc)
+    meta.join(broadcast(clusters), Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wo))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("doc_id").as("rep_doc_id"),
+        col("cluster_size"), col("len").as("rep_len"))
+  }
+
   /** Driver union-find with path compression for metadata-sized pair
     * graphs; attaching the larger root under the smaller makes the final
     * root the component MINIMUM — identical labeling to
@@ -407,7 +433,12 @@ object DedupOps {
     * (label-set propagation, min at the end) — an independent fixpoint
     * formulation of connectivity, not a mirror of the Spark iteration.
     */
-  lazy val nearDupClustersOracle: String = {
+  /** Shared cluster-labeling CTE chain (pair candidates → verified pairs
+    * → symmetric edges → recursive label propagation → `clusters`):
+    * [[nearDupClustersOracle]] and [[dedupCanonicalOracle]] both compose
+    * onto this prefix, so the labeling can never silently diverge.
+    */
+  private lazy val clusterCtes: String = {
     val pairsCtes = minhashPairsOracle
       .replaceFirst("(?s)^WITH ", "")
       .replaceFirst("(?s)SELECT jac\\.doc_a.*$", "")
@@ -424,10 +455,30 @@ object DedupOps {
        |lbl(doc, l) AS (
        |  SELECT DISTINCT a, a FROM edges
        |  UNION
-       |  SELECT e.b, lbl.l FROM lbl JOIN edges e ON lbl.doc = e.a)
-       |SELECT doc AS doc_id, CAST(min(l) AS BIGINT) AS label
-       |FROM lbl GROUP BY doc""".stripMargin
+       |  SELECT e.b, lbl.l FROM lbl JOIN edges e ON lbl.doc = e.a),
+       |clusters AS (
+       |  SELECT doc AS doc_id, CAST(min(l) AS BIGINT) AS label
+       |  FROM lbl GROUP BY doc)""".stripMargin
   }
+
+  lazy val nearDupClustersOracle: String =
+    s"""$clusterCtes
+       |SELECT doc_id, label FROM clusters""".stripMargin
+
+  lazy val dedupCanonicalOracle: String =
+    s"""$clusterCtes,
+       |sized AS (
+       |  SELECT c.label, c.doc_id, CAST(length(a.text) AS BIGINT) AS len
+       |  FROM clusters c JOIN corpus a ON c.doc_id = a.doc_id),
+       |ranked AS (
+       |  SELECT label, doc_id, len,
+       |    count(*) OVER (PARTITION BY label) AS cluster_size,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY len DESC, doc_id ASC) AS rn
+       |  FROM sized)
+       |SELECT label, doc_id AS rep_doc_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size, len AS rep_len
+       |FROM ranked WHERE rn = 1""".stripMargin
 
   /** B8j — inter-document PARAGRAPH dedup (the CCNet/RefinedWeb pipeline
     * stage): segment every document, keep only the globally FIRST
@@ -507,16 +558,20 @@ object DedupOps {
     * LEFT ANTI join back onto the docs. Training documents never join
     * each other, and only 16-byte digests cross the broadcast.
     */
+  /** Distinct (doc_id, gram-digest) pairs — shared by [[decontaminate]]
+    * and [[contaminationScore]] so the gram derivation cannot diverge. */
+  private def gramDigests(df: DataFrame, n: Int): DataFrame = df
+    .withColumn("toks", split(col("text"), " ", -1))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, size(toks) - $n), i -> md5(concat_ws(' ', slice(toks, i + 1, $n))))"))
+      .as("g"))
+    .distinct()
+
   def decontaminate(documents: DataFrame, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("toks", split(col("text"), " ", -1))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> md5(concat_ws(' ', slice(toks, i + 1, $n))))"))
-        .as("g"))
-      .distinct()
-    val bench = grams(documents.filter(col("doc_id") % 50 === 0)).select("g").distinct()
-    val contaminated = grams(documents.filter(col("doc_id") % 50 =!= 0))
+    val bench = gramDigests(documents.filter(col("doc_id") % 50 === 0), n)
+      .select("g").distinct()
+    val contaminated = gramDigests(documents.filter(col("doc_id") % 50 =!= 0), n)
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select("doc_id").distinct()
     documents.filter(col("doc_id") % 50 =!= 0)
@@ -524,21 +579,59 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
-  def decontaminateOracle(n: Int = 8): String =
+  /** B8k-frac — FRACTIONAL contamination scoring: [[decontaminate]] is
+    * the binary gate; this is the metric pipelines actually report (and
+    * threshold more finely than any-overlap): per training document, the
+    * fraction of its distinct n-grams that appear in the benchmark set.
+    *
+    * Scale shape: same broadcast discipline as decontaminate — the
+    * eval-sized digest set broadcasts, training grams are marked by a
+    * broadcast LEFT join (hit or null), and ONE count-sized shuffle on
+    * doc_id aggregates (n_grams, n_hit). The division is a single IEEE
+    * op (bitwise-stable across engines); documents never join documents.
+    */
+  def contaminationScore(documents: DataFrame, n: Int = 8): DataFrame = {
+    val bench = gramDigests(documents.filter(col("doc_id") % 50 === 0), n)
+      .select("g").distinct()
+    gramDigests(documents.filter(col("doc_id") % 50 =!= 0), n)
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("frac", col("n_hit").cast("double") / col("n_grams"))
+  }
+
+  /** Shared gram-digest CTE prefix (`grams` distinct per doc + `bench`):
+    * [[decontaminateOracle]] and [[contaminationScoreOracle]] compose
+    * onto it — lockstep with [[gramDigests]]. */
+  private def gramCtes(n: Int): String =
     s"""WITH grams AS (
-       |  SELECT doc_id, md5(array_to_string(toks[i:i+${n - 1}], ' ')) AS g
+       |  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+${n - 1}], ' ')) AS g
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |       (SELECT unnest(range(1,
        |          (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) FROM documents)))
        |        AS i) t
        |  WHERE len(toks) >= $n AND i <= len(toks) - ${n - 1}),
-       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)""".stripMargin
+
+  def decontaminateOracle(n: Int = 8): String =
+    s"""${gramCtes(n)},
        |contaminated AS (
        |  SELECT DISTINCT doc_id FROM grams
        |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench))
        |SELECT doc_id, lang, source FROM documents
        |WHERE doc_id % 50 <> 0
        |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+
+  def contaminationScoreOracle(n: Int = 8): String =
+    s"""${gramCtes(n)}
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*) AS frac
+       |FROM grams WHERE doc_id % 50 <> 0
+       |GROUP BY doc_id""".stripMargin
 
   /** B8 — exact duplicated-substring signal (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" ExactSubstr

@@ -350,6 +350,58 @@ class Round6AdditionsSpec extends SparkSpec {
     val docs = Tables3.docs(spark)
     assert(TextOps.tokenBudgetMix(docs, budget = 1000000L).count() == 60)
   }
+
+  // ---- dedupCanonical: representative per cluster ----
+
+  test("dedupCanonical keeps the longest doc per cluster with min-doc_id tie-break") {
+    // two near-dup families sharing shingles + one singleton (no pair,
+    // so no cluster row). Shingle k in minhashPairs is word-based; make
+    // near-identical long docs so Jaccard >= 0.5 within families only.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base + " alpha"),                   // family A, 6 extra chars
+      (11L, base + " alpha beta gamma"),        // family A, LONGEST
+      (12L, base),                              // family A, shortest
+      (20L, "x " + base.replace("tok", "yy")),  // family B
+      (21L, "x " + base.replace("tok", "yy")),  // family B exact dup, same len -> min id wins
+      (99L, "entirely unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupCanonical(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length == 2, s"expected 2 clusters, got ${got.mkString(",")}")
+    val Array((laba, repa, sizea), (labb, repb, sizeb)) = got
+    assert(laba == 10L && repa == 11L && sizea == 3L) // longest wins
+    assert(labb == 20L && repb == 20L && sizeb == 2L) // equal len -> min doc_id
+  }
+
+  // ---- contaminationScore: fractional benchmark overlap ----
+
+  test("contaminationScore: full overlap scores 1.0, zero overlap 0.0, partial in between") {
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ") // exactly one 8-gram
+    val docs = Seq(
+      (50L, gram, "en", "s", 0L),               // benchmark doc (id % 50 == 0)
+      (1L, gram, "en", "s", 0L),                // fully contaminated
+      (2L, "a b c d e f g h", "en", "s", 0L),   // clean, exactly 1 gram
+      (3L, gram + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DedupOps.contaminationScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 1L, 1.0)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+    // doc 3: 9 distinct grams, exactly the first matches the benchmark
+    assert(got(3L)._1 == 9L && got(3L)._2 == 1L && got(3L)._3 == 1.0 / 9.0)
+  }
+
+  test("contaminationScore is consistent with the decontaminate gate") {
+    val docs = Tables3.docs(spark).filter(length(col("text")) > 0)
+    // decontaminate drops exactly the docs contaminationScore marks frac > 0
+    val scored = DedupOps.contaminationScore(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val kept = DedupOps.decontaminate(docs, n = 3).collect().map(_.getLong(0)).toSet
+    scored.foreach { case (id, frac) =>
+      assert(kept.contains(id) == (frac == 0.0), s"doc $id frac=$frac kept=${kept.contains(id)}")
+    }
+  }
 }
 
 /** Tiny shared fixture: a deterministic multi-source documents frame. */
