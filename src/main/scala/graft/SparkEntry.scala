@@ -247,6 +247,8 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, dir) => TextOps.corpusShuffle(Tables.documents(s, dir))),
     // per-source token-budget selection in content-addressed shuffle order
     "token_budget_mix" -> ((s, dir) => TextOps.tokenBudgetMix(Tables.documents(s, dir))),
+    // exact-k per-source sample in content-addressed order (eval sets)
+    "stratified_sample" -> ((s, dir) => TextOps.stratifiedSample(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
@@ -485,6 +487,7 @@ object SparkEntry {
     "pack_split" -> TextOps.packSplitOracle(),
     "corpus_shuffle" -> TextOps.corpusShuffleOracle(),
     "token_budget_mix" -> TextOps.tokenBudgetMixOracle(),
+    "stratified_sample" -> TextOps.stratifiedSampleOracle(),
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,

@@ -876,6 +876,38 @@ object TextOps {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |WHERE cum_excl < $budget""".stripMargin
 
+  /** Exact-k STRATIFIED sample — k documents per source, the eval-set /
+    * inspection-sample construction step (`sample(fraction)` gives a
+    * binomial count that varies per run and can return 0 for small
+    * strata; pipelines want exactly k, deterministically). Selection
+    * order is the content-addressed shuffle key (seeded md5 — never
+    * doc_id order, which would bias toward early ingestion), so the
+    * sample is uniform-by-content and identical under any partitioning,
+    * retry, or speculation. One shuffle on source; rank+filter is a
+    * per-source TOP-K (k rows of state per window at 100 TB, same
+    * argument as the global top-k operator).
+    */
+  def stratifiedSample(documents: DataFrame, k: Int = 20,
+                       seed: String = "42"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col("doc_id").cast("string"), lit(":s"), lit(seed)))
+    val w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    documents
+      .select(col("doc_id"), col("source"), col("n_chars"), key.as("sample_key"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+  }
+
+  def stratifiedSampleOracle(k: Int = 20, seed: String = "42"): String =
+    s"""SELECT source, rank, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s$seed'), doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM documents)
+       |WHERE rank <= $k""".stripMargin
+
   val tfIdfTopOracle: String =
     """WITH tokens AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

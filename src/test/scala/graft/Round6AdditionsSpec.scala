@@ -351,6 +351,23 @@ class Round6AdditionsSpec extends SparkSpec {
     assert(TextOps.tokenBudgetMix(docs, budget = 1000000L).count() == 60)
   }
 
+  // ---- stratifiedSample: exact-k per source ----
+
+  test("stratifiedSample: exactly k per large stratum, whole stratum when smaller, partitioning-invariant") {
+    val docs = Tables3.docs(spark) // 3 sources x 20 docs
+    val got = TextOps.stratifiedSample(docs, k = 5).collect()
+    got.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.length == 5, s"$src: ${rows.length}")
+      assert(rows.map(_.getLong(1)).sorted.toList == (1L to 5L).toList)
+    }
+    // small stratum: k above stratum size returns the whole stratum
+    assert(TextOps.stratifiedSample(docs, k = 100).count() == 60)
+    // physical partitioning cannot change the sample
+    val re = TextOps.stratifiedSample(docs.repartition(17), k = 5).collect()
+    assert(re.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      .sameElements(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted))
+  }
+
   // ---- dedupCanonical: representative per cluster ----
 
   test("dedupCanonical keeps the longest doc per cluster with min-doc_id tie-break") {
