@@ -119,6 +119,8 @@ object Profile {
       spark.catalog.clearCache(); amplified.persist()
       t("clusters")(DedupOps.nearDupClusters(amplified).count())
       spark.catalog.clearCache(); amplified.persist()
+      t("canonical")(DedupOps.dedupCanonical(amplified).count())
+      spark.catalog.clearCache(); amplified.persist()
       t("paragraph_dedup")(DedupOps.paragraphDedup(amplified).count())
       spark.catalog.clearCache(); amplified.persist()
       // Incremental shape at scale: the index holds copies 0..factor-2
@@ -135,6 +137,30 @@ object Profile {
       t("decontaminate")(DedupOps.decontaminate(
         amplified.withColumn("lang", lit("xx")).withColumn("source", lit("amp")))
         .count())
+      // frac guard = count-prune no-op (see SparkEntry); keeps the
+      // benchmark mark-join alive under this count
+      t("contamination_score")(DedupOps.contaminationScore(
+        amplified.withColumn("lang", lit("xx")).withColumn("source", lit("amp")))
+        .where(col("frac") >= 0.0).count())
+      spark.stop(); return
+    }
+
+    // `Profile scale-substr [factor]` — stage attribution for the span
+    // removal pipeline at scale (used to locate the 10× hot stage).
+    if (args.headOption.contains("scale-substr")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val base = DedupOps.augmented(docs)
+      val amplified = (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
+            .as("text"))
+      }.reduce(_ unionAll _)
+      amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
+      val st = DedupOps.substringDedupStages(amplified)
+      st.foreach { case (name, df) => t(name)(df.count()) }
+      t("substring_dedup_full")(
+        DedupOps.substringDedup(amplified).where(col("clean_len") >= 0).count())
       spark.stop(); return
     }
 

@@ -158,6 +158,33 @@ object StreamingOps {
       .toDF("doc_id", "text")
   }
 
+  /** B8k-frac streaming — FRACTIONAL contamination scoring as a
+    * stateless stream stage (the scoring twin of [[decontaminateStream]],
+    * mirroring the batch gate/score pair): per arriving document, the
+    * fraction of its distinct n-grams present in the broadcast benchmark
+    * digest set. Map-side only — the eval-sized set rides the broadcast,
+    * each micro-batch is embarrassingly parallel, Append mode, zero
+    * state; a pipeline routes on `frac` thresholds downstream exactly
+    * like the batch composite.
+    */
+  def contaminationScoreStream(spark: SparkSession, stream: DataFrame,
+                               benchDigests: Set[String], n: Int = 8): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(benchDigests)
+    stream.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < n) None
+        else {
+          val grams = toks.sliding(n)
+            .map(w => graft.functions.Hashing.md5Hex(w.mkString(" "))).toSet
+          val hit = grams.count(bc.value.contains)
+          Some((id, grams.size.toLong, hit.toLong, hit.toDouble / grams.size))
+        }
+      }
+      .toDF("doc_id", "n_grams", "n_hit", "frac")
+  }
+
   /** B10 streaming — the corpus-cleaning pipeline as a STATELESS stream:
     * quality gate → PII scrub → deterministic hash split, every stage a
     * map-side expression from the batch operators (the same Columns,

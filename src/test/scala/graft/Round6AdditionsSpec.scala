@@ -409,6 +409,37 @@ class Round6AdditionsSpec extends SparkSpec {
     assert(got(3L)._1 == 9L && got(3L)._2 == 1L && got(3L)._3 == 1.0 / 9.0)
   }
 
+  test("streaming contamination scoring agrees with the batch operator, stateless in Append mode") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = "the quick brown fox jumps over the lazy dog tonight"
+    val train = Seq(
+      (1L, s"prefix $bench suffix"),
+      (2L, "a clean document with enough words to have eight grams of its own"),
+      (3L, "short doc"))                                   // < n tokens: no row
+    // batch reference: same docs with the benchmark in the % 50 == 0 slice
+    val batchDocs = ((50L, bench) +: train)
+      .map { case (id, t) => (id, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val expect = DedupOps.contaminationScore(batchDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val benchDigests = bench.split(" ").sliding(8)
+      .map(w => graft.functions.Hashing.md5Hex(w.mkString(" "))).toSet
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingOps.contaminationScoreStream(
+      spark, input.toDF().toDF("doc_id", "text"), benchDigests)
+    val query = out.writeStream.format("memory").queryName("contam_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(train: _*)
+      query.processAllAvailable()
+      val got = spark.table("contam_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expect, s"stream $got != batch $expect")
+      assert(got.map(_._1) == Set(1L, 2L)) // doc 3 below n tokens
+    } finally query.stop()
+  }
+
   test("contaminationScore is consistent with the decontaminate gate") {
     val docs = Tables3.docs(spark).filter(length(col("text")) > 0)
     // decontaminate drops exactly the docs contaminationScore marks frac > 0
