@@ -79,6 +79,8 @@ object SparkEntry {
     "cast_project" -> ((s, dir) => EventOps.castProject(E(s, dir))),
     // ---- text analysis (B10) ----
     "text_stats" -> ((s, dir) => TextOps.textStats(D(s, dir))),
+    // adaptive gate: threshold = the corpus's own p50 quality score
+    "quality_percentile" -> ((s, dir) => TextOps.qualityPercentileFilter(D(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.languageId(D(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(D(s, dir))),
     "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
@@ -463,6 +465,7 @@ object SparkEntry {
     "tfidf_top" -> TextOps.tfIdfTopOracle,
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
+    "quality_percentile" -> TextOps.qualityPercentileFilterOracle(textStatsSql),
     "salted_join" ->
       """SELECT event_id, e.event_type, type_total
         |FROM events e JOIN (SELECT event_type, count(*) AS type_total

@@ -231,6 +231,31 @@ object TextOps {
        |FROM ($statsOracle)
        |WHERE n_tokens >= 20 AND stop_ratio <= 0.3 AND avg_token_len <= 8.0""".stripMargin
 
+  /** ADAPTIVE quality thresholding — keep documents at or above the p-th
+    * quantile of the corpus's own quality-score distribution (fixed
+    * thresholds like [[qualityFilter]] drift as the corpus mix changes;
+    * production gates re-derive the cut per snapshot). Exact type-7
+    * quantile via one aggregation (the same `percentile` whose bitwise
+    * DuckDB parity `median_quantiles` proves), broadcast back as a 1-row
+    * scalar — the documented broadcast-scalar nested-loop pattern
+    * (PLANS.md). Two passes over the scored frame (threshold, then
+    * filter), like [[StatsOps.outliers]]: at 100 TB the second pass
+    * re-derives map-side stats rather than caching a corpus-sized frame.
+    */
+  def qualityPercentileFilter(documents: DataFrame, p: Double = 0.5): DataFrame = {
+    val scored = textStats(documents)
+    val thr = scored.agg(expr(s"percentile(quality_score, CAST($p AS DOUBLE))").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("thr"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("thr"))
+  }
+
+  def qualityPercentileFilterOracle(statsOracle: String, p: Double = 0.5): String =
+    s"""WITH scored AS ($statsOracle),
+       |t AS (SELECT quantile_cont(quality_score, $p) AS thr FROM scored)
+       |SELECT doc_id, n_tokens, quality_score, thr
+       |FROM scored, t WHERE quality_score >= thr""".stripMargin
+
   /** B10 — vocabulary encoding: map tokens to dense integer ids (the
     * step before any tokenized training corpus ships). The vocab is the
     * global top-V tokens by document frequency — orderBy+limit plans

@@ -49,6 +49,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.hashSplit(emptyDocs).isEmpty)
   }
 
+  test("round-6 additions on an empty corpus return empty, never throw") {
+    assert(DedupOps.substringDedup(emptyDocs).isEmpty)
+    assert(DedupOps.dedupCanonical(emptyDocs).isEmpty)
+    assert(DedupOps.contaminationScore(
+      emptyDocs.withColumn("lang", org.apache.spark.sql.functions.lit("xx"))).isEmpty)
+    assert(TextOps.corpusShuffle(emptyDocs).isEmpty)
+    assert(TextOps.tokenBudgetMix(emptyDocs).isEmpty)
+    assert(TextOps.stratifiedSample(emptyDocs).isEmpty)
+    assert(TextOps.sourceMixUpsample(emptyDocs, Map("a" -> 2.0)).isEmpty)
+    assert(TextOps.packSpans(emptyDocs).isEmpty)
+    assert(TextOps.packSplit(emptyDocs).isEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("stats family on empty input returns empty aggregates, never throws") {
     val emptyLi = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

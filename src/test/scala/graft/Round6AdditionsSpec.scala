@@ -368,6 +368,24 @@ class Round6AdditionsSpec extends SparkSpec {
       .sameElements(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted))
   }
 
+  // ---- qualityPercentileFilter: adaptive threshold ----
+
+  test("qualityPercentileFilter keeps the top half by the corpus's own median, adapts to the mix") {
+    // quality_score = min(1, n_tokens/100) * (1 - stop_ratio); no stopwords
+    // here, so score is monotone in token count and the median is exact
+    def mk(texts: Seq[String]) = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs = mk(Seq.tabulate(9)(i => Seq.fill(10 * (i + 1))("w").mkString(" ")))
+    val kept = TextOps.qualityPercentileFilter(docs).collect()
+    // 9 docs, p50 = doc with 50 tokens (score 0.5): docs 4..8 survive
+    assert(kept.map(_.getLong(0)).sorted.toList == List(4L, 5L, 6L, 7L, 8L))
+    assert(kept.forall(_.getDouble(3) == 0.5))
+    // a richer corpus moves the cut without any parameter change
+    val docs2 = mk(Seq.tabulate(9)(i => Seq.fill(10 * (i + 1) + 40)("w").mkString(" ")))
+    val kept2 = TextOps.qualityPercentileFilter(docs2).collect()
+    assert(kept2.head.getDouble(3) == 0.9)
+  }
+
   // ---- dedupCanonical: representative per cluster ----
 
   test("dedupCanonical keeps the longest doc per cluster with min-doc_id tie-break") {
