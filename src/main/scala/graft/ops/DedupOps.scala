@@ -314,9 +314,15 @@ object DedupOps {
     * shuffles only the CLUSTERED docs' (doc_id, label, len) triples (a
     * graph-sized set), one exchange on label. Text itself never moves.
     */
-  def dedupCanonical(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def dedupCanonical(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    dedupCanonicalFrom(corpus, nearDupClusters(corpus, minJaccard))
+
+  /** Representative selection from PRECOMPUTED cluster labels — use this
+    * composition point when the labels are already materialized (a
+    * pipeline that wants both the labeling and the survivors should not
+    * pay for clustering twice). */
+  def dedupCanonicalFrom(corpus: DataFrame, clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = nearDupClusters(corpus, minJaccard)
     val meta = corpus.select(col("doc_id"), length(col("text")).cast("long").as("len"))
     val w = Window.partitionBy("label")
     val wo = Window.partitionBy("label").orderBy(col("len").desc, col("doc_id").asc)

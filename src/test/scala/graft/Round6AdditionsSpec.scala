@@ -409,6 +409,18 @@ class Round6AdditionsSpec extends SparkSpec {
     assert(labb == 20L && repb == 20L && sizeb == 2L) // equal len -> min doc_id
   }
 
+  test("dedupCanonicalFrom on precomputed labels equals the one-shot operator") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base + " alpha"), (11L, base + " alpha beta gamma"), (12L, base),
+      (99L, "entirely unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val labels = DedupOps.nearDupClusters(docs)
+    val a = DedupOps.dedupCanonical(docs).collect().map(_.toSeq).toSet
+    val b = DedupOps.dedupCanonicalFrom(docs, labels).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   // ---- contaminationScore: fractional benchmark overlap ----
 
   test("contaminationScore: full overlap scores 1.0, zero overlap 0.0, partial in between") {
