@@ -101,6 +101,15 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => SimilarityOps.embeddingNearDupLsh(Tables.embeddings(s, dir))),
+    // ---- semantic dedup / decontamination (SemDeDup) ----
+    // minCos=0.45: the synthetic corpus is near-orthogonal (max natural
+    // pairwise cos ≈ 0.51), so 0.45 exercises the greedy within-cluster
+    // sweep on natural pairs as well as the planted exact copies; real
+    // embeddings use the 0.95-0.99 defaults.
+    "semantic_clusters" -> ((s, dir) => SemanticOps.semanticClusters(Tables.embeddings(s, dir))),
+    "semantic_dedup" -> ((s, dir) => SemanticOps.semanticDedup(Tables.embeddings(s, dir), minCos = 0.45)),
+    "semantic_decontaminate" -> ((s, dir) => SemanticOps.semanticDecontaminate(Tables.embeddings(s, dir))),
+    "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(Tables.embeddings(s, dir))),
     // ---- relational analytics surface ----
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
@@ -411,6 +420,10 @@ object SparkEntry {
     "ann_ivf" -> SimilarityOps.ivfTopKOracle,
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
     "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
+    "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
+    "semantic_dedup" -> SemanticOps.semanticDedupOracle(minCos = 0.45),
+    "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
+    "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
     "orders_by_nation" -> RelationalOps.ordersByNationOracle,
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,

@@ -162,7 +162,7 @@ object SimilarityOps {
   /** Sign-bit bucket id from the [[lshPlanes]] hyperplanes (expects an
     * `emb` column; one map-side pass, codegen'd DotFold per plane).
     */
-  private def bucketExpr(nPlanes: Int, table: Int = 0): Column =
+  private[ops] def bucketExpr(nPlanes: Int, table: Int = 0): Column =
     lshPlanes(nPlanes, table = table).zipWithIndex
       .map { case (coef, p) =>
         when(graft.functions.native.dotFold(col("emb"), typedlit(coef)) > 0.0,
@@ -282,7 +282,7 @@ object SimilarityOps {
     * column: identical hyperplane literals (Double.toString round-trips
     * exactly through DuckDB's parser), identical fold, identical bits.
     */
-  private def duckBucket(nPlanes: Int, table: Int = 0): String = {
+  private[ops] def duckBucket(nPlanes: Int, table: Int = 0): String = {
     val planes = lshPlanes(nPlanes, table = table)
     def planeDot(p: Int): String = {
       val lit = planes(p).map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
@@ -364,7 +364,7 @@ object SimilarityOps {
 
   // ---- DuckDB oracles (lockstep with the ops above) ----
 
-  private def duckDot(a: String, b: String): String =
+  private[ops] def duckDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
 

@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.{SemanticOps, SimilarityOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+/** SemDeDup family: cluster assignment, within-cluster greedy dedup,
+  * Lloyd's k-means, and semantic decontamination.
+  */
+class SemanticOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Small deterministic corpus: 4 tight blobs in 64-d (one-hot-ish with
+    * small per-vector jitter on a second axis) so nearest-seed assignment
+    * and k-means both have an unambiguous ground truth.
+    */
+  private def blobs(perBlob: Int = 10): DataFrame = {
+    // vec_id = i * 4 + b interleaves blobs so the first k=4 ids (the
+    // deterministic seeds) land in four DIFFERENT blobs — a well-posed init.
+    val rows = for {
+      b <- 0 until 4
+      i <- 0 until perBlob
+    } yield {
+      val base = Array.fill(64)(0.0f)
+      base(b * 8) = 1.0f
+      base(b * 8 + 1) = 0.01f * (i % 5) // jitter, cos to blob mate ≥ 0.999
+      ((i * 4 + b).toLong, base.toSeq, b)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  test("semanticClusters: every vector lands on its argmax-cosine seed (brute force)") {
+    val df = blobs()
+    val k = 4
+    val vecs = df.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val seeds = (0L until k.toLong).map(i => i -> vecs(i))
+    // augmented corpus adds +10000 copies of vec_id % 25 == 0
+    val aug = vecs ++ vecs.filter(_._1 % 25 == 0).map { case (id, v) => (id + 10000) -> v }
+    val got = SemanticOps.semanticClusters(df, k)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got.keySet == aug.keySet)
+    for ((id, v) <- aug) {
+      val best = seeds.map { case (s, sv) => (s, cosine(v, sv)) }
+        .maxBy { case (s, c) => (c, -s) }._1
+      assert(got(id) == best, s"vec $id expected seed $best got ${got(id)}")
+    }
+  }
+
+  test("semanticClusters assignment is map-side: zero Exchange in the plan") {
+    val plan = SemanticOps.semanticClusters(blobs(), 4).queryExecution.executedPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"expected shuffle-free assignment, got:\n$plan")
+  }
+
+  test("semanticDedup: planted exact copies never survive; survivors+drops partition the corpus") {
+    val df = blobs()
+    val survivors = SemanticOps.semanticDedup(df, k = 4, minCos = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // copies are vec_id % 25 == 0 re-keyed +10000; their source is always
+    // present in the same cluster at cos = 1 ≥ any threshold, and ranks
+    // before them on the vec_id tiebreak — so no copy survives.
+    assert(survivors.forall(_ < 10000), "an injected exact copy survived")
+    val corpus = SemanticOps.semanticClusters(df, 4).select("vec_id").as[Long].collect().toSet
+    assert(survivors.subsetOf(corpus))
+  }
+
+  test("semanticDedup greedy invariant: no surviving pair within a cluster reaches the threshold") {
+    val df = blobs()
+    val minCos = 0.999
+    val vecs = df.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val aug = vecs ++ vecs.filter(_._1 % 25 == 0).map { case (id, v) => (id + 10000) -> v }
+    val out = SemanticOps.semanticDedup(df, k = 4, minCos = minCos)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    for {
+      Array((a, ca), (b, cb)) <- out.combinations(2)
+      if ca == cb
+    } assert(cosine(aug(a), aug(b)) < minCos,
+      s"survivors $a and $b in cluster $ca are dups at ${cosine(aug(a), aug(b))}")
+  }
+
+  test("semanticDedup at an unreachable threshold is a no-op") {
+    // cosine never exceeds 1, so minCos = 2.0 must keep the whole
+    // (augmented) corpus — the sweep generates zero drops.
+    val df = blobs()
+    val survivors = SemanticOps.semanticDedup(df, k = 4, minCos = 2.0)
+      .select("vec_id").as[Long].collect().toSet
+    val corpusSize = SemanticOps.semanticClusters(df, 4).count()
+    assert(survivors.size.toLong == corpusSize, "minCos > 1 must be a no-op dedup")
+  }
+
+  test("kmeansFit on separable blobs recovers the blob partition and is deterministic") {
+    val df = blobs()
+    val c1 = SemanticOps.kmeansFit(df, k = 4, iters = 3)
+    val c2 = SemanticOps.kmeansFit(df, k = 4, iters = 3)
+    val a1 = SemanticOps.kmeansAssign(df, c1)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val a2 = SemanticOps.kmeansAssign(df, c2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(a1 == a2, "k-means assignments must be deterministic across runs")
+    // same-blob vectors co-cluster; different blobs are orthogonal so never merge
+    val byLabel = df.select("vec_id", "label").as[(Long, Int)].collect()
+    val clusterOf = byLabel.map { case (id, lab) => lab -> a1(id) }
+    assert(clusterOf.groupBy(_._1).forall { case (_, xs) => xs.map(_._2).distinct.length == 1 },
+      "a blob was split across clusters")
+    assert(clusterOf.map(_._2).distinct.length == 4, "blobs merged into fewer than 4 clusters")
+  }
+
+  test("kmeansFit objective is non-increasing across iterations") {
+    val df = blobs()
+    def objective(cents: Array[Seq[Double]]): Double =
+      SemanticOps.kmeansAssign(df, cents).agg(sum(lit(1.0) - col("c_score"))).as[Double].head()
+    val objs = (1 to 3).map(i => objective(SemanticOps.kmeansFit(df, k = 4, iters = i)))
+    assert(objs.sliding(2).forall(s => s.last <= s.head + 1e-12),
+      s"objective increased across iterations: $objs")
+  }
+
+  test("semanticDecontaminate drops exactly the planted eval copies on a near-orthogonal corpus") {
+    // orthogonal axes: eval member vec_id=0 (0 % 50 == 0); its planted
+    // copy 20001 must drop, everything else survives at 0.99.
+    val rows = (0 until 8).map { i =>
+      val v = Array.fill(64)(0.0f); v(i * 8) = 1.0f; (i.toLong, v.toSeq, 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val kept = SemanticOps.semanticDecontaminate(df, minCos = 0.99, evalMod = 50)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L), s"got $kept")
+  }
+
+  test("LSH decontamination agrees with the exact path on the sf0.001 corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = SemanticOps.semanticDecontaminate(emb).as[Long].collect().toSet
+    val lsh = SemanticOps.semanticDecontaminateLsh(emb).as[Long].collect().toSet
+    // exact copies always share a bucket, so at the 0.99 threshold the
+    // bucketed path catches the same contamination set.
+    assert(lsh == exact)
+  }
+}
