@@ -187,6 +187,37 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-semantic [factor]` — the SemDeDup decade check.
+    // Copies are CIRCULAR COMPONENT SHIFTS of the base vectors
+    // (norm-preserving; a shifted random vector is near-orthogonal to
+    // every other copy, so the corpus-wide near-dup rate stays constant
+    // instead of growing quadratically with copy count), and k grows with
+    // the corpus (k = 8 × factor) per the documented SemDeDup operating
+    // discipline — cells stay ~constant-sized, so the within-cell pair
+    // step must scale ~linearly. Factor is capped by the 64 dims (shift
+    // distinctness); ≤ 32 keeps shifts unique per copy.
+    if (args.headOption.contains("scale-semantic")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      require(factor <= 32, "shift amplifier supports factor <= 32")
+      val base = Tables.embeddings(spark, sfDir)
+      val amplified = (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
+      val k = 8 * factor
+      t("semantic_clusters")(SemanticOps.semanticClusters(amplified, k).count())
+      spark.catalog.clearCache(); amplified.persist()
+      t("semantic_dedup")(SemanticOps.semanticDedup(amplified, k, minCos = 0.45).count())
+      spark.catalog.clearCache(); amplified.persist()
+      t("semantic_decontaminate_lsh")(
+        SemanticOps.semanticDecontaminateLsh(amplified).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))

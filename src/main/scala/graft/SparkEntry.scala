@@ -105,9 +105,11 @@ object SparkEntry {
     // minCos=0.45: the synthetic corpus is near-orthogonal (max natural
     // pairwise cos ≈ 0.51), so 0.45 exercises the greedy within-cluster
     // sweep on natural pairs as well as the planted exact copies; real
-    // embeddings use the 0.95-0.99 defaults.
+    // embeddings use the 0.95-0.99 defaults. k=32 is the k ∝ N operating
+    // discipline applied to the bench-scale corpus (~65 docs/cell at
+    // sf0.1) — cells, not the corpus, bound the pair step.
     "semantic_clusters" -> ((s, dir) => SemanticOps.semanticClusters(Tables.embeddings(s, dir))),
-    "semantic_dedup" -> ((s, dir) => SemanticOps.semanticDedup(Tables.embeddings(s, dir), minCos = 0.45)),
+    "semantic_dedup" -> ((s, dir) => SemanticOps.semanticDedup(Tables.embeddings(s, dir), k = 32, minCos = 0.45)),
     "semantic_decontaminate" -> ((s, dir) => SemanticOps.semanticDecontaminate(Tables.embeddings(s, dir))),
     "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(Tables.embeddings(s, dir))),
     // ---- relational analytics surface ----
@@ -421,7 +423,7 @@ object SparkEntry {
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
     "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
     "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
-    "semantic_dedup" -> SemanticOps.semanticDedupOracle(minCos = 0.45),
+    "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,

@@ -53,22 +53,22 @@ object SemanticOps {
       .select(col("emb"), col("norm")).collect()
       .map(r => (r.getSeq[Double](0), r.getDouble(1)))
 
-  /** Map-side argmax-cosine assignment against literal centroids: a
-    * strict-`>` fold in seed order, so ties keep the LOWEST seed id —
-    * identical to `row_number() OVER (ORDER BY score DESC, seed ASC)`.
-    * Adds `cluster` (long) and `c_score` (cosine to own centroid).
+  /** Map-side argmax-cosine assignment against literal centroids.
+    * The k scores go through an ARRAY + array_max/array_position argmax
+    * (linear-size expression; a when/otherwise fold would reference its
+    * accumulator twice per step — a 2^k tree that OOMs analysis at
+    * k = 32). array_position returns the FIRST index of the max, so ties
+    * keep the LOWEST seed id — identical to `row_number() OVER (ORDER BY
+    * score DESC, seed ASC)`. Codegen CSEs the shared array, so the k
+    * DotFolds evaluate once per row. Adds `cluster` (long) and `c_score`.
     */
   private def assign(df: DataFrame, cents: Array[(Seq[Double], Double)]): DataFrame = {
     val scores: Array[Column] = cents.map { case (emb, nrm) =>
       dot(col("emb"), typedlit(emb)) / (col("norm") * lit(nrm)) }
-    val best = scores.zipWithIndex.tail.foldLeft(
-      struct(lit(0L).as("c"), scores.head.as("s"))) { case (acc, (s, i)) =>
-      when(s > acc.getField("s"), struct(lit(i.toLong).as("c"), s.as("s")))
-        .otherwise(acc) }
-    df.withColumn("best", best)
-      .withColumn("cluster", col("best.c"))
-      .withColumn("c_score", col("best.s"))
-      .drop("best")
+    df.withColumn("sc", array(scores.toIndexedSeq: _*))
+      .withColumn("c_score", array_max(col("sc")))
+      .withColumn("cluster", (array_position(col("sc"), col("c_score")) - 1).cast("long"))
+      .drop("sc")
   }
 
   /** Corpus with injected exact copies (vec_id+10000 for vec_id % 25 = 0,
@@ -78,7 +78,13 @@ object SemanticOps {
   private def labeledCorpus(embeddings: DataFrame, k: Int): DataFrame = {
     val corpus = SimilarityOps.withNorm(SimilarityOps.augmentedEmbeddings(embeddings))
       .select(col("vec_id"), col("emb"), col("norm"))
-    assign(corpus, seeds(corpus, k))
+    val s = seeds(corpus, k)
+    // An empty corpus has no seeds and dedups to empty — return the
+    // output schema rather than letting the argmax fold throw on a
+    // zero-length centroid list (EmptyInputSpec contract).
+    if (s.isEmpty)
+      corpus.withColumn("cluster", lit(0L)).withColumn("c_score", lit(0.0)).limit(0)
+    else assign(corpus, s)
   }
 
   /** Cluster assignment + centroid similarity per vector — the SemDeDup
@@ -128,10 +134,17 @@ object SemanticOps {
     val ranked = labeledCorpus(embeddings, k)
       .withColumn("prio", row_number().over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = ranked.as("a").join(ranked.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.prio") < col("b.prio"))
-      .filter(dot(col("a.emb"), col("b.emb")) / (col("a.norm") * col("b.norm")) >= minCos)
-      .select(col("b.vec_id").as("dup_id")).distinct()
+    // Trimmed projections: the candidate join materializes cellSize²/2
+    // rows per cell, each carrying two 64-dim arrays — every extra column
+    // multiplies by the pair count, so c_score/vec_id stay out of the
+    // sides that don't need them.
+    val lhs = ranked.select(col("cluster"), col("prio"), col("emb"), col("norm"))
+    val rhs = ranked.select(col("cluster").as("b_cluster"), col("prio").as("b_prio"),
+      col("vec_id").as("dup_id"), col("emb").as("b_emb"), col("norm").as("b_norm"))
+    val dups = lhs.join(rhs,
+        col("cluster") === col("b_cluster") && col("prio") < col("b_prio"))
+      .filter(dot(col("emb"), col("b_emb")) / (col("norm") * col("b_norm")) >= minCos)
+      .select(col("dup_id")).distinct()
     // No broadcast hint on the anti-join: the dup set is output-sized (can
     // approach corpus size on a dup-heavy corpus); AQE auto-broadcasts it
     // at runtime when it is actually small.
@@ -297,6 +310,7 @@ object SemanticOps {
     val corpus = SimilarityOps.withNorm(embeddings)
       .select(col("vec_id"), col("emb"), col("norm"))
     var cents: Array[(Seq[Double], Double)] = seeds(corpus, k)
+    require(cents.nonEmpty, s"kmeansFit needs at least one seed vector (vec_id < $k); corpus is empty")
     for (_ <- 1 to iters) {
       val means = assign(corpus, cents)
         .select(col("cluster"), posexplode(col("emb")))
@@ -319,6 +333,7 @@ object SemanticOps {
     * [[kmeansFit]] — map-side, zero shuffle.
     */
   def kmeansAssign(embeddings: DataFrame, centroids: Array[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "kmeansAssign needs at least one centroid")
     val cents = centroids.map { m =>
       (m, math.sqrt(m.foldLeft(0.0)((acc, x) => acc + x * x))) }
     assign(SimilarityOps.withNorm(embeddings)

@@ -63,6 +63,23 @@ class EmptyInputSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic family on an empty corpus returns empty, never throws") {
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    assert(SemanticOps.semanticClusters(emptyEmb).isEmpty)
+    assert(SemanticOps.semanticDedup(emptyEmb).isEmpty)
+    assert(SemanticOps.semanticDecontaminate(emptyEmb).isEmpty)
+    assert(SemanticOps.semanticDecontaminateLsh(emptyEmb).isEmpty)
+    // k-means on an empty corpus cannot seed — must fail LOUDLY, not hang
+    // or return garbage centroids.
+    val e = intercept[IllegalArgumentException](SemanticOps.kmeansFit(emptyEmb))
+    assert(e.getMessage.contains("corpus is empty"))
+    spark.catalog.clearCache()
+  }
+
   test("stats family on empty input returns empty aggregates, never throws") {
     val emptyLi = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
