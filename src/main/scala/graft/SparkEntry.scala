@@ -83,6 +83,7 @@ object SparkEntry {
     "quality_percentile" -> ((s, dir) => TextOps.qualityPercentileFilter(D(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.languageId(D(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(D(s, dir))),
+    "bpe_pairs" -> ((s, dir) => BpeOps.bpePairCounts(D(s, dir))),
     "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
     // ---- events: dedup + JSON extraction (B8a, B11) ----
     "dedup_events_exact" -> ((s, dir) => EventOps.dedupExact(E(s, dir))),
@@ -398,6 +399,7 @@ object SparkEntry {
         |    w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)),
         |    (a, b) -> a + b) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
+    "bpe_pairs" -> BpeOps.bpePairCountsOracle(),
     "fingerprints" ->
       "SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp FROM documents",
     "dedup_events_exact" ->

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909) — the
+  * pipeline stage [[TextOps.vocabEncode]] consumes the output of: greedy
+  * byte-pair merges learned from the corpus. Not in the reference
+  * (SURVEY.md §2.7) — LLM-pipeline extension surface.
+  *
+  * Scale design (100 TB): BPE trains on the WORD-FREQUENCY HISTOGRAM, not
+  * the corpus — one corpus-sized count shuffle up front, then every merge
+  * round works on a vocabulary-sized table (millions of rows at web
+  * scale, not billions of documents). Each round is: one pair-count
+  * aggregation (map-side partial on (a, b)), a 1-row argmax collect (the
+  * merge decision — the only driver state, two strings per round), and a
+  * map-side fold rewriting each word's symbol array. The histogram is
+  * re-persisted per round and the previous round unpersisted — bounded
+  * cache footprint, same ownership discipline as dedupIncremental.
+  *
+  * Tie-breaking is (count DESC, pair ASC) everywhere, so training is
+  * deterministic across partitionings and runs.
+  */
+object BpeOps {
+
+  /** Word-frequency histogram on the engine-wide space tokenizer
+    * (`split(text, ' ')`, matching [[TextOps.tokenCounts]]'s convention
+    * and its DuckDB oracle `string_split(text, ' ')`).
+    */
+  def wordFreq(documents: DataFrame): DataFrame =
+    documents.select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Merge-round-0 statistics: adjacent CHARACTER pair counts weighted by
+    * word frequency, top `topK` by (count DESC, pair ASC) — the argmax of
+    * this table is the first merge BPE learns. TakeOrderedAndProject over
+    * an alphabet²-sized aggregate: metadata, never corpus.
+    */
+  def bpePairCounts(documents: DataFrame, topK: Int = 200): DataFrame =
+    wordFreq(documents)
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+
+  def bpePairCountsOracle(topK: Int = 200): String =
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |pairs AS (
+       |  SELECT substr(word, CAST(i AS INT), 2) AS pair,
+       |         CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM words, unnest(range(1, len(word))) AS t(i)
+       |  WHERE len(word) >= 2
+       |  GROUP BY 1)
+       |SELECT pair, cnt FROM pairs ORDER BY cnt DESC, pair ASC LIMIT $topK""".stripMargin
+
+  /** Greedy left-to-right non-overlapping merge of the adjacent pair
+    * (a, b) in a symbol array — one `aggregate` fold per word, map-side.
+    * Built from Column lambdas (not an interpolated expr string), so
+    * arbitrary symbol content needs no escaping.
+    */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` BPE merges; returns the ordered merge list. Stops
+    * early when no adjacent pair is left (fully-merged vocabulary).
+    */
+  def bpeTrain(documents: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var wf = wordFreq(documents).select(col("freq"), chars.as("syms")).persist()
+    wf.count()
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val top = wf.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = wf.select(col("freq"), mergePair(col("syms"), a, b).as("syms")).persist()
+        next.count()
+        wf.unpersist()
+        wf = next
+      }
+    }
+    wf.unpersist()
+    merges.toSeq
+  }
+
+  /** Segment the (space-tokenized) corpus vocabulary with a learned merge
+    * list: applies the merges in order to every word — the inference twin
+    * of [[bpeTrain]], map-side over the histogram.
+    */
+  def bpeSegment(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    val base = wordFreq(documents).select(col("word"), col("freq"), chars.as("syms"))
+    merges.foldLeft(base) { case (df, (a, b)) =>
+      df.withColumn("syms", mergePair(col("syms"), a, b))
+    }
+  }
+}
