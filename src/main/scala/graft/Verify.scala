@@ -16,11 +16,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Recursive delete for FAILED queries: `mode("overwrite")` only
+    // replaces the dump when the write SUCCEEDS — a query that throws
+    // leaves the PREVIOUS run's parquet in place, and the driver compare
+    // would silently grade stale results (observed: an OOM'd query
+    // "mismatching" an updated oracle by comparing last run's rows).
+    // Failure must leave NO dump so the compare reports the query missing.
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        finally s.close()
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmTree(Paths.get(s"$outDir/$name"))
       }
       // Operators that persist() intermediates (minhashPairs,
       // ngramJaccardPairs) leave cached blocks behind; drop them so a
