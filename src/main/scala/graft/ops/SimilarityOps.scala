@@ -162,7 +162,7 @@ object SimilarityOps {
   /** Sign-bit bucket id from the [[lshPlanes]] hyperplanes (expects an
     * `emb` column; one map-side pass, codegen'd DotFold per plane).
     */
-  private[ops] def bucketExpr(nPlanes: Int, table: Int = 0): Column =
+  private[graft] def bucketExpr(nPlanes: Int, table: Int = 0): Column =
     lshPlanes(nPlanes, table = table).zipWithIndex
       .map { case (coef, p) =>
         when(graft.functions.native.dotFold(col("emb"), typedlit(coef)) > 0.0,
