@@ -126,6 +126,51 @@ class StreamingSemanticSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming semantic dedup state runs on RocksDB: identical matches and eviction") {
+    // Same conversion of the 100 TB state argument to a passing spec as
+    // StreamingDedupSpec's RocksDB test, for the vector-state shape
+    // (Seq[Double] payloads rather than Seq[Long] signatures).
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v = (0 until 64).map(i => if (i % 3 == 0) 0.7f else -0.2f)
+      val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+      val out = StreamingSemantic.semanticDedupStream(spark, streamOf(input),
+        watermarkDelay = "1 minute", stateTtlMs = 60L * 1000)
+      val query = out.writeStream.format("memory").queryName("sem_stream_rocks")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L, v, t0))
+        query.processAllAvailable()
+        input.addData((2L, v, new Timestamp(t0.getTime + 1000)))
+        query.processAllAvailable()
+        val got = spark.table("sem_stream_rocks").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((2L, 1L)), s"got $got")
+        assert(query.lastProgress.stateOperators.nonEmpty, "stateful operator expected")
+        // eviction: watermark sweeps past TTL, a much-later copy no longer matches
+        val w = (0 until 64).map(i => if (i % 5 == 0) -0.8f else 0.3f)
+        input.addData((3L, w, new Timestamp(t0.getTime + 3600L * 1000)))
+        query.processAllAvailable()
+        input.addData((4L, w, new Timestamp(t0.getTime + 3610L * 1000)))
+        query.processAllAvailable()
+        input.addData((5L, v, new Timestamp(t0.getTime + 3620L * 1000)))
+        query.processAllAvailable()
+        val late = spark.table("sem_stream_rocks").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(!late.exists(_._1 == 5L), s"doc 1's bucket must be evicted, got $late")
+      } finally query.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateless streaming decontamination agrees with the batch LSH path and carries no state") {
     implicit val sq = spark.sqlContext
     val emb = sfVecs
