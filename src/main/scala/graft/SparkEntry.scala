@@ -109,10 +109,17 @@ object SparkEntry {
     // embeddings use the 0.95-0.99 defaults. k=32 is the k ∝ N operating
     // discipline applied to the bench-scale corpus (~65 docs/cell at
     // sf0.1) — cells, not the corpus, bound the pair step.
-    "semantic_clusters" -> ((s, dir) => SemanticOps.semanticClusters(Tables.embeddings(s, dir))),
-    "semantic_dedup" -> ((s, dir) => SemanticOps.semanticDedup(Tables.embeddings(s, dir), k = 32, minCos = 0.45)),
-    "semantic_decontaminate" -> ((s, dir) => SemanticOps.semanticDecontaminate(Tables.embeddings(s, dir))),
-    "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(Tables.embeddings(s, dir))),
+    // Fixture augmentation (planted copies / planted contamination) is
+    // applied HERE, at the query site — the operators take the corpus as
+    // given, so production callers never inherit test planting.
+    "semantic_clusters" -> ((s, dir) => SemanticOps.semanticClusters(
+      SimilarityOps.augmentedEmbeddings(Tables.embeddings(s, dir)))),
+    "semantic_dedup" -> ((s, dir) => SemanticOps.semanticDedup(
+      SimilarityOps.augmentedEmbeddings(Tables.embeddings(s, dir)), k = 32, minCos = 0.45)),
+    "semantic_decontaminate" -> ((s, dir) => SemanticOps.semanticDecontaminate(
+      SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
+    "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(
+      SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
     // ---- relational analytics surface ----
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(

@@ -71,12 +71,13 @@ object SemanticOps {
       .drop("sc")
   }
 
-  /** Corpus with injected exact copies (vec_id+10000 for vec_id % 25 = 0,
-    * mirroring [[SimilarityOps.augmentedEmbeddings]]) so the dedup has
-    * true positives, normalized and cluster-labeled.
+  /** Corpus normalized and cluster-labeled. Takes the corpus AS GIVEN —
+    * fixture augmentation (planted copies for the oracle-checked queries)
+    * happens at the SparkEntry registration site, never inside the
+    * operator, so production callers label exactly what they pass.
     */
   private def labeledCorpus(embeddings: DataFrame, k: Int): DataFrame = {
-    val corpus = SimilarityOps.withNorm(SimilarityOps.augmentedEmbeddings(embeddings))
+    val corpus = SimilarityOps.withNorm(embeddings)
       .select(col("vec_id"), col("emb"), col("norm"))
     val s = seeds(corpus, k)
     // An empty corpus has no seeds and dedups to empty — return the
@@ -196,34 +197,46 @@ object SemanticOps {
     * eval/train split and must be caught by the cosine gate. The natural
     * corpus is near-orthogonal (max pairwise cos ≈ 0.51 at sf0.01), so
     * without planting, decontamination at realistic thresholds would be a
-    * no-op; the oracle rebuilds the same corpus.
+    * no-op; the oracle rebuilds the same corpus. FIXTURE helper for the
+    * registered queries — operators never call it.
     */
   def contaminatedEmbeddings(embeddings: DataFrame, evalMod: Int = 50): DataFrame =
     embeddings.select("vec_id", "embedding")
       .unionAll(embeddings.filter(col("vec_id") % evalMod === 0)
         .select((col("vec_id") + 20001).as("vec_id"), col("embedding")))
 
-  /** Semantic decontamination: drop every train vector whose cosine to ANY
-    * eval-set vector (vec_id % `evalMod` = 0 stands in for the benchmark
-    * embedding set) reaches `minCos`. Eval side is benchmark-sized and
-    * broadcast; the anti-join condition is pure cosine, so the plan is a
-    * BroadcastNestedLoopJoin over a metadata-sized build side — the
-    * embedding-space twin of [[DedupOps.decontaminate]]'s 8-gram digests.
-    * Scale path when the eval set outgrows a broadcast: [[
-    * semanticDecontaminateLsh]] equi-joins on the hyperplane bucket first.
+  /** Semantic decontamination: drop every `train` vector whose cosine to
+    * ANY `eval` (benchmark) vector reaches `minCos`. Both sides are
+    * (vec_id, embedding) frames — the eval set is explicit, like the
+    * streaming twin [[graft.streaming.StreamingSemantic.decontaminateStream]].
+    * Eval is benchmark-sized and broadcast; the anti-join condition is
+    * pure cosine, so the plan is a BroadcastNestedLoopJoin over a
+    * metadata-sized build side — the embedding-space twin of
+    * [[DedupOps.decontaminate]]'s 8-gram digests. Scale path when the
+    * eval set outgrows a broadcast: [[semanticDecontaminateLsh]]
+    * equi-joins on the hyperplane bucket first.
     */
-  def semanticDecontaminate(embeddings: DataFrame, minCos: Double = 0.99,
-                            evalMod: Int = 50): DataFrame = {
-    val corpus = SimilarityOps.withNorm(contaminatedEmbeddings(embeddings, evalMod))
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            minCos: Double): DataFrame = {
+    val t = SimilarityOps.withNorm(train)
       .select(col("vec_id"), col("emb"), col("norm"))
-    val eval = corpus.filter(col("vec_id") % evalMod === 0)
+    val e = SimilarityOps.withNorm(eval)
       .select(col("vec_id").as("e_id"), col("emb").as("e_emb"), col("norm").as("e_norm"))
-    corpus.filter(col("vec_id") % evalMod =!= 0)
-      .join(broadcast(eval),
+    t.join(broadcast(e),
         dot(col("emb"), col("e_emb")) / (col("norm") * col("e_norm")) >= minCos,
         "left_anti")
       .select(col("vec_id"))
   }
+
+  /** Same-table convenience split: eval = vec_id % `evalMod` = 0 stands in
+    * for the benchmark set (the registered-query shape).
+    */
+  def semanticDecontaminate(embeddings: DataFrame, minCos: Double = 0.99,
+                            evalMod: Int = 50): DataFrame =
+    semanticDecontaminate(
+      embeddings.filter(col("vec_id") % evalMod =!= 0),
+      embeddings.filter(col("vec_id") % evalMod === 0),
+      minCos)
 
   private def duckContaminated(evalMod: Int): String = {
     val d = SimilarityOps.duckDot _
@@ -262,21 +275,30 @@ object SemanticOps {
     * near-1 thresholds decontamination uses, same-bucket recall is near-1
     * (cos ≥ 0.99 ⇒ angle ≤ ~8°). Deterministic planes — oracle-checkable.
     */
-  def semanticDecontaminateLsh(embeddings: DataFrame, minCos: Double = 0.99,
-                               evalMod: Int = 50, nPlanes: Int = 8): DataFrame = {
-    val corpus = SimilarityOps.withNorm(contaminatedEmbeddings(embeddings, evalMod))
+  def semanticDecontaminateLsh(train: DataFrame, eval: DataFrame,
+                               minCos: Double, nPlanes: Int): DataFrame = {
+    val t = SimilarityOps.withNorm(train)
       .select(col("vec_id"), col("emb"), col("norm"))
       .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
-    val eval = corpus.filter(col("vec_id") % evalMod === 0)
-      .select(col("vec_id").as("e_id"), col("emb").as("e_emb"),
+    val e = SimilarityOps.withNorm(eval)
+      .select(col("vec_id").as("e_id"), col("emb"), col("norm"))
+      .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
+      .select(col("e_id"), col("emb").as("e_emb"),
         col("norm").as("e_norm"), col("bucket").as("e_bucket"))
-    corpus.filter(col("vec_id") % evalMod =!= 0)
-      .join(eval,
+    t.join(e,
         col("bucket") === col("e_bucket") &&
           dot(col("emb"), col("e_emb")) / (col("norm") * col("e_norm")) >= minCos,
         "left_anti")
       .select(col("vec_id"))
   }
+
+  /** Same-table convenience split, mirroring [[semanticDecontaminate]]. */
+  def semanticDecontaminateLsh(embeddings: DataFrame, minCos: Double = 0.99,
+                               evalMod: Int = 50, nPlanes: Int = 8): DataFrame =
+    semanticDecontaminateLsh(
+      embeddings.filter(col("vec_id") % evalMod =!= 0),
+      embeddings.filter(col("vec_id") % evalMod === 0),
+      minCos, nPlanes)
 
   def semanticDecontaminateLshOracle(minCos: Double = 0.99, evalMod: Int = 50,
                                      nPlanes: Int = 8): String = {

@@ -42,12 +42,10 @@ class SemanticOpsSpec extends SparkSpec {
     val k = 4
     val vecs = df.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
     val seeds = (0L until k.toLong).map(i => i -> vecs(i))
-    // augmented corpus adds +10000 copies of vec_id % 25 == 0
-    val aug = vecs ++ vecs.filter(_._1 % 25 == 0).map { case (id, v) => (id + 10000) -> v }
     val got = SemanticOps.semanticClusters(df, k)
       .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
-    assert(got.keySet == aug.keySet)
-    for ((id, v) <- aug) {
+    assert(got.keySet == vecs.keySet)
+    for ((id, v) <- vecs) {
       val best = seeds.map { case (s, sv) => (s, cosine(v, sv)) }
         .maxBy { case (s, c) => (c, -s) }._1
       assert(got(id) == best, s"vec $id expected seed $best got ${got(id)}")
@@ -61,7 +59,8 @@ class SemanticOpsSpec extends SparkSpec {
   }
 
   test("semanticDedup: planted exact copies never survive; survivors+drops partition the corpus") {
-    val df = blobs()
+    // plant copies EXPLICITLY (the operator takes the corpus as given)
+    val df = SimilarityOps.augmentedEmbeddings(blobs())
     val survivors = SemanticOps.semanticDedup(df, k = 4, minCos = 0.999)
       .select("vec_id").as[Long].collect().toSet
     // copies are vec_id % 25 == 0 re-keyed +10000; their source is always
@@ -73,11 +72,11 @@ class SemanticOpsSpec extends SparkSpec {
   }
 
   test("semanticDedup greedy invariant: no surviving pair within a cluster reaches the threshold") {
-    val df = blobs()
     val minCos = 0.999
-    val vecs = df.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val vecs = blobs().select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
     val aug = vecs ++ vecs.filter(_._1 % 25 == 0).map { case (id, v) => (id + 10000) -> v }
-    val out = SemanticOps.semanticDedup(df, k = 4, minCos = minCos)
+    val out = SemanticOps.semanticDedup(
+        SimilarityOps.augmentedEmbeddings(blobs()), k = 4, minCos = minCos)
       .select("vec_id", "cluster").as[(Long, Long)].collect()
     for {
       Array((a, ca), (b, cb)) <- out.combinations(2)
@@ -88,7 +87,7 @@ class SemanticOpsSpec extends SparkSpec {
 
   test("semanticDedup at an unreachable threshold is a no-op") {
     // cosine never exceeds 1, so minCos = 2.0 must keep the whole
-    // (augmented) corpus — the sweep generates zero drops.
+    // corpus — the sweep generates zero drops.
     val df = blobs()
     val survivors = SemanticOps.semanticDedup(df, k = 4, minCos = 2.0)
       .select("vec_id").as[Long].collect().toSet
@@ -124,18 +123,30 @@ class SemanticOpsSpec extends SparkSpec {
 
   test("semanticDecontaminate drops exactly the planted eval copies on a near-orthogonal corpus") {
     // orthogonal axes: eval member vec_id=0 (0 % 50 == 0); its planted
-    // copy 20001 must drop, everything else survives at 0.99.
+    // copy 20001 (from the explicit fixture) must drop, everything else
+    // survives at 0.99.
     val rows = (0 until 8).map { i =>
       val v = Array.fill(64)(0.0f); v(i * 8) = 1.0f; (i.toLong, v.toSeq, 0)
     }
-    val df = rows.toDF("vec_id", "embedding", "label")
+    val df = SemanticOps.contaminatedEmbeddings(rows.toDF("vec_id", "embedding", "label"))
     val kept = SemanticOps.semanticDecontaminate(df, minCos = 0.99, evalMod = 50)
       .as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L), s"got $kept")
   }
 
+  test("explicit (train, eval) decontamination equals the same-table convenience split") {
+    val emb = SemanticOps.contaminatedEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val viaSplit = SemanticOps.semanticDecontaminate(emb).as[Long].collect().toSet
+    val explicit = SemanticOps.semanticDecontaminate(
+      emb.filter($"vec_id" % 50 =!= 0), emb.filter($"vec_id" % 50 === 0), 0.99)
+      .as[Long].collect().toSet
+    assert(explicit == viaSplit)
+  }
+
   test("LSH decontamination agrees with the exact path on the sf0.001 corpus") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = SemanticOps.contaminatedEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
     val exact = SemanticOps.semanticDecontaminate(emb).as[Long].collect().toSet
     val lsh = SemanticOps.semanticDecontaminateLsh(emb).as[Long].collect().toSet
     // exact copies always share a bucket, so at the 0.99 threshold the

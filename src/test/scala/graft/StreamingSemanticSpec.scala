@@ -173,11 +173,10 @@ class StreamingSemanticSpec extends SparkSpec {
 
   test("stateless streaming decontamination agrees with the batch LSH path and carries no state") {
     implicit val sq = spark.sqlContext
-    val emb = sfVecs
-    // batch reference on the SAME contaminated corpus the batch op builds
-    val batchKept = SemanticOps.semanticDecontaminateLsh(emb)
+    val contaminated = SemanticOps.contaminatedEmbeddings(sfVecs)
+    // batch reference on the SAME contaminated corpus
+    val batchKept = SemanticOps.semanticDecontaminateLsh(contaminated)
       .as[Long].collect().toSet
-    val contaminated = SemanticOps.contaminatedEmbeddings(emb)
     val eval = contaminated.filter(col("vec_id") % 50 === 0)
     val train = contaminated.filter(col("vec_id") % 50 =!= 0)
       .select("vec_id", "embedding")
