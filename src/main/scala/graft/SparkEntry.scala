@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => SimilarityOps.embeddingNearDupLsh(Tables.embeddings(s, dir))),
+    "embedding_quantize" -> ((s, dir) => SimilarityOps.quantizeEmbeddingsRows(Tables.embeddings(s, dir))),
     // ---- semantic dedup / decontamination (SemDeDup) ----
     // minCos=0.45: the synthetic corpus is near-orthogonal (max natural
     // pairwise cos ≈ 0.51), so 0.45 exercises the greedy within-cluster
@@ -431,6 +432,7 @@ object SparkEntry {
     "ann_ivf" -> SimilarityOps.ivfTopKOracle,
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
     "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
+    "embedding_quantize" -> SimilarityOps.quantizeEmbeddingsOracle,
     "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),

@@ -440,6 +440,57 @@ object SimilarityOps {
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.999""".stripMargin
 
+  /** Scalar int8-range quantization of the embedding column — the vector
+    * STORAGE compression step of an ANN system (a 64-dim float vector
+    * becomes 64 bytes + two floats; IVF-PQ systems layer product
+    * quantization on the same shape). Per-vector (min, max) affine codes:
+    * q = floor((x - vmin) · 255 / (vmax - vmin) + 0.5), constant vectors
+    * code to 0. Reconstruction x' = vmin + q · (vmax - vmin)/255 is
+    * within half a step of x (spec-asserted). Entirely map-side; every
+    * operation is a single IEEE op in fixed order, so codes hash-match
+    * the DuckDB oracle bitwise.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("vmin", array_min(col("emb")))
+      .withColumn("vmax", array_max(col("emb")))
+      .withColumn("q", expr(
+        """transform(emb, x -> CASE WHEN vmax = vmin THEN 0L
+          |  ELSE CAST(floor(((x - vmin) * 255.0D) / (vmax - vmin) + 0.5D) AS LONG) END)""".stripMargin))
+      .select(col("vec_id"), col("vmin"), col("vmax"), col("q"))
+
+  /** Inverse of [[quantizeEmbeddings]] for error analysis: x' = vmin +
+    * q · (vmax − vmin)/255.
+    */
+  def dequantizeEmbeddings(quantized: DataFrame): DataFrame =
+    quantized.withColumn("emb", expr(
+      "transform(q, c -> vmin + (CAST(c AS DOUBLE) * (vmax - vmin)) / 255.0D)"))
+      .select(col("vec_id"), col("emb"))
+
+  /** Oracle-twin projection of [[quantizeEmbeddings]]: one row per
+    * (vector, dimension) — the driver compare handles scalar columns
+    * only, same convention as `minhash_signatures`.
+    */
+  def quantizeEmbeddingsRows(embeddings: DataFrame): DataFrame =
+    quantizeEmbeddings(embeddings)
+      .select(col("vec_id"), col("vmin"), col("vmax"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("col").as("code"), col("vmin"), col("vmax"))
+
+  val quantizeEmbeddingsOracle: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |    list_min(embedding::DOUBLE[]) AS vmin,
+      |    list_max(embedding::DOUBLE[]) AS vmax
+      |  FROM embeddings)
+      |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |  CASE WHEN vmax = vmin THEN 0
+      |    ELSE CAST(floor(((emb[CAST(i AS INT)] - vmin) * 255.0) / (vmax - vmin) + 0.5) AS BIGINT)
+      |  END AS code,
+      |  vmin, vmax
+      |FROM base, unnest(range(1, 65)) AS t(i)""".stripMargin
+
   def embeddingNearDupLshOracle(nPlanes: Int = 8): String =
     s"""WITH aug AS (
        |  SELECT vec_id, embedding, label FROM embeddings
