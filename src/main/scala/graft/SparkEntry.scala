@@ -121,6 +121,7 @@ object SparkEntry {
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
     "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
+    "hashed_tf" -> ((s, dir) => SemanticOps.hashedTf(D(s, dir))),
     // ---- relational analytics surface ----
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
@@ -437,6 +438,7 @@ object SparkEntry {
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
+    "hashed_tf" -> SemanticOps.hashedTfOracle(),
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
     "orders_by_nation" -> RelationalOps.ordersByNationOracle,
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,

@@ -318,6 +318,43 @@ object SemanticOps {
        |  AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin
   }
 
+  /** Hashing-trick document embedding, exploded form (Weinberger et al.
+    * 2009 feature hashing): token → dimension via the engine's
+    * cross-engine 60-bit md5 hash mod `dims`, value = term frequency.
+    * Model-free and fully deterministic, so the TEXT corpus can flow into
+    * the semantic family (clusters / dedup / ANN) without an external
+    * encoder — near-dup documents have near-parallel TF vectors. One
+    * count shuffle on (doc_id, dim); the oracle mirrors the hash exactly.
+    */
+  def hashedTf(documents: DataFrame, dims: Int = 64): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("tf"))
+
+  def hashedTfOracle(dims: Int = 64): String =
+    s"""SELECT doc_id, ${graft.functions.Hashing.hash64Duck("w")} % $dims AS dim,
+       |  CAST(count(*) AS BIGINT) AS tf
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |WHERE len(w) > 0
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Dense-vector form of [[hashedTf]]: (vec_id, embedding float[dims]),
+    * directly consumable by [[semanticClusters]]/[[semanticDedup]] and
+    * the [[SimilarityOps]] ANN family. The map side carries only the
+    * non-zero (dim, tf) entries; densification happens after the count
+    * shuffle, per doc.
+    */
+  def hashedEmbeddings(documents: DataFrame, dims: Int = 64): DataFrame =
+    hashedTf(documents, dims)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("tf")))).as("m"))
+      .select(col("doc_id").as("vec_id"), expr(
+        s"transform(sequence(0, ${dims - 1}), d -> CAST(coalesce(element_at(m, CAST(d AS BIGINT)), 0L) AS FLOAT))")
+        .as("embedding"))
+
   /** Distributed Lloyd's k-means over the embedding column. Returns the
     * final centroids (k × dims). Per iteration: map-side literal-centroid
     * assignment (zero shuffle), then one (cluster, dim) mean whose shuffle

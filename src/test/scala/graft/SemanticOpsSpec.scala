@@ -121,6 +121,42 @@ class SemanticOpsSpec extends SparkSpec {
       s"objective increased across iterations: $objs")
   }
 
+  test("hashedTf densifies into hashedEmbeddings consistently (spot check)") {
+    val docs = Seq((1L, "a b a"), (2L, "c c c c")).toDF("doc_id", "text")
+    val tf = SemanticOps.hashedTf(docs).as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) => d -> rows.map(r => r._2 -> r._3).toMap }
+    val dense = SemanticOps.hashedEmbeddings(docs)
+      .as[(Long, Seq[Float])].collect().toMap
+    for ((d, m) <- tf; dim <- 0 until 64) {
+      assert(dense(d)(dim) == m.getOrElse(dim.toLong, 0L).toFloat,
+        s"doc $d dim $dim: dense ${dense(d)(dim)} vs tf ${m.getOrElse(dim.toLong, 0L)}")
+    }
+    assert(tf(1L).values.sum == 3 && tf(2L).values.sum == 4) // token counts conserved
+  }
+
+  test("text -> hashed embedding -> semantic dedup catches planted near-dup documents end-to-end") {
+    // the model-free bridge: near-dup docs (one token dropped) have
+    // near-parallel TF vectors, so the SEMANTIC dedup finds LEXICAL
+    // near-dups without any encoder. Seeds are vec_id < k, so ids 0 and 1
+    // (the two DISTINCT docs) are the centroids: doc 0 shares the tok*
+    // vocabulary with the near-dup pair (clear-margin assignment to
+    // cluster 0), doc 1 shares nothing.
+    val base = (1 to 40).map(i => s"tok${i % 13} word$i filler${i % 7}").mkString(" ")
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"tok${i % 13} own$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"other$i unrelated${i % 5}").mkString(" ")),
+      (10L, base),
+      (11L, base.split(" ").drop(1).mkString(" ")) // near-dup of 10
+    ).toDF("doc_id", "text")
+    val vecs = SemanticOps.hashedEmbeddings(docs)
+    val survivors = SemanticOps.semanticDedup(vecs, k = 2, minCos = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!(survivors.contains(10L) && survivors.contains(11L)),
+      s"near-dup pair 10/11 must collapse to one survivor, got $survivors")
+    assert(survivors.contains(0L) && survivors.contains(1L),
+      s"distinct docs must survive, got $survivors")
+  }
+
   test("semanticDecontaminate drops exactly the planted eval copies on a near-orthogonal corpus") {
     // orthogonal axes: eval member vec_id=0 (0 % 50 == 0); its planted
     // copy 20001 (from the explicit fixture) must drop, everything else
