@@ -103,6 +103,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => SimilarityOps.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "embedding_quantize" -> ((s, dir) => SimilarityOps.quantizeEmbeddingsRows(Tables.embeddings(s, dir))),
+    "embedding_pq" -> ((s, dir) => PqOps.pqEncode(Tables.embeddings(s, dir))),
+    "ann_pq_adc" -> ((s, dir) => PqOps.annPqAdc(Tables.embeddings(s, dir))),
     // ---- semantic dedup / decontamination (SemDeDup) ----
     // minCos=0.45: the synthetic corpus is near-orthogonal (max natural
     // pairwise cos ≈ 0.51), so 0.45 exercises the greedy within-cluster
@@ -206,6 +208,7 @@ object SparkEntry {
     "corpus_prep" -> ((s, dir) => TextOps.corpusPrep(D(s, dir))),
     // n-gram LM counting stage: bigram counts + P(w2|w1)
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(D(s, dir))),
+    "lm_likelihood" -> ((s, dir) => TextOps.lmLikelihood(D(s, dir))),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -434,6 +437,8 @@ object SparkEntry {
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
     "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
     "embedding_quantize" -> SimilarityOps.quantizeEmbeddingsOracle,
+    "embedding_pq" -> PqOps.pqEncodeOracle(),
+    "ann_pq_adc" -> PqOps.annPqAdcOracle(),
     "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
@@ -478,6 +483,7 @@ object SparkEntry {
     "chunk_docs" -> TextOps.chunkDocumentsOracle(),
     "corpus_prep" -> TextOps.corpusPrepOracle(),
     "bigram_lm" -> TextOps.bigramLmOracle,
+    "lm_likelihood" -> TextOps.lmLikelihoodOracle,
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,

@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) over the embedding corpus — the missing
+  * compression tier between the scalar int8 coder
+  * ([[SimilarityOps.quantizeEmbeddings]], 4× compression, exact-ish
+  * reconstruction) and raw vectors: split each vector into `m`
+  * subspaces, quantize each subspace to one of `k` codewords, and store
+  * `m` small codes per vector (for the defaults, 64 doubles → 4 bytes:
+  * 128× compression). ADC (asymmetric distance computation) then scores
+  * a query against the CODES alone via an m×k lookup table — the scan
+  * never touches a stored vector, which is what makes IVF-PQ the
+  * standard 100 TB ANN layout (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011). Nothing like this exists in
+  * the reference (SURVEY.md §2.7) — it is part of the LLM-pipeline
+  * extension surface, alongside [[SimilarityOps]] and [[SemanticOps]].
+  *
+  * Scale design (100 TB):
+  *  - The codebook is m × k subvectors = metadata (collected once,
+  *    embedded as literals — the same bounded-collect contract as
+  *    [[SemanticOps]] seeds and the IVF anchors). Encoding is therefore
+  *    MAP-SIDE: one narrow scan of the corpus, zero shuffles; the argmin
+  *    over k codewords is a linear array fold per subspace (array +
+  *    array_min + array_position — the 2^k when/otherwise trap is
+  *    documented at [[SemanticOps.assign]]).
+  *  - ADC scoring scans only the codes relation (m longs per vector, the
+  *    thing you'd actually persist at scale) against a BROADCAST lookup
+  *    table of nQueries × m × k doubles. Per-row work is m array
+  *    lookups + m additions — no dot products, no vector reads. The
+  *    top-k is the same bounded window as every other ANN query here.
+  *  - Codewords are the k lowest-vec_id vectors' subvectors
+  *    (deterministic seed codebook, bitwise-reproducible in DuckDB —
+  *    same rationale as [[SemanticOps]]: one assignment pass is oracle
+  *    land; a production run would refine each subspace codebook with
+  *    [[SemanticOps.kmeansFit]]-style Lloyd iterations, which is float-
+  *    mean territory and spec-verified instead, see PqOpsSpec).
+  *
+  * Numerics contract (same as the rest of the similarity family): every
+  * float reduction is a strict ascending left fold from 0.0 — the native
+  * DotFold on the Spark side, `list_reduce(list_prepend(0.0, …))` on the
+  * DuckDB side, and driver-side `foldLeft(0.0)` for the literal lookup
+  * tables — so scores and distances hash-match bitwise. The squared
+  * distance is composed as `(x·x − 2·x·c) + c·c` with identical
+  * parenthesization in both engines.
+  */
+object PqOps {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.native.dotFold(a, b)
+
+  /** Codebook: for each subspace s, codeword j is vector j's subspace
+    * slice (j < k, cast to double). Driver-side rows are k — bounded
+    * metadata, documented collect. Returns cb(s)(j) = subvector.
+    */
+  private def codebook(corpus: DataFrame, m: Int, subDim: Int, k: Int): Array[Array[Seq[Double]]] = {
+    val seeds = corpus.filter(col("vec_id") < k).orderBy("vec_id")
+      .select(col("emb")).collect().map(_.getSeq[Double](0))
+    Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim).toSeq))
+  }
+
+  private def withEmb(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("emb"))
+
+  /** Wide encode: adds `code_s` (long, in [0, k)) and `qerr_s` (double,
+    * the squared quantization error of subspace s) for each subspace.
+    * Entirely map-side; `dot(xs, xs)` is CSE'd across the k distances of
+    * a subspace by codegen.
+    */
+  private def encodeWide(corpus: DataFrame, cb: Array[Array[Seq[Double]]],
+                         subDim: Int): DataFrame =
+    cb.indices.foldLeft(corpus) { (df, s) =>
+      val xs = slice(col("emb"), s * subDim + 1, subDim)
+      val dists: Array[Column] = cb(s).map { cw =>
+        val cl = typedlit(cw)
+        (dot(xs, xs) - lit(2.0) * dot(xs, cl)) + dot(cl, cl)
+      }
+      df.withColumn(s"d_$s", array(dists.toIndexedSeq: _*))
+        .withColumn(s"qerr_$s", array_min(col(s"d_$s")))
+        .withColumn(s"code_$s", (array_position(col(s"d_$s"), col(s"qerr_$s")) - 1).cast("long"))
+        .drop(s"d_$s")
+    }
+
+  /** PQ codes, one row per (vector, subspace): (vec_id, sub, code, qerr).
+    * The long form is the oracle projection (scalar columns only — same
+    * convention as `minhash_signatures` / `embedding_quantize`); the
+    * wide form inside is what ADC consumes and what a table you'd
+    * persist at scale looks like.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    val corpus = withEmb(embeddings)
+    val subDim = 64 / m
+    val cb = codebook(corpus, m, subDim, k)
+    if (cb(0).isEmpty)
+      return corpus.select(col("vec_id"), lit(0L).as("sub"),
+        lit(0L).as("code"), lit(0.0).as("qerr")).limit(0)
+    val pairs = (0 until m).map(s =>
+      struct(lit(s.toLong).as("sub"), col(s"code_$s").as("code"), col(s"qerr_$s").as("qerr")))
+    encodeWide(corpus, cb, subDim)
+      .select(col("vec_id"), explode(array(pairs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub"), col("sc.code"), col("sc.qerr"))
+  }
+
+  def pqEncodeOracle(m: Int = 4, k: Int = 16): String = {
+    val subDim = 64 / m
+    def dotR(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${subDim + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s, emb[CAST(s * $subDim + 1 AS INT):CAST(s * $subDim + $subDim AS INT)] AS xs
+       |  FROM base, (SELECT unnest(range(0, $m)) AS s)),
+       |cb AS (SELECT s, vec_id AS code, xs AS cs FROM subs WHERE vec_id < $k),
+       |dists AS (
+       |  SELECT d.vec_id, d.s, c.code,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS dist
+       |  FROM subs d JOIN cb c ON d.s = c.s)
+       |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       |  dist AS qerr
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                   ORDER BY dist ASC, code ASC) AS rn
+       |      FROM dists)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  /** ADC top-k: approximate inner-product neighbors from CODES alone.
+    * Each of the nQueries query vectors (collected — bounded, like the
+    * IVF query set) is turned into an m × k lookup table of
+    * query-subspace · codeword inner products; the scan then scores
+    * every database vector as the sum of m table lookups over its codes
+    * (strict left fold from 0.0, see class doc) and keeps the top-k per
+    * query. Output: (q_id, vec_id, score, rank).
+    */
+  def annPqAdc(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+               nQueries: Int = 10, topK: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = withEmb(embeddings)
+    val subDim = 64 / m
+    val cb = codebook(corpus, m, subDim, k)
+    val queries = corpus.filter(col("vec_id") < nQueries).orderBy("vec_id")
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (cb(0).isEmpty || queries.isEmpty)
+      return corpus.select(col("vec_id").as("q_id"), col("vec_id"),
+        lit(0.0).as("score"), lit(0L).as("rank")).limit(0)
+    // nQueries × m × k doubles — the broadcast ADC tables.
+    val luts: Seq[(Long, Seq[Seq[Double]])] = queries.toSeq.map { case (qid, q) =>
+      (qid, (0 until m).map { s =>
+        val qs = q.slice(s * subDim, (s + 1) * subDim)
+        cb(s).toSeq.map(cw => qs.zip(cw).map(p => p._1 * p._2).foldLeft(0.0)(_ + _)): Seq[Double]
+      }: Seq[Seq[Double]])
+    }
+    val lutDf = luts.toDF("q_id", "lut")
+    val score = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(element_at(col("lut"), s + 1), (col(s"code_$s") + 1).cast("int"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    encodeWide(corpus, cb, subDim)
+      .select(col("vec_id") +: (0 until m).map(s => col(s"code_$s")): _*)
+      .crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  def annPqAdcOracle(m: Int = 4, k: Int = 16,
+                     nQueries: Int = 10, topK: Int = 10): String = {
+    val subDim = 64 / m
+    def dotR(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${subDim + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s, emb[CAST(s * $subDim + 1 AS INT):CAST(s * $subDim + $subDim AS INT)] AS xs
+       |  FROM base, (SELECT unnest(range(0, $m)) AS s)),
+       |cb AS (SELECT s, vec_id AS code, xs AS cs FROM subs WHERE vec_id < $k),
+       |dists AS (
+       |  SELECT d.vec_id, d.s, c.code,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS dist
+       |  FROM subs d JOIN cb c ON d.s = c.s),
+       |codes AS (
+       |  SELECT vec_id, s, code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                     ORDER BY dist ASC, code ASC) AS rn
+       |        FROM dists)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, s, xs AS qs FROM subs WHERE vec_id < $nQueries),
+       |terms AS (
+       |  SELECT q.q_id, w.vec_id, w.s, ${dotR("q.qs", "c.cs")} AS term
+       |  FROM codes w JOIN q ON q.s = w.s
+       |               JOIN cb c ON c.s = w.s AND c.code = w.code
+       |  WHERE w.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY s)),
+       |                (acc, x) -> acc + x) AS score
+       |  FROM terms GROUP BY q_id, vec_id)
+       |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                   ORDER BY score DESC, vec_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
+}

@@ -330,6 +330,70 @@ object TextOps {
       |      AS p_cond
       |FROM counts""".stripMargin
 
+  /** Per-document fluency scoring under the [[bigramLm]] model — the
+    * KenLM-filter stage of a training pipeline (CCNet-style: score every
+    * document under a corpus LM, gate on the score). Each document's
+    * bigrams are joined to the model and reduced to
+    * (n_bigrams, min_p, avg_p): min conditional probability (the most
+    * surprising transition) and mean conditional probability. The
+    * classic formulation is log-space perplexity, but ln()'s last ulp is
+    * engine-specific (same reasoning as [[tfIdfTop]]'s raw N/df), so the
+    * oracle-checked scores stay in probability space — monotone in the
+    * same direction, gate-equivalent. Self-scoring against a same-corpus
+    * LM means every bigram is in-vocabulary (the inner join drops
+    * nothing); scoring a NEW corpus against a frozen LM would make the
+    * join an outer join plus a smoothing floor — same plan shape.
+    *
+    * Scale design (100 TB): the LM is vocab²-observed-sized, so the
+    * bigram→model join is a shuffle equi-join on (w1, w2) carrying
+    * (doc_id, pos) + one double — never document text; the per-doc
+    * reduction shuffles (pos, p) pairs keyed by doc_id (skinny, bounded
+    * by document length). The per-doc sum is an ORDERED fold (sort by
+    * pos, strict left fold from 0.0) because float addition does not
+    * commute — an unordered SUM() would be partitioning-dependent and
+    * could never hash-match (the same contract as every reduction in the
+    * similarity family).
+    */
+  def lmLikelihood(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = bigramLm(documents).select(col("w1"), col("w2"), col("p_cond"))
+    val bg = documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        min(col("p_cond")).as("min_p"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(pos, p_cond))),
+               |  x -> x.p_cond), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("sum_p"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("min_p"), (col("sum_p") / col("n_bigrams")).as("avg_p"))
+  }
+
+  val lmLikelihoodOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |ex AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+      |bg AS (SELECT doc_id, i AS pos, t[CAST(i AS INT)] AS w1,
+      |              t[CAST(i + 1 AS INT)] AS w2 FROM ex),
+      |counts AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |lm AS (
+      |  SELECT w1, w2,
+      |    CAST(CAST(cnt AS BIGINT) AS DOUBLE) /
+      |      CAST(CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS p_cond
+      |  FROM counts),
+      |j AS (SELECT b.doc_id, b.pos, l.p_cond
+      |      FROM bg b JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, min(p_cond) AS min_p,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p_cond ORDER BY pos)),
+      |              (acc, x) -> acc + x) / count(*) AS avg_p
+      |FROM j GROUP BY doc_id""".stripMargin
+
   /** B10 FLAGSHIP composite — the full corpus-prep pipeline a training
     * run executes, end to end in ONE declarative plan: quality gates
     * (map-side filter, prunes before any shuffle) → PII scrub (map-side
