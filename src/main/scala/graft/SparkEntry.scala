@@ -105,6 +105,7 @@ object SparkEntry {
     "embedding_quantize" -> ((s, dir) => SimilarityOps.quantizeEmbeddingsRows(Tables.embeddings(s, dir))),
     "embedding_pq" -> ((s, dir) => PqOps.pqEncode(Tables.embeddings(s, dir))),
     "ann_pq_adc" -> ((s, dir) => PqOps.annPqAdc(Tables.embeddings(s, dir))),
+    "ann_ivf_pq" -> ((s, dir) => PqOps.annIvfPq(Tables.embeddings(s, dir))),
     // ---- semantic dedup / decontamination (SemDeDup) ----
     // minCos=0.45: the synthetic corpus is near-orthogonal (max natural
     // pairwise cos ≈ 0.51), so 0.45 exercises the greedy within-cluster
@@ -209,6 +210,14 @@ object SparkEntry {
     // n-gram LM counting stage: bigram counts + P(w2|w1)
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(D(s, dir))),
     "lm_likelihood" -> ((s, dir) => TextOps.lmLikelihood(D(s, dir))),
+    // held-out source = min(source): one bounded driver scalar, the same
+    // collect contract as the ANN query sets
+    "lm_score_heldout" -> ((s, dir) => {
+      val d = D(s, dir)
+      val held = d.agg(min(col("source"))).head().getString(0)
+      TextOps.lmLikelihoodAgainst(
+        d.filter(col("source") =!= held), d.filter(col("source") === held))
+    }),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
     "ann_lsh_multiprobe" -> ((s, dir) => SimilarityOps.lshTopKMultiProbe(Tables.embeddings(s, dir))),
@@ -439,6 +448,7 @@ object SparkEntry {
     "embedding_quantize" -> SimilarityOps.quantizeEmbeddingsOracle,
     "embedding_pq" -> PqOps.pqEncodeOracle(),
     "ann_pq_adc" -> PqOps.annPqAdcOracle(),
+    "ann_ivf_pq" -> PqOps.annIvfPqOracle(),
     "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
@@ -484,6 +494,7 @@ object SparkEntry {
     "corpus_prep" -> TextOps.corpusPrepOracle(),
     "bigram_lm" -> TextOps.bigramLmOracle,
     "lm_likelihood" -> TextOps.lmLikelihoodOracle,
+    "lm_score_heldout" -> TextOps.lmLikelihoodAgainstOracle,
     "except_users" -> EventOps.churnedUsersOracle,
     "intersect_users" -> EventOps.retainedUsersOracle,
     "q10_top_return_customers" -> RelationalOps.topReturnCustomersOracle,

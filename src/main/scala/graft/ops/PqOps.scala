@@ -169,6 +169,136 @@ object PqOps {
       .select("q_id", "vec_id", "score", "rank")
   }
 
+  /** Lloyd refinement of the seed codebook — the production training
+    * step the oracle-checked queries skip (float MEAN accumulation order
+    * is engine-specific; spec-verified instead, same contract as
+    * [[SemanticOps.kmeansFit]]). Each iteration is one map-side code
+    * assignment plus ONE partially-aggregated (sub, code, dim) mean —
+    * the shuffle carries m × k × subDim cells, never vectors; the
+    * driver holds the m × k × subDim codebook (metadata). Codewords
+    * with no assigned vectors keep their previous value (the standard
+    * empty-cell rule).
+    */
+  def pqRefine(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+               iters: Int = 2): Array[Array[Seq[Double]]] = {
+    val corpus = withEmb(embeddings)
+    val subDim = 64 / m
+    var cb = codebook(corpus, m, subDim, k)
+    if (cb(0).isEmpty) return cb
+    for (_ <- 0 until iters) {
+      val coded = encodeWide(corpus, cb, subDim)
+      val means = (0 until m).map { s =>
+        coded.select(col(s"code_$s").as("code"),
+            posexplode(slice(col("emb"), s * subDim + 1, subDim)))
+          .groupBy("code", "pos").agg(avg("col").as("v"))
+          .collect().map(r => ((r.getLong(0).toInt, r.getInt(1)), r.getDouble(2))).toMap
+      }
+      cb = Array.tabulate(m) { s =>
+        Array.tabulate(k) { j =>
+          val old = cb(s)(j)
+          if (means(s).contains((j, 0)))
+            (0 until subDim).map(d => means(s)((j, d))): Seq[Double]
+          else old
+        }
+      }
+    }
+    cb
+  }
+
+  /** Mean squared quantization error of a codebook over the corpus —
+    * the objective Lloyd descends; used by PqOpsSpec to assert the
+    * refinement actually improves on the seed codebook.
+    */
+  def pqObjective(embeddings: DataFrame, cb: Array[Array[Seq[Double]]]): Double = {
+    val corpus = withEmb(embeddings)
+    val subDim = 64 / cb.length
+    val total = cb.indices.foldLeft(lit(0.0)) { (acc, s) => acc + col(s"qerr_$s") }
+    encodeWide(corpus, cb, subDim).select(avg(total)).head().getDouble(0)
+  }
+
+  /** IVF-PQ: the composed 100 TB ANN layout — the corpus is
+    * partitioned into cells (the `label` column, as in
+    * [[SimilarityOps.ivfTopK]]), and within the query's cell the scan
+    * scores PQ CODES via the broadcast ADC tables. Cell pruning bounds
+    * the candidates (corpus/|cells| per query), PQ bounds the bytes per
+    * candidate (m longs) — neither the full corpus nor any stored
+    * vector is read at query time. Output: (q_id, vec_id, score, rank).
+    */
+  def annIvfPq(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+               nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings.withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("label"), col("emb"))
+    val subDim = 64 / m
+    val cb = codebook(corpus, m, subDim, k)
+    val queries = corpus.filter(col("vec_id") < nQueries).orderBy("vec_id")
+      .select(col("vec_id"), col("label"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    if (cb(0).isEmpty || queries.isEmpty)
+      return corpus.select(col("vec_id").as("q_id"), col("vec_id"),
+        lit(0.0).as("score"), lit(0L).as("rank")).limit(0)
+    val luts: Seq[(Long, Int, Seq[Seq[Double]])] = queries.toSeq.map { case (qid, qlbl, q) =>
+      (qid, qlbl, (0 until m).map { s =>
+        val qs = q.slice(s * subDim, (s + 1) * subDim)
+        cb(s).toSeq.map(cw => qs.zip(cw).map(p => p._1 * p._2).foldLeft(0.0)(_ + _)): Seq[Double]
+      }: Seq[Seq[Double]])
+    }
+    val lutDf = luts.toDF("q_id", "q_label", "lut")
+    val score = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(element_at(col("lut"), s + 1), (col(s"code_$s") + 1).cast("int"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    encodeWide(corpus, cb, subDim)
+      .select(col("vec_id") +: col("label") +: (0 until m).map(s => col(s"code_$s")): _*)
+      .join(broadcast(lutDf),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  def annIvfPqOracle(m: Int = 4, k: Int = 16,
+                     nQueries: Int = 10, topK: Int = 5): String = {
+    val subDim = 64 / m
+    def dotR(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${subDim + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, label, s, emb[CAST(s * $subDim + 1 AS INT):CAST(s * $subDim + $subDim AS INT)] AS xs
+       |  FROM base, (SELECT unnest(range(0, $m)) AS s)),
+       |cb AS (SELECT s, vec_id AS code, xs AS cs FROM subs WHERE vec_id < $k),
+       |dists AS (
+       |  SELECT d.vec_id, d.label, d.s, c.code,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS dist
+       |  FROM subs d JOIN cb c ON d.s = c.s),
+       |codes AS (
+       |  SELECT vec_id, label, s, code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                     ORDER BY dist ASC, code ASC) AS rn
+       |        FROM dists)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, s, xs AS qs
+       |      FROM subs WHERE vec_id < $nQueries),
+       |terms AS (
+       |  SELECT q.q_id, w.vec_id, w.s, ${dotR("q.qs", "c.cs")} AS term
+       |  FROM codes w JOIN q ON q.s = w.s AND q.q_label = w.label
+       |               JOIN cb c ON c.s = w.s AND c.code = w.code
+       |  WHERE w.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY s)),
+       |                (acc, x) -> acc + x) AS score
+       |  FROM terms GROUP BY q_id, vec_id)
+       |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                   ORDER BY score DESC, vec_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   def annPqAdcOracle(m: Int = 4, k: Int = 16,
                      nQueries: Int = 10, topK: Int = 10): String = {
     val subDim = 64 / m

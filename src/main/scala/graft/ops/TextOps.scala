@@ -374,6 +374,74 @@ object TextOps {
         col("min_p"), (col("sum_p") / col("n_bigrams")).as("avg_p"))
   }
 
+  /** Cross-corpus variant of [[lmLikelihood]]: score `eval` documents
+    * under a bigram LM trained on a DIFFERENT corpus (`train`) — the
+    * actual crawl-filtering shape, where a frozen reference LM gates new
+    * data. Out-of-vocabulary bigrams (absent from the train LM) take
+    * probability 0.0 exactly via the left join's coalesce — a floor, not
+    * a smooth (smoothed backoff needs ln()/pow() territory; a 0.0 floor
+    * is bitwise-exact and gate-equivalent: any OOV transition zeroes
+    * min_p and drags avg_p, which is precisely the "this text looks
+    * nothing like the reference corpus" signal). Adds `oov` (count of
+    * unseen bigrams) so callers can gate on OOV rate directly.
+    * Same plan shape as [[lmLikelihood]] with the inner join relaxed to
+    * LEFT OUTER — identical scale story.
+    */
+  def lmLikelihoodAgainst(train: DataFrame, eval: DataFrame): DataFrame = {
+    val lm = bigramLm(train).select(col("w1"), col("w2"), col("p_cond"))
+    val bg = eval
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")))
+      .select(col("doc_id"), col("pos"), col("col.w1"), col("col.w2"))
+    bg.join(lm, Seq("w1", "w2"), "left")
+      .withColumn("p", coalesce(col("p_cond"), lit(0.0)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_cond").isNull, 1L).otherwise(0L)).as("oov"),
+        min(col("p")).as("min_p"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(pos, p))),
+               |  x -> x.p), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("sum_p"))
+      .select(col("doc_id"), col("n_bigrams"), col("oov"),
+        col("min_p"), (col("sum_p") / col("n_bigrams")).as("avg_p"))
+  }
+
+  /** Oracle for the registered `lm_score_heldout` query: train on every
+    * source EXCEPT the lexicographically first, score that held-out
+    * source's documents.
+    */
+  val lmLikelihoodAgainstOracle: String =
+    """WITH held AS (SELECT min(source) AS src FROM documents),
+      |trainb AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents, held
+      |  WHERE source <> held.src AND len(string_split(text, ' ')) >= 2),
+      |tex AS (SELECT t, unnest(range(1, len(t))) AS i FROM trainb),
+      |counts AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2,
+      |                  count(*) AS cnt FROM tex GROUP BY 1, 2),
+      |lm AS (
+      |  SELECT w1, w2,
+      |    CAST(CAST(cnt AS BIGINT) AS DOUBLE) /
+      |      CAST(CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS p_cond
+      |  FROM counts),
+      |evalb AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents, held
+      |  WHERE source = held.src AND len(string_split(text, ' ')) >= 2),
+      |eex AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM evalb),
+      |bg AS (SELECT doc_id, i AS pos, t[CAST(i AS INT)] AS w1,
+      |              t[CAST(i + 1 AS INT)] AS w2 FROM eex),
+      |j AS (SELECT b.doc_id, b.pos,
+      |             coalesce(l.p_cond, CAST(0.0 AS DOUBLE)) AS p,
+      |             CASE WHEN l.p_cond IS NULL THEN 1 ELSE 0 END AS is_oov
+      |      FROM bg b LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(CAST(sum(is_oov) AS BIGINT) AS BIGINT) AS oov,
+      |  min(p) AS min_p,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+      |              (acc, x) -> acc + x) / count(*) AS avg_p
+      |FROM j GROUP BY doc_id""".stripMargin
+
   val lmLikelihoodOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -72,6 +72,41 @@ class PqOpsSpec extends SparkSpec {
     val empty = vecs(0)
     assert(PqOps.pqEncode(empty).isEmpty)
     assert(PqOps.annPqAdc(empty).isEmpty)
+    assert(PqOps.annIvfPq(empty.withColumn("label", lit(0))).isEmpty)
+  }
+
+  test("pqRefine: Lloyd iterations strictly improve the seed codebook's objective") {
+    val df = vecs(80).cache()
+    val subDim = 16
+    val seedCb = {
+      // rebuild the seed codebook via one refine call with 0 iters
+      PqOps.pqRefine(df, iters = 0)
+    }
+    val refined = PqOps.pqRefine(df, iters = 2)
+    val before = PqOps.pqObjective(df, seedCb)
+    val after = PqOps.pqObjective(df, refined)
+    // sin-grid vectors are near-uniform, so gains are modest (~8% at 2
+    // iters); demand a real cut, not Lloyd's asymptotic best
+    assert(after < before * 0.97,
+      s"Lloyd refinement should cut MSE: before=$before after=$after")
+    assert(refined.length == 4 && refined.forall(_.length == 16))
+    assert(refined.forall(_.forall(_.length == subDim)))
+    df.unpersist()
+  }
+
+  test("annIvfPq: scores only same-cell candidates, ranks dense, agrees with unpruned ADC on in-cell pairs") {
+    val df = vecs(60).withColumn("label", (col("vec_id") % 3).cast("int")).cache()
+    val rows = PqOps.annIvfPq(df, nQueries = 4, topK = 5).collect()
+    val labels = df.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getLong(0)) == labels(r.getLong(1))))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // the cell-pruned scores must be the SAME ADC scores the unpruned
+    // scan assigns those pairs (pruning changes candidates, not scores)
+    val full = PqOps.annPqAdc(df, nQueries = 4, topK = 60).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.forall(r => full((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+    df.unpersist()
   }
 
   test("lmLikelihood: hand-checked bigram means and minima") {
@@ -100,5 +135,24 @@ class PqOpsSpec extends SparkSpec {
   test("lmLikelihood on an empty corpus returns empty") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextOps.lmLikelihood(empty).isEmpty)
+  }
+
+  test("lmLikelihoodAgainst: OOV bigrams floor to 0.0 and are counted; in-vocab matches self-scoring") {
+    val train = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    // eval doc: (a,b) in-vocab p=1.0; (b,zz) and (zz,a) OOV
+    val eval = Seq((10L, "a b zz a b")).toDF("doc_id", "text")
+    val r = TextOps.lmLikelihoodAgainst(train, eval).head()
+    assert(r.getAs[Long]("n_bigrams") == 4)
+    assert(r.getAs[Long]("oov") == 2)
+    assert(r.getAs[Double]("min_p") == 0.0)
+    // probs in pos order: 1.0, 0.0, 0.0, 1.0 -> avg 0.5
+    assert(r.getAs[Double]("avg_p") == 0.5)
+    // a fully in-vocab eval doc scores identically to self-scoring
+    val eval2 = Seq((11L, "a b")).toDF("doc_id", "text")
+    val r2 = TextOps.lmLikelihoodAgainst(train, eval2).head()
+    assert(r2.getAs[Long]("oov") == 0 && r2.getAs[Double]("avg_p") == 1.0)
+    // empty train: every bigram OOV, all scores 0
+    val r3 = TextOps.lmLikelihoodAgainst(train.limit(0), eval2).head()
+    assert(r3.getAs[Long]("oov") == 1 && r3.getAs[Double]("avg_p") == 0.0)
   }
 }
