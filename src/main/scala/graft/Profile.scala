@@ -187,6 +187,45 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-pq [factor]` — PQ + LM-scoring decade check.
+    // Embeddings amplify by circular shift (norm-preserving, same as
+    // scale-semantic); documents by positional salt (same as scale).
+    // pqEncode is map-side so it must scale linearly with rows; ADC
+    // scans codes × a CONSTANT broadcast LUT so likewise; IVF-PQ scans
+    // 1/|cells| of that. lm_likelihood's joins carry (doc_id, pos, p)
+    // so the decade cost is the bigram shuffle growing linearly.
+    // The .where guards are the count-prune bench-integrity idiom.
+    if (args.headOption.contains("scale-pq")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      require(factor <= 32, "shift amplifier supports factor <= 32")
+      val base = Tables.embeddings(spark, sfDir)
+      val amplified = (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
+      t("embedding_pq")(PqOps.pqEncode(amplified).where(col("qerr") >= 0.0).count())
+      t("ann_pq_adc")(PqOps.annPqAdc(amplified).count())
+      t("ann_ivf_pq")(PqOps.annIvfPq(amplified).count())
+      spark.catalog.clearCache()
+      val dbase = docs
+      val damp = (0 until factor).map { k =>
+        if (k == 0) dbase.select(col("doc_id"), col("text"))
+        else dbase.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
+            .as("text"))
+      }.reduce(_ unionAll _).withColumn("source", concat(lit("s"), col("doc_id") % 5))
+      damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
+      t("lm_likelihood")(TextOps.lmLikelihood(damp).where(col("avg_p") >= 0.0).count())
+      t("lm_score_heldout")(TextOps.lmLikelihoodAgainst(
+        damp.filter(col("source") =!= "s0"), damp.filter(col("source") === "s0"))
+        .where(col("avg_p") >= 0.0).count())
+      spark.stop(); return
+    }
+
     // `Profile scale-semantic [factor]` — the SemDeDup decade check.
     // Copies are CIRCULAR COMPONENT SHIFTS of the base vectors
     // (norm-preserving; a shifted random vector is near-orthogonal to

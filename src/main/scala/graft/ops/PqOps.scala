@@ -61,6 +61,16 @@ object PqOps {
     Array.tabulate(m)(s => seeds.map(_.slice(s * subDim, (s + 1) * subDim).toSeq))
   }
 
+  /** Fail fast on a geometry the 64-dim layout can't honor — a silent
+    * `64 / m` truncation would drop trailing dimensions from every
+    * subspace (recall loss nobody sees), the same class of hazard as
+    * the streaming-dedup `numPerm % 4` guard.
+    */
+  private def requireGeometry(m: Int, k: Int): Unit = {
+    require(m > 0 && 64 % m == 0, s"m must divide the 64 dims, got $m")
+    require(k > 0, s"codebook size must be positive, got $k")
+  }
+
   private def withEmb(embeddings: DataFrame): DataFrame =
     embeddings.withColumn("emb", col("embedding").cast("array<double>"))
       .select(col("vec_id"), col("emb"))
@@ -91,6 +101,7 @@ object PqOps {
     * persist at scale looks like.
     */
   def pqEncode(embeddings: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    requireGeometry(m, k)
     val corpus = withEmb(embeddings)
     val subDim = 64 / m
     val cb = codebook(corpus, m, subDim, k)
@@ -136,6 +147,7 @@ object PqOps {
     */
   def annPqAdc(embeddings: DataFrame, m: Int = 4, k: Int = 16,
                nQueries: Int = 10, topK: Int = 10): DataFrame = {
+    requireGeometry(m, k)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = withEmb(embeddings)
@@ -181,6 +193,7 @@ object PqOps {
     */
   def pqRefine(embeddings: DataFrame, m: Int = 4, k: Int = 16,
                iters: Int = 2): Array[Array[Seq[Double]]] = {
+    requireGeometry(m, k)
     val corpus = withEmb(embeddings)
     val subDim = 64 / m
     var cb = codebook(corpus, m, subDim, k)
@@ -226,6 +239,7 @@ object PqOps {
     */
   def annIvfPq(embeddings: DataFrame, m: Int = 4, k: Int = 16,
                nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    requireGeometry(m, k)
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = embeddings.withColumn("emb", col("embedding").cast("array<double>"))
