@@ -387,8 +387,15 @@ object TextOps {
     * Same plan shape as [[lmLikelihood]] with the inner join relaxed to
     * LEFT OUTER — identical scale story.
     */
-  def lmLikelihoodAgainst(train: DataFrame, eval: DataFrame): DataFrame = {
-    val lm = bigramLm(train).select(col("w1"), col("w2"), col("p_cond"))
+  def lmLikelihoodAgainst(train: DataFrame, eval: DataFrame): DataFrame =
+    scoreAgainstLm(bigramLm(train).select(col("w1"), col("w2"), col("p_cond")), eval)
+
+  /** The scoring half of [[lmLikelihoodAgainst]] against an already-
+    * materialized (FROZEN) model — the form a persisted LM table or a
+    * streaming foreachBatch twin consumes ([[graft.streaming.StreamingText]]).
+    * `lm` must carry (w1, w2, p_cond).
+    */
+  def scoreAgainstLm(lm: DataFrame, eval: DataFrame): DataFrame = {
     val bg = eval
       .withColumn("toks", split(col("text"), " ", -1))
       .filter(size(col("toks")) >= 2)

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming twin of the LM-filter stage ([[graft.ops.TextOps.lmLikelihood]]
+  * family): score arriving documents against a FROZEN bigram LM — the gate
+  * position in a live ingestion pipeline, where a reference model trained
+  * on the curated corpus filters the incoming crawl.
+  *
+  * Why foreachBatch and not a plain stream-static join: per-document
+  * scoring is explode → join → re-aggregate on doc_id, and a streaming
+  * groupBy is a STATEFUL aggregation to Spark even though every doc_id
+  * occurs in exactly one micro-batch — the engine would hold every
+  * already-scored doc's aggregate forever (unbounded state, Update-mode
+  * only). Running the BATCH scorer per micro-batch keeps the exact batch
+  * semantics (bitwise — spec-asserted parity) with zero streaming state;
+  * the same once-per-batch pattern as [[StreamingDedup.incrementalIndexLoop]].
+  *
+  * Scale notes: the frozen LM is a static DataFrame the caller loads once
+  * (persist() it — it is re-joined every trigger); per-trigger cost is the
+  * batch scorer's cost on the micro-batch alone — the bigram join
+  * broadcasts the LM when it fits and degrades to a (w1, w2) shuffle
+  * equi-join when it doesn't, exactly as in batch.
+  */
+object StreamingText {
+
+  /** Score each micro-batch of documents (doc_id, text, …) against the
+    * frozen `lm` (w1, w2, p_cond) and hand (scores, batchId) to `sink`.
+    * Scores carry (doc_id, n_bigrams, oov, min_p, avg_p) — the
+    * [[graft.ops.TextOps.scoreAgainstLm]] schema.
+    */
+  def lmScoreStream(spark: SparkSession, lm: DataFrame, stream: DataFrame)
+                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      sink(graft.ops.TextOps.scoreAgainstLm(lm, docs), batchId)
+    }
+}
