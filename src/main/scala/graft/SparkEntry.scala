@@ -106,6 +106,7 @@ object SparkEntry {
     "embedding_pq" -> ((s, dir) => PqOps.pqEncode(Tables.embeddings(s, dir))),
     "ann_pq_adc" -> ((s, dir) => PqOps.annPqAdc(Tables.embeddings(s, dir))),
     "ann_ivf_pq" -> ((s, dir) => PqOps.annIvfPq(Tables.embeddings(s, dir))),
+    "ann_ivf_pq_residual" -> ((s, dir) => PqOps.annIvfPqResidual(Tables.embeddings(s, dir))),
     // ---- semantic dedup / decontamination (SemDeDup) ----
     // minCos=0.45: the synthetic corpus is near-orthogonal (max natural
     // pairwise cos ≈ 0.51), so 0.45 exercises the greedy within-cluster
@@ -449,6 +450,7 @@ object SparkEntry {
     "embedding_pq" -> PqOps.pqEncodeOracle(),
     "ann_pq_adc" -> PqOps.annPqAdcOracle(),
     "ann_ivf_pq" -> PqOps.annIvfPqOracle(),
+    "ann_ivf_pq_residual" -> PqOps.annIvfPqResidualOracle(),
     "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),

@@ -313,6 +313,117 @@ object PqOps {
        |WHERE rank <= $topK""".stripMargin
   }
 
+  /** Residual IVF-PQ — the textbook-faithful layout (Jégou et al. §IV):
+    * each vector is encoded as the PQ codes of its RESIDUAL against its
+    * cell's representative, which concentrates the quantizer's dynamic
+    * range on within-cell variation (the part that actually
+    * discriminates neighbors once the cell is chosen). The cell
+    * representative is the cell's min-vec_id member (the deterministic
+    * anchor of [[SimilarityOps.ivfTopKProbed]] — a float-mean centroid
+    * could never hash-match an oracle), so the residual is one exact
+    * IEEE subtraction per component. Queries probe their own cell and
+    * score codes via a lookup table built from the QUERY's residual
+    * against that same anchor — ADC approximates
+    * (q − μ)·(x − μ) per cell. Output: (q_id, vec_id, score, rank).
+    */
+  def annIvfPqResidual(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+                       nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    requireGeometry(m, k)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("label"), col("emb"))
+    val subDim = 64 / m
+    // anchors: |cells| rows — bounded metadata, same collect contract as
+    // the probed-IVF anchors
+    val wCell = Window.partitionBy("label").orderBy(col("vec_id").asc)
+    val anchors = base.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("label").as("a_label"), col("emb").as("a_emb"))
+    val corpus = base.join(broadcast(anchors), col("label") === col("a_label"))
+      .withColumn("emb", zip_with(col("emb"), col("a_emb"), (x, a) => x - a))
+      .select(col("vec_id"), col("label"), col("emb"))
+    val cb = codebook(corpus, m, subDim, k) // residual-space seed codebook
+    val anchorMap = anchors.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val queries = base.filter(col("vec_id") < nQueries).orderBy("vec_id")
+      .select(col("vec_id"), col("label"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    if (cb(0).isEmpty || queries.isEmpty)
+      return base.select(col("vec_id").as("q_id"), col("vec_id"),
+        lit(0.0).as("score"), lit(0L).as("rank")).limit(0)
+    val luts: Seq[(Long, Int, Seq[Seq[Double]])] = queries.toSeq.map { case (qid, qlbl, q) =>
+      val qr = q.zip(anchorMap(qlbl)).map(p => p._1 - p._2)
+      (qid, qlbl, (0 until m).map { s =>
+        val qs = qr.slice(s * subDim, (s + 1) * subDim)
+        cb(s).toSeq.map(cw => qs.zip(cw).map(p => p._1 * p._2).foldLeft(0.0)(_ + _)): Seq[Double]
+      }: Seq[Seq[Double]])
+    }
+    val lutDf = luts.toDF("q_id", "q_label", "lut")
+    val score = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(element_at(col("lut"), s + 1), (col(s"code_$s") + 1).cast("int"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    encodeWide(corpus, cb, subDim)
+      .select(col("vec_id") +: col("label") +: (0 until m).map(s => col(s"code_$s")): _*)
+      .join(broadcast(lutDf),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  def annIvfPqResidualOracle(m: Int = 4, k: Int = 16,
+                             nQueries: Int = 10, topK: Int = 5): String = {
+    val subDim = 64 / m
+    def dotR(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${subDim + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |anchors AS (
+       |  SELECT label AS a_label, emb AS a_emb
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY label
+       |                                     ORDER BY vec_id ASC) AS rn FROM base)
+       |  WHERE rn = 1),
+       |resid AS (
+       |  SELECT b.vec_id, b.label,
+       |    list_transform(range(1, 65),
+       |      i -> b.emb[CAST(i AS INT)] - a.a_emb[CAST(i AS INT)]) AS emb
+       |  FROM base b JOIN anchors a ON b.label = a.a_label),
+       |subs AS (
+       |  SELECT vec_id, label, s, emb[CAST(s * $subDim + 1 AS INT):CAST(s * $subDim + $subDim AS INT)] AS xs
+       |  FROM resid, (SELECT unnest(range(0, $m)) AS s)),
+       |cb AS (SELECT s, vec_id AS code, xs AS cs FROM subs WHERE vec_id < $k),
+       |dists AS (
+       |  SELECT d.vec_id, d.label, d.s, c.code,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS dist
+       |  FROM subs d JOIN cb c ON d.s = c.s),
+       |codes AS (
+       |  SELECT vec_id, label, s, code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                     ORDER BY dist ASC, code ASC) AS rn
+       |        FROM dists)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, s, xs AS qs
+       |      FROM subs WHERE vec_id < $nQueries),
+       |terms AS (
+       |  SELECT q.q_id, w.vec_id, w.s, ${dotR("q.qs", "c.cs")} AS term
+       |  FROM codes w JOIN q ON q.s = w.s AND q.q_label = w.label
+       |               JOIN cb c ON c.s = w.s AND c.code = w.code
+       |  WHERE w.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY s)),
+       |                (acc, x) -> acc + x) AS score
+       |  FROM terms GROUP BY q_id, vec_id)
+       |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                   ORDER BY score DESC, vec_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
   def annPqAdcOracle(m: Int = 4, k: Int = 16,
                      nQueries: Int = 10, topK: Int = 10): String = {
     val subDim = 64 / m

@@ -109,6 +109,49 @@ class PqOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("annIvfPqResidual: residual coding beats raw-vector coding on clustered data") {
+    // clustered corpus: per-cell offset dwarfs within-cell variation —
+    // exactly the geometry residual coding exists for
+    val df = (0L until 60L).map { i =>
+      val cell = (i % 3).toInt
+      (i, (0 until 64).map(d => (cell * 10.0 + math.sin(i * 64 + d + 1)).toFloat), cell)
+    }.toDF("vec_id", "embedding", "label").cache()
+    val rows = PqOps.annIvfPqResidual(df, nQueries = 4, topK = 5).collect()
+    val labels = df.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getLong(0)) == labels(r.getLong(1))))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // residual recall vs exact residual inner product within the cell
+    val all = df.select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val anchor = all.groupBy(_._2).map { case (l, vs) => l -> vs.minBy(_._1)._3 }
+    def res(v: Seq[Double], l: Int): Seq[Double] = v.zip(anchor(l)).map(p => p._1 - p._2)
+    val recalls = (0L until 4L).map { q =>
+      val (_, ql, qv) = all.find(_._1 == q).get
+      val qr = res(qv, ql)
+      val exact = all.filter(v => v._2 == ql && v._1 != q)
+        .map { case (id, l, v) => id -> res(v, l).zip(qr).map(p => p._1 * p._2).sum }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val got = rows.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      exact.intersect(got).size / 5.0
+    }
+    assert(recalls.sum / recalls.size > 0.4, s"residual recall ${recalls.sum / 4}")
+    // raw-vector IVF-PQ on the same clustered data wastes its range on
+    // the cell offset; residual coding must not do worse
+    val raw = PqOps.annIvfPq(df, nQueries = 4, topK = 5).collect()
+    val rawRecalls = (0L until 4L).map { q =>
+      val (_, ql, qv) = all.find(_._1 == q).get
+      val exact = all.filter(v => v._2 == ql && v._1 != q)
+        .map { case (id, _, v) => id -> v.zip(qv).map(p => p._1 * p._2).sum }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+      val got = raw.filter(_.getLong(0) == q).map(_.getLong(1)).toSet
+      exact.intersect(got).size / 5.0
+    }
+    assert(recalls.sum >= rawRecalls.sum,
+      s"residual ${recalls.sum / 4} vs raw ${rawRecalls.sum / 4}")
+    df.unpersist()
+  }
+
   test("lmLikelihood: hand-checked bigram means and minima") {
     // corpus: "a b a b" -> bigrams (a,b),(b,a),(a,b); "a b" -> (a,b)
     // counts: (a,b)=3 of a-total 3 -> p=1.0; (b,a)=1 of b-total 1 -> p=1.0
