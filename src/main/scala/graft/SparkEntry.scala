@@ -212,12 +212,15 @@ object SparkEntry {
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(D(s, dir))),
     "lm_likelihood" -> ((s, dir) => TextOps.lmLikelihood(D(s, dir))),
     // held-out source = min(source): one bounded driver scalar, the same
-    // collect contract as the ANN query sets
+    // collect contract as the ANN query sets. The avg_p guard is the
+    // count-prune no-op (always true: probabilities are >= 0) that keeps
+    // the LEFT model join alive under Bench's count().
     "lm_score_heldout" -> ((s, dir) => {
       val d = D(s, dir)
       val held = d.agg(min(col("source"))).head().getString(0)
       TextOps.lmLikelihoodAgainst(
         d.filter(col("source") =!= held), d.filter(col("source") === held))
+        .where(col("avg_p") >= 0.0)
     }),
     "except_users" -> ((s, dir) => EventOps.churnedUsers(E(s, dir))),
     "intersect_users" -> ((s, dir) => EventOps.retainedUsers(E(s, dir))),
