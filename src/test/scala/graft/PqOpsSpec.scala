@@ -180,6 +180,27 @@ class PqOpsSpec extends SparkSpec {
     assert(TextOps.lmLikelihood(empty).isEmpty)
   }
 
+  test("partitioning invariance: ordered folds make LM scores and ADC scores bitwise-stable") {
+    // the PLANS.md claim under test: an unordered SUM() would be
+    // partitioning-dependent; the sort-by-pos ordered fold is not
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 7 + j * 3) % 11}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def lmScores(df: org.apache.spark.sql.DataFrame): Map[Long, (Double, Double)] =
+      TextOps.lmLikelihood(df).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val a = lmScores(docs.repartition(7))
+    val b = lmScores(docs.repartition(2))
+    assert(a == b, "lmLikelihood must be partitioning-invariant bitwise")
+
+    val emb = vecs(50)
+    def adc(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      PqOps.annPqAdc(df, nQueries = 5, topK = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adc(emb.repartition(9)) == adc(emb.repartition(3)),
+      "ADC scores must be partitioning-invariant bitwise")
+  }
+
   test("lmLikelihoodAgainst: OOV bigrams floor to 0.0 and are counted; in-vocab matches self-scoring") {
     val train = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
     // eval doc: (a,b) in-vocab p=1.0; (b,zz) and (zz,a) OOV
