@@ -34,9 +34,9 @@ import org.apache.spark.sql.functions._
   *  - Codewords are the k lowest-vec_id vectors' subvectors
   *    (deterministic seed codebook, bitwise-reproducible in DuckDB —
   *    same rationale as [[SemanticOps]]: one assignment pass is oracle
-  *    land; a production run would refine each subspace codebook with
-  *    [[SemanticOps.kmeansFit]]-style Lloyd iterations, which is float-
-  *    mean territory and spec-verified instead, see PqOpsSpec).
+  *    land; a production run refines each subspace codebook with
+  *    [[pqRefine]]'s Lloyd iterations, which is float-mean territory
+  *    and spec-verified instead, see PqOpsSpec).
   *
   * Numerics contract (same as the rest of the similarity family): every
   * float reduction is a strict ascending left fold from 0.0 — the native
