@@ -94,17 +94,26 @@ object PqOps {
         .drop(s"d_$s")
     }
 
-  /** PQ codes, one row per (vector, subspace): (vec_id, sub, code, qerr).
-    * The long form is the oracle projection (scalar columns only — same
-    * convention as `minhash_signatures` / `embedding_quantize`); the
-    * wide form inside is what ADC consumes and what a table you'd
-    * persist at scale looks like.
+  /** The seed codebook as a first-class artifact — train once (offline,
+    * batch), then encode anywhere, including a STREAM: [[pqEncodeWith]]
+    * is a pure projection, so it runs on a streaming DataFrame in
+    * Append mode with zero state (spec-proven in PqOpsSpec). This
+    * split is the production deployment shape: the codebook lives with
+    * the model registry; ingestion encodes against it.
     */
-  def pqEncode(embeddings: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+  def trainCodebook(embeddings: DataFrame, m: Int = 4, k: Int = 16): Array[Array[Seq[Double]]] = {
     requireGeometry(m, k)
+    codebook(withEmb(embeddings), m, 64 / m, k)
+  }
+
+  /** Encode against a FROZEN codebook — long form, one row per
+    * (vector, subspace): (vec_id, sub, code, qerr). Works unchanged on
+    * batch and streaming inputs (map-side projection, no shuffle).
+    */
+  def pqEncodeWith(embeddings: DataFrame, cb: Array[Array[Seq[Double]]]): DataFrame = {
     val corpus = withEmb(embeddings)
+    val m = cb.length
     val subDim = 64 / m
-    val cb = codebook(corpus, m, subDim, k)
     if (cb(0).isEmpty)
       return corpus.select(col("vec_id"), lit(0L).as("sub"),
         lit(0L).as("code"), lit(0.0).as("qerr")).limit(0)
@@ -114,6 +123,15 @@ object PqOps {
       .select(col("vec_id"), explode(array(pairs: _*)).as("sc"))
       .select(col("vec_id"), col("sc.sub"), col("sc.code"), col("sc.qerr"))
   }
+
+  /** PQ codes of a batch corpus against its own seed codebook — the
+    * oracle-checked composition of [[trainCodebook]] + [[pqEncodeWith]]
+    * (scalar columns only — same convention as `minhash_signatures` /
+    * `embedding_quantize`); the wide form inside is what ADC consumes
+    * and what a table you'd persist at scale looks like.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, k: Int = 16): DataFrame =
+    pqEncodeWith(embeddings, trainCodebook(embeddings, m, k))
 
   def pqEncodeOracle(m: Int = 4, k: Int = 16): String = {
     val subDim = 64 / m

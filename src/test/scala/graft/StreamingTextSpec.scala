@@ -11,6 +11,38 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 class StreamingTextSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pqEncodeWith on a stream: frozen codebook, Append mode, zero state, bitwise batch parity") {
+    implicit val sq = spark.sqlContext
+    val train = (0L until 20L).map { i =>
+      (i, (0 until 64).map(d => math.sin(i * 64 + d + 1).toFloat))
+    }
+    val cb = graft.ops.PqOps.trainCodebook(train.toDF("vec_id", "embedding"))
+    val arriving = (100L until 110L).map { i =>
+      (i, (0 until 64).map(d => math.cos(i * 64 + d + 1).toFloat))
+    }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    // encode is a pure projection: Append mode, no aggregation, no state
+    val query = graft.ops.PqOps
+      .pqEncodeWith(input.toDF().toDF("vec_id", "embedding"), cb)
+      .writeStream.outputMode("append").format("memory").queryName("pq_stream")
+      .start()
+    try {
+      input.addData(arriving: _*)
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty)
+      val streamed = spark.table("pq_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.ops.PqOps
+        .pqEncodeWith(arriving.toDF("vec_id", "embedding"), cb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch && streamed.size == 10 * 4)
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS pq_stream")
+    }
+  }
+
   test("lmScoreStream: per-batch scores match the batch scorer bitwise; frozen LM spans batches") {
     implicit val sq = spark.sqlContext
     val train = Seq((1L, "a b a b c"), (2L, "a b c")).toDF("doc_id", "text")
