@@ -111,6 +111,9 @@ object PqOps {
     * batch and streaming inputs (map-side projection, no shuffle).
     */
   def pqEncodeWith(embeddings: DataFrame, cb: Array[Array[Seq[Double]]]): DataFrame = {
+    // a hand-built codebook must honor the same geometry trainCodebook
+    // enforces — m not dividing 64 would silently truncate subspaces
+    requireGeometry(cb.length, math.max(cb(0).length, 1))
     val corpus = withEmb(embeddings)
     val m = cb.length
     val subDim = 64 / m
