@@ -58,11 +58,14 @@ object LayoutOps {
     * pick blockBits from a quantile sketch the same way range
     * partitioning does.
     */
-  def zorderLayout(lineitem: DataFrame, blockBits: Int = 10): DataFrame =
+  def zorderLayout(lineitem: DataFrame, blockBits: Int = 10): DataFrame = {
+    require(blockBits >= 0 && blockBits < 32,
+      s"blockBits must be in [0, 32) for a 2x16-bit Morton code, got $blockBits")
     lineitem.select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
       .withColumn("morton", mortonCode(col("l_partkey"), col("l_suppkey")))
       .withColumn("block", shiftrightunsigned(col("morton"), blockBits))
+  }
 
   def zorderLayoutOracle(blockBits: Int = 10): String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
