@@ -248,7 +248,17 @@ object SparkEntry {
     }),
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
+    // CCNet-style boilerplate removal: ALL copies of any segment seen in
+    // >1 distinct docs are dropped (vs paragraph_dedup's keep-first).
+    // Runs over the dup-injected corpus — the plain corpus has no
+    // cross-document segments (measured: every segment df=1 at sf0.01).
+    "boilerplate_strip" -> ((s, dir) =>
+      DedupOps.boilerplateStrip(DedupOps.augmented(D(s, dir)))),
+    // Gopher/MassiveText rule battery: per-rule 0/1 flags + combined keep
+    "gopher_gate" -> ((s, dir) => TextOps.gopherGate(D(s, dir))),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
+    // bloom-prefiltered twin: byte-identical output, broadcast-bloom plan
+    "bloom_decontaminate" -> ((s, dir) => DedupOps.bloomDecontaminate(D(s, dir))),
     // fractional per-doc benchmark overlap (decontaminate is the binary
     // gate). The frac guard is the count-prune no-op (frac is never
     // negative): without it Catalyst eliminates the bench-mark left join
@@ -525,7 +535,12 @@ object SparkEntry {
         |  ON e.event_type = d.event_type""".stripMargin,
     "dedup_pipeline" -> DedupOps.dedupPipelineOracle,
     "paragraph_dedup" -> DedupOps.paragraphDedupOracle(),
+    "boilerplate_strip" -> DedupOps.boilerplateStripOracle(),
+    "gopher_gate" -> TextOps.gopherGateOracle(textStatsSql),
     "decontaminate" -> DedupOps.decontaminateOracle(),
+    // bloom prefilter + exact confirm ≡ exact decontamination (no false
+    // negatives in a Bloom filter), so the oracle is shared verbatim
+    "bloom_decontaminate" -> DedupOps.decontaminateOracle(),
     "contamination_score" -> DedupOps.contaminationScoreOracle(),
     "substring_dup" -> DedupOps.substringDupOracle(),
     "substring_dedup" -> DedupOps.substringDedupOracle(),

@@ -551,6 +551,76 @@ object DedupOps {
       |GROUP BY doc_id, n_total""".stripMargin
   }
 
+  /** B8p-strip — BOILERPLATE removal by corpus document frequency (the
+    * CCNet/RefinedWeb line-dedup step): drop every segment that appears
+    * in more than `maxDf` distinct documents (navigation chrome, cookie
+    * banners, shared headers — content whose *ubiquity* marks it as
+    * boilerplate), then reassemble each document from its surviving
+    * segments in original order. Differs from [[paragraphDedup]] in
+    * kind: that keeps the FIRST occurrence of a duplicated segment and
+    * drops the rest; this drops ALL occurrences once a segment is too
+    * common — the first copy of boilerplate is still boilerplate.
+    *
+    * Scale shape: segment DF is one digest-keyed aggregation — the
+    * shuffle carries (16-byte md5, doc_id) for the map-side-partial
+    * distinct count, never segment text. The survivors join is
+    * digest-keyed too (the DF table is corpus-sized — distinct segments
+    * — so it shuffles rather than broadcasts); reassembly is the same
+    * single doc_id-keyed aggregation as [[paragraphDedup]], ordered by
+    * struct(pos, seg) sort so collect order never matters. Documents
+    * whose every segment is boilerplate drop out of the result — the
+    * CCNet behavior (and hazard) — visible as n_kept < n_total on
+    * partially-stripped survivors.
+    */
+  def boilerplateStrip(documents: DataFrame, sep: String = ". ",
+                       maxDf: Long = 1L): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      filter(split(col("text"), java.util.regex.Pattern.quote(sep), -1),
+        s => length(s) > 0).as("segs"))
+      .filter(size(col("segs")) > 0)
+      .withColumn("n_total", size(col("segs")).cast("long"))
+    val segs = base.select(col("doc_id"), col("n_total"),
+      posexplode(col("segs")).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val rare = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    segs.join(rare, Seq("h"))
+      .groupBy("doc_id", "n_total")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"))
+          .as("text_clean"))
+      .select(col("doc_id"), col("text_clean"), col("n_kept"), col("n_total"))
+  }
+
+  /** Boilerplate-strip oracle over the [[augmentedSql]] corpus: same
+    * literal segmentation, same digest-keyed DF threshold, string_agg
+    * reassembly ordered by position — separator and threshold both
+    * derive from the same values as the Spark side. */
+  def boilerplateStripOracle(sep: String = ". ", maxDf: Long = 1L): String = {
+    val q = sep.replace("'", "''")
+    s"""WITH $augmentedSql,
+      |arrs AS (
+      |  SELECT doc_id, list_filter(string_split(text, '$q'), s -> len(s) > 0) AS arr
+      |  FROM corpus),
+      |segs AS (
+      |  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_total, i AS pos, arr[i] AS seg
+      |  FROM arrs, (SELECT unnest(range(1,
+      |         (SELECT CAST(max(len(arr)) AS BIGINT) + 1 FROM arrs))) AS i) t
+      |  WHERE len(arr) > 0 AND i <= len(arr)),
+      |rare AS (
+      |  SELECT md5(seg) AS h FROM segs
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) <= $maxDf)
+      |SELECT doc_id,
+      |  string_agg(seg, '$q' ORDER BY pos) AS text_clean,
+      |  count(*) AS n_kept,
+      |  n_total
+      |FROM segs WHERE md5(seg) IN (SELECT h FROM rare)
+      |GROUP BY doc_id, n_total""".stripMargin
+  }
+
   /** B8k — benchmark DECONTAMINATION (the GPT-3/PaLM training-data
     * hygiene step): drop every training document sharing at least one
     * long n-gram (default 8 tokens — long enough that sharing one is
@@ -638,6 +708,41 @@ object DedupOps {
        |    AS DOUBLE) / count(*) AS frac
        |FROM grams WHERE doc_id % 50 <> 0
        |GROUP BY doc_id""".stripMargin
+
+  /** B8k-bloom — bloom-prefiltered decontamination: byte-identical output
+    * to [[decontaminate]] (the oracle is shared), but the plan is the one
+    * that survives a benchmark-set too large to broadcast-join raw. A
+    * Bloom filter over the benchmark gram digests (~1.2 bytes/item at 3%
+    * FPP vs 16-byte digests — a 13× smaller broadcast) prunes the
+    * training grams map-side; only the tiny surviving candidate set
+    * reaches the exact semi-join that removes Bloom false positives.
+    * Bloom filters have no false negatives, so prefilter + exact-confirm
+    * is exactly the [[decontaminate]] result for every fpp.
+    *
+    * The filter probe is a Scala UDF (Spark's `might_contain` expression
+    * is not in the public FunctionRegistry) — off the codegen path, but
+    * one branch-free hash probe per gram against a broadcast bitset, and
+    * it runs before any shuffle. The benchmark digest set is persisted:
+    * it is consumed twice (bloom build — an eager action at plan-build
+    * time — then the confirm join); Verify/Bench clearCache() between
+    * queries per the caller contract.
+    */
+  def bloomDecontaminate(documents: DataFrame, n: Int = 8,
+                         fpp: Double = 0.03): DataFrame = {
+    val bench = gramDigests(documents.filter(col("doc_id") % 50 === 0), n)
+      .select("g").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bloom = bench.stat.bloomFilter("g", math.max(bench.count(), 1L), fpp)
+    val bBloom = documents.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bBloom.value.mightContainString(g))
+    val contaminated = gramDigests(documents.filter(col("doc_id") % 50 =!= 0), n)
+      .filter(mightContain(col("g")))
+      .join(bench.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    documents.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
 
   /** B8 — exact duplicated-substring signal (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better" ExactSubstr

@@ -256,6 +256,72 @@ object TextOps {
        |SELECT doc_id, n_tokens, quality_score, thr
        |FROM scored, t WHERE quality_score >= thr""".stripMargin
 
+  /** B10-gopher — the Gopher/MassiveText rule battery as ONE gate: length
+    * bounds, mean-token-length band, minimum stopword ratio, and the two
+    * repetition rules ([[docRepetition]]'s duplicate-segment and
+    * top-bigram fractions), each emitted as a 0/1 flag plus the combined
+    * `keep` verdict. Emitting flags (not a filtered corpus) is deliberate:
+    * pipelines audit WHICH rule rejected a document before tuning
+    * thresholds, and every flag stays an oracle-checked computed value.
+    * Default thresholds are calibrated to the test corpus's measured
+    * quantiles so each text-derived rule genuinely discriminates
+    * (`f_dup_seg` is constant-true on this synthetic corpus — no
+    * within-document duplicate segments exist — but is the Gopher rule
+    * production corpora trip most).
+    *
+    * Scale shape: the gate composes the two audited single-pass operators
+    * ([[textStats]] map-side; [[docRepetition]] one bigram aggregation)
+    * and joins them on doc_id — one count-sized shuffle join of two
+    * doc-keyed frames. Flags are pure projections; comparisons sit on
+    * bitwise-deterministic doubles (single IEEE divisions both engines).
+    */
+  def gopherGate(documents: DataFrame,
+                 minTokens: Long = 20L, maxTokens: Long = 100000L,
+                 minAvgLen: Double = 3.0, maxAvgLen: Double = 4.6,
+                 minStopRatio: Double = 0.02,
+                 maxDupSegFrac: Double = 0.3,
+                 maxTopBigramFrac: Double = 0.06): DataFrame =
+    textStats(documents).join(docRepetition(documents), Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .cast("long").as("f_len"),
+        (col("avg_token_len") >= minAvgLen && col("avg_token_len") <= maxAvgLen)
+          .cast("long").as("f_avg_len"),
+        (col("stop_ratio") >= minStopRatio).cast("long").as("f_stop"),
+        (col("dup_seg_frac") <= maxDupSegFrac).cast("long").as("f_dup_seg"),
+        (col("top_bigram_frac") <= maxTopBigramFrac).cast("long").as("f_top_bigram"))
+      .withColumn("keep",
+        col("f_len") * col("f_avg_len") * col("f_stop") *
+          col("f_dup_seg") * col("f_top_bigram"))
+
+  /** Gopher-gate oracle: same stats + repetition CTEs joined on doc_id,
+    * same thresholds (single source of truth via the shared defaults),
+    * flags as CASE→BIGINT, keep as the flag product. */
+  def gopherGateOracle(statsOracle: String,
+                       minTokens: Long = 20L, maxTokens: Long = 100000L,
+                       minAvgLen: Double = 3.0, maxAvgLen: Double = 4.6,
+                       minStopRatio: Double = 0.02,
+                       maxDupSegFrac: Double = 0.3,
+                       maxTopBigramFrac: Double = 0.06): String =
+    s"""WITH stats AS ($statsOracle),
+       |rep AS (SELECT * FROM ($docRepetitionOracle) r),
+       |flags AS (
+       |  SELECT s.doc_id,
+       |    CAST(CASE WHEN s.n_tokens >= $minTokens AND s.n_tokens <= $maxTokens
+       |      THEN 1 ELSE 0 END AS BIGINT) AS f_len,
+       |    CAST(CASE WHEN s.avg_token_len >= $minAvgLen AND s.avg_token_len <= $maxAvgLen
+       |      THEN 1 ELSE 0 END AS BIGINT) AS f_avg_len,
+       |    CAST(CASE WHEN s.stop_ratio >= $minStopRatio
+       |      THEN 1 ELSE 0 END AS BIGINT) AS f_stop,
+       |    CAST(CASE WHEN r.dup_seg_frac <= $maxDupSegFrac
+       |      THEN 1 ELSE 0 END AS BIGINT) AS f_dup_seg,
+       |    CAST(CASE WHEN r.top_bigram_frac <= $maxTopBigramFrac
+       |      THEN 1 ELSE 0 END AS BIGINT) AS f_top_bigram
+       |  FROM stats s JOIN rep r ON s.doc_id = r.doc_id)
+       |SELECT doc_id, f_len, f_avg_len, f_stop, f_dup_seg, f_top_bigram,
+       |  f_len * f_avg_len * f_stop * f_dup_seg * f_top_bigram AS keep
+       |FROM flags""".stripMargin
+
   /** B10 — vocabulary encoding: map tokens to dense integer ids (the
     * step before any tokenized training corpus ships). The vocab is the
     * global top-V tokens by document frequency — orderBy+limit plans
