@@ -254,8 +254,16 @@ object SparkEntry {
     // cross-document segments (measured: every segment df=1 at sf0.01).
     "boilerplate_strip" -> ((s, dir) =>
       DedupOps.boilerplateStrip(DedupOps.augmented(D(s, dir)))),
-    // Gopher/MassiveText rule battery: per-rule 0/1 flags + combined keep
-    "gopher_gate" -> ((s, dir) => TextOps.gopherGate(D(s, dir))),
+    // Gopher/MassiveText rule battery: per-rule 0/1 flags + combined keep.
+    // The keep guard is a semantic no-op (keep is a product of 0/1 flags,
+    // never negative) that holds every rule's computation alive under
+    // Bench's count(): without it Catalyst prunes the bigram left join and
+    // the bench times only the stats pass (contamination_score idiom). A
+    // bare-flag guard (`f_top_bigram >= 0`) does NOT work —
+    // UnwrapCastInBinaryComparison folds `cast(bool as long) >= 0` to
+    // true; `keep` is a Multiply, which no unwrap rule touches.
+    "gopher_gate" -> ((s, dir) =>
+      TextOps.gopherGate(D(s, dir)).where(col("keep") >= 0L)),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
     // bloom-prefiltered twin: byte-identical output, broadcast-bloom plan
     "bloom_decontaminate" -> ((s, dir) => DedupOps.bloomDecontaminate(D(s, dir))),
