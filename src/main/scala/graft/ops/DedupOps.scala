@@ -563,37 +563,68 @@ object DedupOps {
     *
     * Scale shape: segment DF is one digest-keyed aggregation — the
     * shuffle carries (16-byte md5, doc_id) for the map-side-partial
-    * distinct count, never segment text. The survivors join is
-    * digest-keyed too (the DF table is corpus-sized — distinct segments
-    * — so it shuffles rather than broadcasts); reassembly is the same
-    * single doc_id-keyed aggregation as [[paragraphDedup]], ordered by
-    * struct(pos, seg) sort so collect order never matters. Documents
-    * whose every segment is boilerplate drop out of the result — the
-    * CCNet behavior (and hazard) — visible as n_kept < n_total on
-    * partially-stripped survivors.
+    * distinct count, never segment text. The strip is a LEFT ANTI join
+    * against only the OVER-common digests ([[boilerplateIndex]] — far
+    * smaller than the distinct-segment table, and often broadcastable:
+    * boilerplate is by definition a thin head of the DF distribution);
+    * reassembly is the same single doc_id-keyed aggregation as
+    * [[paragraphDedup]], ordered by struct(pos, seg) sort so collect
+    * order never matters. Documents whose every segment is boilerplate
+    * drop out of the result — the CCNet behavior (and hazard) — visible
+    * as n_kept < n_total on partially-stripped survivors. Composed as
+    * [[boilerplateIndex]] (derive once) + [[boilerplateStripAgainst]]
+    * (apply anywhere) so the index can be frozen and reused — see
+    * [[graft.streaming.StreamingClean]] for the ingest-time twin.
     */
   def boilerplateStrip(documents: DataFrame, sep: String = ". ",
-                       maxDf: Long = 1L): DataFrame = {
-    val base = documents.select(col("doc_id"),
-      filter(split(col("text"), java.util.regex.Pattern.quote(sep), -1),
-        s => length(s) > 0).as("segs"))
-      .filter(size(col("segs")) > 0)
-      .withColumn("n_total", size(col("segs")).cast("long"))
-    val segs = base.select(col("doc_id"), col("n_total"),
-      posexplode(col("segs")).as(Seq("pos", "seg")))
-      .withColumn("h", md5(col("seg")))
-    val rare = segs.groupBy("h")
+                       maxDf: Long = 1L): DataFrame =
+    boilerplateStripAgainst(boilerplateIndex(documents, sep, maxDf),
+      documents, sep)
+
+  /** The frozen boilerplate INDEX: md5 digests of every segment whose
+    * corpus document frequency exceeds `maxDf` — the artifact a
+    * production pipeline derives from yesterday's crawl statistics and
+    * applies (via [[boilerplateStripAgainst]] or the streaming twin) to
+    * today's ingest without rescanning the reference corpus. One
+    * digest-keyed countDistinct aggregation; 16 bytes per distinct
+    * over-common segment. */
+  def boilerplateIndex(documents: DataFrame, sep: String = ". ",
+                       maxDf: Long = 1L): DataFrame =
+    segments(documents, sep)
+      .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select("h")
-    segs.join(rare, Seq("h"))
+
+  /** Strip every segment whose digest is in `index` (the boilerplate
+    * set) from `documents` and reassemble — the application half of
+    * [[boilerplateStrip]], usable against a frozen index from a
+    * DIFFERENT (reference) corpus. LEFT ANTI on the digest, then the
+    * paragraphDedup-style ordered reassembly; documents reduced to
+    * nothing drop out. */
+  def boilerplateStripAgainst(index: DataFrame, documents: DataFrame,
+                              sep: String = ". "): DataFrame =
+    segments(documents, sep)
+      .join(index, Seq("h"), "left_anti")
       .groupBy("doc_id", "n_total")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(sep,
           expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"))
           .as("text_clean"))
       .select(col("doc_id"), col("text_clean"), col("n_kept"), col("n_total"))
-  }
+
+  /** Non-empty `sep`-segments of each doc, position-indexed and
+    * md5-digested — the shared derivation of [[boilerplateIndex]] and
+    * [[boilerplateStripAgainst]] (split and lookup can never diverge). */
+  private def segments(documents: DataFrame, sep: String): DataFrame =
+    documents.select(col("doc_id"),
+        filter(split(col("text"), java.util.regex.Pattern.quote(sep), -1),
+          s => length(s) > 0).as("segs"))
+      .filter(size(col("segs")) > 0)
+      .withColumn("n_total", size(col("segs")).cast("long"))
+      .select(col("doc_id"), col("n_total"),
+        posexplode(col("segs")).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
 
   /** Boilerplate-strip oracle over the [[augmentedSql]] corpus: same
     * literal segmentation, same digest-keyed DF threshold, string_agg

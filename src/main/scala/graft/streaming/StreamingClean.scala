@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.ops.{DedupOps, TextOps}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming twins of the corpus-cleaning gates — the ingest-time
+  * position of [[graft.ops.DedupOps.boilerplateStrip]] and
+  * [[graft.ops.TextOps.gopherGate]]: a live crawl is cleaned against
+  * FROZEN reference artifacts (yesterday's boilerplate index; fixed rule
+  * thresholds) before it ever lands in the corpus.
+  *
+  * Both use foreachBatch, for the reason documented on
+  * [[StreamingText.lmScoreStream]]: each op ends in a per-document
+  * aggregation (ordered segment reassembly; the top-bigram fraction),
+  * and a streaming groupBy is STATEFUL to Spark even though every
+  * doc_id occurs in exactly one micro-batch — the engine would hold
+  * every processed document's aggregate forever. Running the batch
+  * operator per micro-batch keeps exact batch semantics (spec-asserted
+  * parity) with zero streaming state.
+  *
+  * Scale notes: the boilerplate index is a static digest set the caller
+  * persist()s once (16 bytes per over-common segment — the thin head of
+  * the DF distribution, usually broadcastable); per-trigger cost is the
+  * batch operator on the micro-batch alone. The gopher gate is per-doc
+  * arithmetic — no reference data at all.
+  */
+object StreamingClean {
+
+  /** Strip arriving documents (doc_id, text) against the frozen
+    * boilerplate `index` ([[graft.ops.DedupOps.boilerplateIndex]] — one
+    * `h` digest column) and hand each cleaned micro-batch
+    * (doc_id, text_clean, n_kept, n_total) to `sink`. Documents whose
+    * every segment is boilerplate vanish, as in batch. */
+  def boilerplateStripStream(spark: SparkSession, index: DataFrame,
+                             stream: DataFrame, sep: String = ". ")
+                            (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      sink(DedupOps.boilerplateStripAgainst(index, docs, sep), batchId)
+    }
+
+  /** Run the Gopher rule battery on each arriving micro-batch and hand
+    * the per-doc flag frame (doc_id, f_*, keep) to `sink`. Thresholds
+    * are frozen at stream start — the [[graft.ops.TextOps.gopherGate]]
+    * defaults unless overridden here. */
+  def gopherGateStream(spark: SparkSession, stream: DataFrame,
+                       minTokens: Long = 20L, maxTokens: Long = 100000L,
+                       minAvgLen: Double = 3.0, maxAvgLen: Double = 4.6,
+                       minStopRatio: Double = 0.02,
+                       maxDupSegFrac: Double = 0.3,
+                       maxTopBigramFrac: Double = 0.06)
+                      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      sink(TextOps.gopherGate(docs, minTokens, maxTokens, minAvgLen,
+        maxAvgLen, minStopRatio, maxDupSegFrac, maxTopBigramFrac), batchId)
+    }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.{DedupOps, TextOps}
+import graft.streaming.StreamingClean
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming corpus-cleaning twins: micro-batch boilerplate stripping
+  * against a frozen index and the Gopher gate must match their batch
+  * operators exactly and carry zero streaming state.
+  */
+class StreamingCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplateStripStream strips against the frozen index, matches batch, zero state, index frozen across batches") {
+    implicit val sq = spark.sqlContext
+    val banner = "subscribe to our newsletter"
+    val reference = Seq(
+      (1L, s"$banner. ref one body"), (2L, s"$banner. ref two body"),
+      (3L, "ref three is clean")
+    ).toDF("doc_id", "text")
+    val index = DedupOps.boilerplateIndex(reference).persist()
+
+    val batch1 = Seq((10L, s"arriving doc. $banner"), (11L, banner))
+    val batch2 = Seq((20L, s"$banner. late text"), (21L, "never boilerplate"))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingClean.boilerplateStripStream(
+      spark, index, input.toDF().toDF("doc_id", "text")) { (cleaned, _) =>
+      got ++= cleaned.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      // the banner (df=2 in the reference corpus) is stripped; doc 11,
+      // pure boilerplate, vanishes — exactly the batch semantics
+      val expected1 = DedupOps
+        .boilerplateStripAgainst(index, batch1.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got.toSet == expected1, s"got ${got.toSet} expected $expected1")
+      assert(got.toSet == Set((10L, "arriving doc", 1L, 2L)))
+      assert(query.lastProgress.stateOperators.isEmpty, "must be state-free")
+
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      // same frozen index in batch 2: banner still stripped, clean doc intact
+      assert(got.toSet == expected1 ++ Set(
+        (20L, "late text", 1L, 2L), (21L, "never boilerplate", 1L, 1L)))
+    } finally {
+      query.stop()
+      index.unpersist()
+    }
+  }
+
+  test("gopherGateStream per-batch flags match the batch gate, zero state") {
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over a lazy dog near the old barn " +
+        "and then rests in soft grass under warm light")),
+      (2L, "the cat sat on a mat in peace"))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingClean.gopherGateStream(
+      spark, input.toDF().toDF("doc_id", "text")) { (flags, _) =>
+      got ++= flags.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    }.start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val expected = TextOps.gopherGate(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(got.toSet == expected)
+      // doc 1 passes every rule; doc 2 is too short
+      assert(got.find(_._1 == 1L).get._7 == 1L)
+      assert(got.find(_._1 == 2L).get._7 == 0L)
+      assert(query.lastProgress.stateOperators.isEmpty, "must be state-free")
+    } finally {
+      query.stop()
+    }
+  }
+}
