@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loaders for the driver-generated test data (TESTDATA.md).
   *
@@ -38,7 +40,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** `events.ts` canonical representation is a LONG of epoch NANOS — all
+    * event-time operators derive micros via `ts div 1000`. Generator output
+    * has varied between parquet TIMESTAMP(NANOS) (read as raw-nanos Long
+    * under nanosAsLong) and TIMESTAMP(MICROS) (read as timestamp_ntz), so
+    * normalize on the schema actually read. The NTZ→timestamp cast is exact
+    * under the engine-wide UTC session timezone, matching DuckDB's
+    * `epoch_us` on the same naive timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
