@@ -293,6 +293,24 @@ object SparkEntry {
     // up-sampling mix: scarce sources replicated above rate 1
     "source_mix_upsample" -> ((s, dir) =>
       TextOps.sourceMixUpsample(Tables.documents(s, dir), upsampleRates)),
+    // α=0.5 temperature mixing: sampling mass ∝ √n_s under a half-corpus
+    // document budget (sqrt is IEEE-exact — the one oracle-safe power)
+    "source_temperature_mix" -> ((s, dir) =>
+      TextOps.sourceTemperatureMix(Tables.documents(s, dir))),
+    // DSIR importance scores/selection: target = held-out min(source)
+    // reference set, raw = the rest (the lm_score_heldout split idiom)
+    "dsir_weights" -> ((s, dir) => {
+      val d = D(s, dir)
+      val held = d.agg(min(col("source"))).head().getString(0)
+      SemanticOps.dsirScores(
+        d.filter(col("source") =!= held), d.filter(col("source") === held))
+    }),
+    "dsir_select" -> ((s, dir) => {
+      val d = D(s, dir)
+      val held = d.agg(min(col("source"))).head().getString(0)
+      SemanticOps.dsirSelect(
+        d.filter(col("source") =!= held), d.filter(col("source") === held))
+    }),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     // pack manifest: per-pack ordered (doc_id, offset, len) span lists
     "pack_spans" -> ((s, dir) =>
@@ -560,6 +578,9 @@ object SparkEntry {
     "pii_scrub" -> TextOps.piiScrubOracle,
     "source_mix" -> TextOps.sourceMixOracle,
     "source_mix_upsample" -> TextOps.sourceMixUpsampleOracle(upsampleRates),
+    "source_temperature_mix" -> TextOps.sourceTemperatureMixOracle(),
+    "dsir_weights" -> SemanticOps.dsirScoresOracle(),
+    "dsir_select" -> SemanticOps.dsirSelectOracle(),
     "pack_sequences" -> TextOps.packSequencesOracle(),
     "pack_spans" -> TextOps.packSpansOracle(),
     "pack_split" -> TextOps.packSplitOracle(),

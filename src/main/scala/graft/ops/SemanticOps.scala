@@ -399,4 +399,130 @@ object SemanticOps {
         .select(col("vec_id"), col("emb"), col("norm")), cents)
       .select(col("vec_id"), col("cluster"), col("c_score"))
   }
+
+  // ---------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): score every raw-corpus document by how much more
+  // likely its hashed-n-gram features are under a TARGET distribution
+  // (the high-quality reference set) than under the raw distribution, then
+  // keep the top-scoring documents. The published form sums per-feature
+  // LOG ratios; ln()'s last ulp is engine-specific (the same reasoning as
+  // [[graft.ops.TextOps.lmLikelihood]]), so the oracle-checked score is
+  // the per-token MEAN of the raw importance ratios — transcendental-free,
+  // monotone in the same direction, gate-equivalent for selection.
+  //
+  // Scale design (100 TB): both distributions are `dims`-sized aggregates
+  // (partial map-side combine; the shuffle carries dims×tasks cells, never
+  // tokens). The ratio table is dims rows → BROADCAST to the per-doc
+  // feature join, so the corpus shuffles only skinny (doc_id, dim, count)
+  // rows — document text never moves. The per-doc reduction is an ORDERED
+  // left fold over dim (float addition does not commute — the contract
+  // shared with every reduction in the similarity family).
+  // ---------------------------------------------------------------------
+
+  private def hashedTokens(docs: DataFrame, dims: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"))
+
+  /** Per-document DSIR importance scores for `raw` documents against the
+    * `target` reference set. Laplace-smoothed feature distributions
+    * (`+1` count, `+dims` total) keep every ratio finite and defined for
+    * features absent from the target. Returns
+    * (doc_id, n_dims, n_toks, score_sum, score_avg) where score_avg is
+    * the per-token mean importance ratio — rank on it descending.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame = {
+    val rTok = hashedTokens(raw, dims)
+    val tdist = hashedTokens(target, dims).groupBy("dim")
+      .agg(count(lit(1)).as("cnt_t"))
+    val rdist = rTok.groupBy("dim").agg(count(lit(1)).as("cnt_r"))
+    // dims-sized ratio table: smoothed target-likelihood / raw-likelihood.
+    // Products as exact-int sums cast to double BEFORE multiplying (at
+    // 100 TB the cross product overflows long); op order (a*b)/(c*d) is
+    // mirrored textually in the oracle so IEEE rounding agrees bitwise.
+    val ratios = rdist
+      .join(tdist, Seq("dim"), "left")
+      .crossJoin(tdist.agg(sum(col("cnt_t")).as("n_t")))
+      .crossJoin(rdist.agg(sum(col("cnt_r")).as("n_r")))
+      .select(col("dim"),
+        ((coalesce(col("cnt_t"), lit(0L)) + 1L).cast("double") *
+          (col("n_r") + dims).cast("double") /
+          ((col("cnt_r") + 1L).cast("double") *
+            (col("n_t") + dims).cast("double"))).as("ratio"))
+    rTok.groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("dim"))
+      .withColumn("v", col("c").cast("double") * col("ratio"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("c")).as("n_toks"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(dim, v))),
+               |  x -> x.v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+          .as("score_sum"))
+      .select(col("doc_id"), col("n_dims"), col("n_toks"),
+        col("score_sum"), (col("score_sum") / col("n_toks")).as("score_avg"))
+  }
+
+  /** The selection half of DSIR: top-`k` raw documents by importance
+    * score. Total order (score_avg DESC, doc_id ASC) → deterministic set;
+    * plans as TakeOrderedAndProject (per-partition top-k + driver merge of
+    * k×partitions rows — no global sort at 100 TB).
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame,
+                 k: Int = 100, dims: Int = 4096): DataFrame =
+    dsirScores(raw, target, dims)
+      .orderBy(col("score_avg").desc, col("doc_id"))
+      .limit(k)
+
+  private def dsirScoredSql(dims: Int): String =
+    s"""held AS (SELECT min(source) AS src FROM documents),
+       |ttok AS (
+       |  SELECT ${graft.functions.Hashing.hash64Duck("w")} % $dims AS dim
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM documents, held WHERE source = held.src)
+       |  WHERE len(w) > 0),
+       |rtok AS (
+       |  SELECT doc_id, ${graft.functions.Hashing.hash64Duck("w")} % $dims AS dim
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents, held WHERE source <> held.src)
+       |  WHERE len(w) > 0),
+       |tdist AS (SELECT dim, CAST(count(*) AS BIGINT) AS cnt_t FROM ttok GROUP BY 1),
+       |rdist AS (SELECT dim, CAST(count(*) AS BIGINT) AS cnt_r FROM rtok GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(cnt_t) AS BIGINT) FROM tdist) AS n_t,
+       |               (SELECT CAST(sum(cnt_r) AS BIGINT) FROM rdist) AS n_r),
+       |ratios AS (
+       |  SELECT r.dim,
+       |    CAST(coalesce(t.cnt_t, 0) + 1 AS DOUBLE) * CAST(n_r + $dims AS DOUBLE) /
+       |      (CAST(r.cnt_r + 1 AS DOUBLE) * CAST(n_t + $dims AS DOUBLE)) AS ratio
+       |  FROM rdist r LEFT JOIN tdist t USING (dim), tot),
+       |feats AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c
+       |          FROM rtok GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT f.doc_id, f.dim, f.c, CAST(f.c AS DOUBLE) * r.ratio AS v
+       |  FROM feats f JOIN ratios r USING (dim)),
+       |docscores AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dims,
+       |    CAST(sum(c) AS BIGINT) AS n_toks,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY dim)),
+       |                (acc, x) -> acc + x) AS score_sum
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  /** Oracle for the registered `dsir_weights` query (target = docs of the
+    * lexicographically first source, raw = the rest — the held-out idiom
+    * shared with `lm_score_heldout`). */
+  def dsirScoresOracle(dims: Int = 4096): String =
+    s"""WITH ${dsirScoredSql(dims)}
+       |SELECT doc_id, n_dims, n_toks, score_sum,
+       |  score_sum / n_toks AS score_avg
+       |FROM docscores""".stripMargin
+
+  def dsirSelectOracle(k: Int = 100, dims: Int = 4096): String =
+    s"""WITH ${dsirScoredSql(dims)}
+       |SELECT doc_id, n_dims, n_toks, score_sum,
+       |  score_sum / n_toks AS score_avg
+       |FROM docscores
+       |ORDER BY score_avg DESC, doc_id LIMIT $k""".stripMargin
 }

@@ -926,6 +926,69 @@ object TextOps {
        |FROM rep GROUP BY 1""".stripMargin
   }
 
+  /** Temperature-based (α = 0.5) source mixing — the multinomial
+    * sampling-weight scheme of multilingual/multi-source training-set
+    * construction (Devlin et al. 2019 §3.1 exponentiated-smoothing;
+    * GPT-3/PaLM data mixing): per-source sampling mass ∝ n_s^α, which
+    * up-weights scarce sources relative to proportional sampling. With a
+    * document budget B = `budgetFrac` × corpus size, source s keeps
+    * min(1, B·√n_s / Σ√n / n_s) of its documents via the same
+    * content-addressed 1/256 bucket gate as [[sourceMix]].
+    *
+    * α is FIXED at 0.5 because `sqrt` is the one power IEEE 754 requires
+    * correctly rounded — JVM `Math.sqrt` and DuckDB `sqrt` agree bitwise,
+    * so the rates (and therefore the kept set) hash-match the oracle.
+    * General α needs `pow`, whose last ulp is engine-specific — the same
+    * transcendental exclusion as every scoring operator here.
+    *
+    * The per-source count/rate computation is a driver-side scalar pass
+    * (sources are a metadata-sized dimension at any corpus scale — the
+    * same bounded-collect contract as the ANN anchor sets); rates are
+    * summed in lexicographic source order with a strict left fold so the
+    * float total is partitioning- and engine-independent. The document
+    * gate itself stays fully distributed and map-side.
+    */
+  def sourceTemperatureMix(documents: DataFrame,
+                           budgetFrac: Double = 0.5): DataFrame = {
+    val counts = documents.groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "sourceTemperatureMix: empty corpus")
+    val totalDocs = counts.map(_._2).sum
+    val b = totalDocs.toDouble * budgetFrac
+    val sqrtTot = counts.foldLeft(0.0)((acc, c) => acc + math.sqrt(c._2.toDouble))
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, b * math.sqrt(n.toDouble) / sqrtTot / n.toDouble)
+    }.toMap
+    sourceMix(documents, rates)
+  }
+
+  /** Oracle recomputes the α=0.5 rates in SQL: same sqrt, same
+    * lexicographic-ordered fold for the total, same left-associated
+    * (B·√n / tot / n) op order, same 1/256 round-half-up grid. */
+  def sourceTemperatureMixOracle(budgetFrac: Double = 0.5): String =
+    s"""WITH sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |            FROM documents GROUP BY 1),
+       |tot AS (SELECT
+       |  CAST((SELECT CAST(sum(n) AS BIGINT) FROM sc) AS DOUBLE) * $budgetFrac AS b,
+       |  (SELECT list_reduce(
+       |     list_prepend(CAST(0.0 AS DOUBLE),
+       |                  list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+       |     (acc, x) -> acc + x) FROM sc) AS sqrt_tot),
+       |rates AS (
+       |  SELECT source,
+       |    least(CAST(1.0 AS DOUBLE),
+       |          b * sqrt(CAST(n AS DOUBLE)) / sqrt_tot / CAST(n AS DOUBLE)) AS rate
+       |  FROM sc, tot),
+       |gated AS (
+       |  SELECT d.source, d.n_chars
+       |  FROM documents d JOIN rates r USING (source)
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 2))::BIGINT <
+       |        CAST(floor(rate * 256.0 + 0.5) AS BIGINT))
+       |SELECT source, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM gated GROUP BY 1""".stripMargin
+
   /** Pack-to-loader manifest (VERDICT r5 item 8): the artifact a training
     * loader actually consumes — one row per pack with its ordered
     * document span list. Built ON TOP of [[packSequences]] (same

@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops.{SemanticOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** DSIR importance resampling and α=0.5 temperature source mixing —
+  * the two data-curation selectors added late in round 6.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  // Target set: distinctive "reference" vocabulary. Raw: one doc written
+  // in the target's vocabulary, the rest off-distribution.
+  private val target = Seq(
+    doc(100L, "curated reference prose about careful reasoning and clear evidence"),
+    doc(101L, "careful reasoning with clear evidence and curated prose"),
+    doc(102L, "reference evidence prose reasoning careful clear curated")
+  ).toDF("doc_id", "text")
+
+  private val raw = Seq(
+    doc(1L, "careful curated reasoning and clear reference evidence prose"), // in-dist
+    doc(2L, "buy cheap pills online casino jackpot winner click now"),
+    doc(3L, "random assorted words banana umbrella xylophone quartz"),
+    doc(4L, "the cat sat on the mat and the dog barked loudly")
+  ).toDF("doc_id", "text")
+
+  // ---- dsirScores / dsirSelect ----
+
+  test("dsirScores ranks the in-distribution document first; scores are finite and positive") {
+    val rows = SemanticOps.dsirScores(raw, target).collect()
+    assert(rows.length == 4, "every raw doc gets a score")
+    val byScore = rows.sortBy(r => -r.getAs[Double]("score_avg"))
+    assert(byScore.head.getLong(0) == 1L,
+      "the doc sharing the target vocabulary must score highest")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score_avg")
+      assert(s > 0.0 && !s.isNaN && !s.isInfinite,
+        s"Laplace smoothing keeps every score finite+positive, got $s")
+    }
+  }
+
+  test("dsirScores accounting: n_toks matches whitespace token count, n_dims <= n_toks") {
+    val rows = SemanticOps.dsirScores(raw, target).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_dims"), r.getAs[Long]("n_toks"))).toMap
+    val expected = raw.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").count(_.nonEmpty)).toMap
+    expected.foreach { case (id, n) =>
+      val (nd, nt) = rows(id)
+      assert(nt == n, s"doc $id: n_toks $nt != whitespace count $n")
+      assert(nd <= nt, s"doc $id: distinct dims $nd must be <= tokens $nt")
+    }
+  }
+
+  test("dsirScores is partitioning-invariant (ordered fold contract)") {
+    val base = SemanticOps.dsirScores(raw, target).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("score_sum"))).sortBy(_._1)
+    val repart = SemanticOps.dsirScores(raw.repartition(7), target.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("score_sum"))).sortBy(_._1)
+    assert(base.sameElements(repart),
+      "score_sum must be bitwise identical under any partitioning")
+  }
+
+  test("dsirSelect returns exactly k docs in deterministic order, plans as TakeOrderedAndProject") {
+    val sel = SemanticOps.dsirSelect(raw, target, k = 2)
+    val got = sel.collect().map(_.getLong(0))
+    assert(got.length == 2 && got.head == 1L,
+      s"top-2 must lead with the in-distribution doc, got ${got.toSeq}")
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+  }
+
+  test("dsirScores plan: ratio table broadcasts; corpus side never re-reads text after feature extraction") {
+    val plan = SemanticOps.dsirScores(raw, target).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dims-sized ratio table must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  // ---- sourceTemperatureMix ----
+
+  private val skewedDocs = {
+    // source a: 64 docs, source b: 4 docs — rates must flatten toward b
+    val a = (0L until 64L).map(i => (i, "a" * 10, "src_a", 10L))
+    val b = (100L until 104L).map(i => (i, "b" * 10, "src_b", 10L))
+    (a ++ b).toDF("doc_id", "text", "source", "n_chars")
+  }
+
+  test("sourceTemperatureMix flattens: scarce source keeps all docs, abundant source is thinned") {
+    val got = TextOps.sourceTemperatureMix(skewedDocs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget = 34 docs; sqrt weights 8:2 -> src_b target = 34*2/10 = 6.8 > 4
+    // so src_b keeps everything (rate caps at 1); src_a thins to ~27/64
+    assert(got.getOrElse("src_b", 0L) == 4L,
+      s"scarce source must survive whole, got $got")
+    val aKept = got.getOrElse("src_a", 0L)
+    assert(aKept > 0L && aKept < 64L,
+      s"abundant source must be thinned but not emptied, got $aKept")
+    // flattening: kept share of src_b (100%) > kept share of src_a
+    assert(4.0 / 4.0 > aKept / 64.0)
+  }
+
+  test("sourceTemperatureMix is deterministic under repartitioning and rerun") {
+    def run() = TextOps.sourceTemperatureMix(skewedDocs.repartition(5)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(run() == run(), "content-addressed gate must be rerun-stable")
+  }
+
+  test("sourceTemperatureMix budgetFrac=1 keeps every document of a balanced corpus") {
+    val balanced = (0L until 20L)
+      .map(i => (i, "x", if (i % 2 == 0) "src_a" else "src_b", 1L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val kept = TextOps.sourceTemperatureMix(balanced, budgetFrac = 1.0).collect()
+      .map(_.getLong(1)).sum
+    // balanced corpus at full budget: every source rate = min(1, B/2/n) = 1
+    assert(kept == 20L, s"full budget on balanced corpus must keep all, kept $kept")
+  }
+}
