@@ -257,6 +257,31 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-curation [factor]` — the DSIR/temperature-mix decade
+    // check. Documents amplify by positional salt (every copy's tokens
+    // are new → the hashed-feature space fills up but stays dims-BOUNDED:
+    // the ratio table is ≤ 4096 rows at ANY corpus size, so the broadcast
+    // is constant and scoring cost must grow linearly with tokens).
+    // Temperature mixing is one metadata-sized agg + a map-side gate —
+    // the decade cost is the count aggregate alone.
+    if (args.headOption.contains("scale-curation")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val damp = (0 until factor).map { k =>
+        if (k == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
+            .as("text"))
+      }.reduce(_ unionAll _).withColumn("source", concat(lit("s"), col("doc_id") % 5))
+      damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
+      val raw = damp.filter(col("source") =!= "s0")
+      val tgt = damp.filter(col("source") === "s0")
+      t("dsir_weights")(SemanticOps.dsirScores(raw, tgt).count())
+      t("dsir_select")(SemanticOps.dsirSelect(raw, tgt).count())
+      t("source_temperature_mix")(TextOps.sourceTemperatureMix(
+        damp.withColumn("n_chars", length(col("text")).cast("long"))).count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))

@@ -434,16 +434,21 @@ object SemanticOps {
     * (doc_id, n_dims, n_toks, score_sum, score_avg) where score_avg is
     * the per-token mean importance ratio — rank on it descending.
     */
-  def dsirScores(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame = {
-    val rTok = hashedTokens(raw, dims)
+  /** The FROZEN half of DSIR: the dims-sized (dim, ratio) importance
+    * table — smoothed target-likelihood / raw-likelihood per hashed
+    * feature. This is the artifact a production pipeline trains once on a
+    * (raw sample, target) pair, persists, and reuses across batch runs
+    * and streaming triggers ([[graft.streaming.StreamingText.dsirScoreStream]]).
+    * Products are exact-int sums cast to double BEFORE multiplying (at
+    * 100 TB the cross product overflows long); op order (a*b)/(c*d) is
+    * mirrored textually in the oracle so IEEE rounding agrees bitwise.
+    */
+  def dsirRatioTable(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame = {
     val tdist = hashedTokens(target, dims).groupBy("dim")
       .agg(count(lit(1)).as("cnt_t"))
-    val rdist = rTok.groupBy("dim").agg(count(lit(1)).as("cnt_r"))
-    // dims-sized ratio table: smoothed target-likelihood / raw-likelihood.
-    // Products as exact-int sums cast to double BEFORE multiplying (at
-    // 100 TB the cross product overflows long); op order (a*b)/(c*d) is
-    // mirrored textually in the oracle so IEEE rounding agrees bitwise.
-    val ratios = rdist
+    val rdist = hashedTokens(raw, dims).groupBy("dim")
+      .agg(count(lit(1)).as("cnt_r"))
+    rdist
       .join(tdist, Seq("dim"), "left")
       .crossJoin(tdist.agg(sum(col("cnt_t")).as("n_t")))
       .crossJoin(rdist.agg(sum(col("cnt_r")).as("n_r")))
@@ -452,7 +457,11 @@ object SemanticOps {
           (col("n_r") + dims).cast("double") /
           ((col("cnt_r") + 1L).cast("double") *
             (col("n_t") + dims).cast("double"))).as("ratio"))
-    rTok.groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+  }
+
+  def dsirScores(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame = {
+    val ratios = dsirRatioTable(raw, target, dims)
+    hashedTokens(raw, dims).groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
       .join(broadcast(ratios), Seq("dim"))
       .withColumn("v", col("c").cast("double") * col("ratio"))
       .groupBy("doc_id")
@@ -465,6 +474,32 @@ object SemanticOps {
       .select(col("doc_id"), col("n_dims"), col("n_toks"),
         col("score_sum"), (col("score_sum") / col("n_toks")).as("score_avg"))
   }
+
+  /** Score arbitrary documents against an already-materialized (FROZEN)
+    * ratio table — the form a persisted DSIR model or a streaming
+    * foreachBatch twin consumes. Features absent from the table (never
+    * seen when the model was trained) take ratio 0.0 exactly via the left
+    * join's coalesce and are counted in `oov` — the same exact-floor
+    * contract as [[graft.ops.TextOps.scoreAgainstLm]] (a smooth backoff
+    * needs transcendentals; the floor is bitwise and gate-equivalent).
+    * On in-vocabulary input this agrees with [[dsirScores]] except for
+    * the extra oov column (spec-asserted, [[graft.CurationSpec]]).
+    */
+  def scoreAgainstRatios(ratios: DataFrame, docs: DataFrame,
+                         dims: Int = 4096): DataFrame =
+    hashedTokens(docs, dims).groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+      .join(broadcast(ratios), Seq("dim"), "left")
+      .withColumn("v", col("c").cast("double") * coalesce(col("ratio"), lit(0.0)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("c")).as("n_toks"),
+        sum(when(col("ratio").isNull, col("c")).otherwise(0L)).as("oov"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(dim, v))),
+               |  x -> x.v), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+          .as("score_sum"))
+      .select(col("doc_id"), col("n_dims"), col("n_toks"), col("oov"),
+        col("score_sum"), (col("score_sum") / col("n_toks")).as("score_avg"))
 
   /** The selection half of DSIR: top-`k` raw documents by importance
     * score. Total order (score_avg DESC, doc_id ASC) → deterministic set;

@@ -37,4 +37,25 @@ object StreamingText {
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
       sink(graft.ops.TextOps.scoreAgainstLm(lm, docs), batchId)
     }
+
+  /** DSIR gate at ingestion time: score each micro-batch of documents
+    * against a FROZEN importance-ratio table
+    * ([[graft.ops.SemanticOps.dsirRatioTable]] — train once, persist,
+    * reuse every trigger) and hand (scores, batchId) to `sink`. Scores
+    * carry the [[graft.ops.SemanticOps.scoreAgainstRatios]] schema
+    * (doc_id, n_dims, n_toks, oov, score_sum, score_avg); never-seen
+    * features floor at ratio 0.0 and count into `oov`. Same zero-state
+    * foreachBatch rationale as [[lmScoreStream]]: the per-doc
+    * re-aggregation would be unbounded streaming state, but each doc_id
+    * lives in exactly one micro-batch, so the batch scorer per trigger is
+    * exact. Per-trigger cost is batch-scorer cost on the micro-batch
+    * alone — the dims-sized ratio table broadcasts.
+    */
+  def dsirScoreStream(spark: SparkSession, ratios: DataFrame, stream: DataFrame,
+                      dims: Int = 4096)
+                     (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      sink(graft.ops.SemanticOps.scoreAgainstRatios(ratios, docs, dims), batchId)
+    }
 }

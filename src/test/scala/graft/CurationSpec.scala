@@ -78,6 +78,63 @@ class CurationSpec extends SparkSpec {
       s"dims-sized ratio table must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("scoreAgainstRatios on in-vocabulary docs equals dsirScores bitwise (plus oov=0)") {
+    val ratios = SemanticOps.dsirRatioTable(raw, target).persist()
+    try {
+      val frozen = SemanticOps.scoreAgainstRatios(ratios, raw).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_dims"), r.getAs[Long]("n_toks"),
+          r.getAs[Long]("oov"), r.getAs[Double]("score_sum"))).sortBy(_._1)
+      val batch = SemanticOps.dsirScores(raw, target).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_dims"), r.getAs[Long]("n_toks"),
+          0L, r.getAs[Double]("score_sum"))).sortBy(_._1)
+      assert(frozen.sameElements(batch),
+        "frozen-table scorer must agree with the training-time scorer on in-vocab docs")
+    } finally ratios.unpersist()
+  }
+
+  test("scoreAgainstRatios floors never-seen features at 0.0 and counts them as oov") {
+    val ratios = SemanticOps.dsirRatioTable(raw, target)
+    val novel = Seq((50L, "zzzunseen zzzunseen careful")).toDF("doc_id", "text")
+    val r = SemanticOps.scoreAgainstRatios(ratios, novel).collect().head
+    assert(r.getAs[Long]("n_toks") == 3L && r.getAs[Long]("oov") == 2L,
+      s"both copies of the unseen token must count as oov, got $r")
+    assert(r.getAs[Double]("score_avg") > 0.0,
+      "the in-vocab token still contributes; oov floors at 0, not NaN")
+  }
+
+  test("dsirScoreStream: per-batch scores match the frozen-table batch scorer bitwise across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ratios = SemanticOps.dsirRatioTable(raw, target).persist()
+    val batch1 = Seq((10L, "careful curated evidence"), (11L, "casino jackpot zzznovel"))
+    val batch2 = Seq((20L, "clear reasoning prose"))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Double, Double)]
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingText.dsirScoreStream(
+      spark, ratios, input.toDF().toDF("doc_id", "text")) { (scores, _) =>
+      got ++= scores.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    }.start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "foreachBatch scoring must carry zero streaming state")
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      val expected = SemanticOps.scoreAgainstRatios(
+          ratios, (batch1 ++ batch2).toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toSet
+      assert(got.toSet == expected && got.size == 3,
+        s"streamed scores must equal the batch scorer: got=$got")
+      // the frozen table spans triggers: the novel token in batch 1 is oov
+      assert(got.find(_._1 == 11L).get._4 == 1L)
+    } finally {
+      query.stop(); ratios.unpersist()
+    }
+  }
+
   // ---- sourceTemperatureMix ----
 
   private val skewedDocs = {
