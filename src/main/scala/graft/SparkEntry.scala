@@ -121,6 +121,10 @@ object SparkEntry {
       SimilarityOps.augmentedEmbeddings(Tables.embeddings(s, dir)))),
     "semantic_dedup" -> ((s, dir) => SemanticOps.semanticDedup(
       SimilarityOps.augmentedEmbeddings(Tables.embeddings(s, dir)), k = 32, minCos = 0.45)),
+    // DataComp-style cluster balancing: cap each semantic cluster at 32
+    // members picked in content-addressed order
+    "cluster_cap_sample" -> ((s, dir) => SemanticOps.clusterCapSample(
+      SimilarityOps.augmentedEmbeddings(Tables.embeddings(s, dir)), k = 32)),
     "semantic_decontaminate" -> ((s, dir) => SemanticOps.semanticDecontaminate(
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
     "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(
@@ -493,6 +497,7 @@ object SparkEntry {
     "ann_ivf_pq_residual" -> PqOps.annIvfPqResidualOracle(),
     "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
+    "cluster_cap_sample" -> SemanticOps.clusterCapSampleOracle(k = 32),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "hashed_tf" -> SemanticOps.hashedTfOracle(),

@@ -355,6 +355,65 @@ object SemanticOps {
         s"transform(sequence(0, ${dims - 1}), d -> CAST(coalesce(element_at(m, CAST(d AS BIGINT)), 0L) AS FLOAT))")
         .as("embedding"))
 
+  /** Cluster-capped diversity sampling — the balancing step that follows
+    * SemDeDup in a curation pipeline (DataComp-style cluster balancing):
+    * cap every semantic cluster at `cap` members so over-represented
+    * regions of embedding space can't dominate the training mix. Members
+    * are picked in CONTENT-ADDRESSED order (md5 hex chars 5-8 of vec_id —
+    * independent of the [[graft.ops.TextOps.hashSplit]] chars 1-2 and the
+    * sourceMix chars 3-4, so capping never biases split or mix), vec_id
+    * tiebreak — never rand(), identical under retry/speculation.
+    *
+    * Plan shape: the map-side seed-centroid assignment of
+    * [[semanticClusters]], then ONE window shuffle on cluster. Cluster
+    * sizes are bounded by the SemDeDup operating discipline (k grows with
+    * the corpus, cells ~constant), so no window partition is ever
+    * data-sized.
+    */
+  def clusterCapSample(embeddings: DataFrame, k: Int = 8, cap: Int = 32): DataFrame = {
+    val pick = conv(substring(md5(col("vec_id").cast("string")), 5, 4), 16, 10)
+      .cast("long")
+    labeledCorpus(embeddings, k)
+      .select(col("vec_id"), col("cluster"), pick.as("pick"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("pick"), col("vec_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("vec_id"), col("cluster"), col("rn").cast("long").as("rn"))
+  }
+
+  def clusterCapSampleOracle(k: Int = 8, cap: Int = 32): String = {
+    val d = SimilarityOps.duckDot _
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |corpus AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(${d("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM aug),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, emb AS s_emb, norm AS s_norm
+       |  FROM corpus WHERE vec_id < $k),
+       |labeled AS (
+       |  SELECT vec_id, CAST(seed_id AS BIGINT) AS cluster
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY score DESC, seed_id ASC) AS rn
+       |    FROM (
+       |      SELECT c.vec_id, s.seed_id,
+       |        ${d("c.emb", "s.s_emb")} / (c.norm * s.s_norm) AS score
+       |      FROM corpus c, seeds s))
+       |  WHERE rn = 1),
+       |picked AS (
+       |  SELECT vec_id, cluster,
+       |    CAST(row_number() OVER (PARTITION BY cluster ORDER BY
+       |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 5, 4))::BIGINT,
+       |      vec_id) AS BIGINT) AS rn
+       |  FROM labeled)
+       |SELECT vec_id, cluster, rn FROM picked WHERE rn <= $cap""".stripMargin
+  }
+
   /** Distributed Lloyd's k-means over the embedding column. Returns the
     * final centroids (k × dims). Per iteration: map-side literal-centroid
     * assignment (zero shuffle), then one (cluster, dim) mean whose shuffle

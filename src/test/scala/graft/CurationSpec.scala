@@ -135,6 +135,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- clusterCapSample ----
+
+  private val clusteredVecs = {
+    // two tight clusters around orthogonal axes; seeds = vec_id 0 and 1
+    val around0 = (0L until 40L by 2L).map(i =>
+      (i, Seq(1.0f, 0.001f * i, 0f, 0f)))
+    val around1 = (1L until 40L by 2L).map(i =>
+      (i, Seq(0.001f * i, 1.0f, 0f, 0f)))
+    (around0 ++ around1).toDF("vec_id", "embedding")
+  }
+
+  test("clusterCapSample caps every cluster, keeps small clusters whole, ranks contiguously") {
+    val got = SemanticOps.clusterCapSample(clusteredVecs, k = 2, cap = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.keySet == Set(0L, 1L), s"both seed clusters present: $byCluster")
+    byCluster.foreach { case (c, members) =>
+      assert(members.length == 5, s"cluster $c must be capped at 5, got ${members.length}")
+      assert(members.map(_._3).sorted.sameElements(1L to 5L),
+        s"ranks must be contiguous 1..cap in cluster $c")
+    }
+    // cap above cluster size keeps everything
+    val uncapped = SemanticOps.clusterCapSample(clusteredVecs, k = 2, cap = 1000).collect()
+    assert(uncapped.length == 40, "cap above cluster size must be a no-op")
+  }
+
+  test("clusterCapSample pick order is content-addressed: stable under repartitioning, not vec_id order") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SemanticOps.clusterCapSample(df, k = 2, cap = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(r => (r._2, r._3)).toSeq
+    val a = run(clusteredVecs)
+    val b = run(clusteredVecs.repartition(7))
+    assert(a == b, "kept set + ranks must be partitioning-invariant")
+    // the picked members are md5-ordered, which differs from plain id order
+    val cluster0Ids = a.filter(_._2 == 0L).map(_._1)
+    assert(cluster0Ids != cluster0Ids.sorted || a.filter(_._2 == 1L).map(_._1) !=
+      a.filter(_._2 == 1L).map(_._1).sorted,
+      "content-addressed pick must not reduce to ascending vec_id order")
+  }
+
   // ---- sourceTemperatureMix ----
 
   private val skewedDocs = {
