@@ -252,6 +252,9 @@ object SparkEntry {
     }),
     "dedup_pipeline" -> ((s, dir) => DedupOps.dedupPipeline(DedupOps.augmented(D(s, dir)))),
     "paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(D(s, dir))),
+    // within-doc keep-first segment dedup: zero-shuffle map-side twin of
+    // the cross-doc stages (CCNet per-page line dedup)
+    "line_dedup" -> ((s, dir) => DedupOps.lineDedup(D(s, dir))),
     // CCNet-style boilerplate removal: ALL copies of any segment seen in
     // >1 distinct docs are dropped (vs paragraph_dedup's keep-first).
     // Runs over the dup-injected corpus — the plain corpus has no
@@ -498,6 +501,7 @@ object SparkEntry {
     "semantic_clusters" -> SemanticOps.semanticClustersOracle(),
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "cluster_cap_sample" -> SemanticOps.clusterCapSampleOracle(k = 32),
+    "line_dedup" -> DedupOps.lineDedupOracle(),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "hashed_tf" -> SemanticOps.hashedTfOracle(),

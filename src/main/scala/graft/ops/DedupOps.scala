@@ -551,6 +551,59 @@ object DedupOps {
       |GROUP BY doc_id, n_total""".stripMargin
   }
 
+  /** WITHIN-document segment dedup (the per-document half of CCNet's
+    * line dedup): inside each document, keep only the FIRST occurrence
+    * of every distinct segment and reassemble in original order.
+    * Cross-document duplicates are untouched — this is the stage that
+    * kills within-page repetition (navigation repeated top and bottom,
+    * chorus lines, copy-paste stutter) without any corpus-wide
+    * coordination; [[paragraphDedup]] (keep-first corpus-wide) and
+    * [[boilerplateStrip]] (drop-all by corpus DF) are the cross-doc
+    * complements.
+    *
+    * Scale design: ZERO shuffles (plan-asserted) — the keep rule is a
+    * pure array expression per row (`array_position(segs, seg) == pos`,
+    * first-occurrence-wins), so the operator is embarrassingly parallel
+    * and composes into any pipeline position for free. Per-row cost is
+    * O(segments²) string compares in the worst case — segments per doc
+    * are document-length-bounded, and no data moves; idempotent by
+    * construction (spec-asserted).
+    */
+  def lineDedup(documents: DataFrame, sep: String = ". "): DataFrame =
+    documents.select(col("doc_id"),
+      filter(split(col("text"), java.util.regex.Pattern.quote(sep), -1),
+        s => length(s) > 0).as("segs"))
+      .filter(size(col("segs")) > 0)
+      .withColumn("n_total", size(col("segs")).cast("long"))
+      .withColumn("kept", expr(
+        """filter(transform(segs, (s, i) -> struct(i AS pos, s AS seg)),
+          |  x -> array_position(segs, x.seg) == x.pos + 1)""".stripMargin))
+      .select(col("doc_id"),
+        concat_ws(sep, expr("transform(kept, x -> x.seg)")).as("text_dedup"),
+        size(col("kept")).cast("long").as("n_kept"), col("n_total"))
+
+  /** Same literal-separator derivation contract as [[paragraphDedupOracle]];
+    * the keep rule mirrors as `list_position(arr, seg) = pos` (both
+    * 1-based first-occurrence indices).
+    */
+  def lineDedupOracle(sep: String = ". "): String = {
+    val q = sep.replace("'", "''")
+    s"""WITH arrs AS (
+       |  SELECT doc_id, list_filter(string_split(text, '$q'), s -> len(s) > 0) AS arr
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n_total, i AS pos, arr[i] AS seg
+       |  FROM arrs, (SELECT unnest(range(1,
+       |         (SELECT CAST(max(len(arr)) AS BIGINT) + 1 FROM arrs))) AS i) t
+       |  WHERE len(arr) > 0 AND i <= len(arr))
+       |SELECT doc_id,
+       |  string_agg(seg, '$q' ORDER BY pos) AS text_dedup,
+       |  count(*) AS n_kept,
+       |  n_total
+       |FROM segs WHERE list_position(arr, seg) = pos
+       |GROUP BY doc_id, n_total""".stripMargin
+  }
+
   /** B8p-strip — BOILERPLATE removal by corpus document frequency (the
     * CCNet/RefinedWeb line-dedup step): drop every segment that appears
     * in more than `maxDf` distinct documents (navigation chrome, cookie

@@ -175,6 +175,55 @@ class CurationSpec extends SparkSpec {
       "content-addressed pick must not reduce to ascending vec_id order")
   }
 
+  // ---- lineDedup ----
+
+  test("lineDedup keeps first occurrence within a doc, leaves cross-doc duplicates alone") {
+    val docs = Seq(
+      (1L, "alpha. beta. alpha. gamma. beta"),
+      (2L, "alpha. delta"), // cross-doc dup of 'alpha' must SURVIVE
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("alpha. beta. gamma", 3L, 5L)))
+    assert(got(2L) == (("alpha. delta", 2L, 2L)),
+      "within-doc dedup must not touch cross-document duplicates")
+    assert(got(3L) == (("solo", 1L, 1L)))
+  }
+
+  test("lineDedup streams in Append mode with zero state (pure projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = graft.ops.DedupOps.lineDedup(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("line_dedup_stream")
+      .start()
+    try {
+      input.addData((1L, "p. q. p"), (2L, "r"))
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "a map-side operator must add no streaming state")
+      val got = spark.table("line_dedup_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "p. q", 2L -> "r"))
+    } finally {
+      query.stop()
+      spark.sql("DROP TABLE IF EXISTS line_dedup_stream")
+    }
+  }
+
+  test("lineDedup is idempotent and zero-shuffle") {
+    val docs = Seq((1L, "x. y. x. y. z")).toDF("doc_id", "text")
+    val once = graft.ops.DedupOps.lineDedup(docs)
+    val twice = graft.ops.DedupOps.lineDedup(
+      once.select(col("doc_id"), col("text_dedup").as("text")))
+    assert(once.collect().head.getString(1) == twice.collect().head.getString(1),
+      "dedup of deduped text must be identity")
+    val plan = once.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"within-doc dedup must be fully map-side:\n$plan")
+  }
+
   // ---- sourceTemperatureMix ----
 
   private val skewedDocs = {
