@@ -507,10 +507,13 @@ object SemanticOps {
       .agg(count(lit(1)).as("cnt_t"))
     val rdist = hashedTokens(raw, dims).groupBy("dim")
       .agg(count(lit(1)).as("cnt_r"))
+    // coalesce(sum, 0): an EMPTY distribution side (degenerate config,
+    // e.g. empty target) yields defined smoothed ratios instead of nulls
+    // (EmptyInputSpec contract); no-op whenever the side has any tokens.
     rdist
       .join(tdist, Seq("dim"), "left")
-      .crossJoin(tdist.agg(sum(col("cnt_t")).as("n_t")))
-      .crossJoin(rdist.agg(sum(col("cnt_r")).as("n_r")))
+      .crossJoin(tdist.agg(coalesce(sum(col("cnt_t")), lit(0L)).as("n_t")))
+      .crossJoin(rdist.agg(coalesce(sum(col("cnt_r")), lit(0L)).as("n_r")))
       .select(col("dim"),
         ((coalesce(col("cnt_t"), lit(0L)) + 1L).cast("double") *
           (col("n_r") + dims).cast("double") /
@@ -585,8 +588,8 @@ object SemanticOps {
        |  WHERE len(w) > 0),
        |tdist AS (SELECT dim, CAST(count(*) AS BIGINT) AS cnt_t FROM ttok GROUP BY 1),
        |rdist AS (SELECT dim, CAST(count(*) AS BIGINT) AS cnt_r FROM rtok GROUP BY 1),
-       |tot AS (SELECT (SELECT CAST(sum(cnt_t) AS BIGINT) FROM tdist) AS n_t,
-       |               (SELECT CAST(sum(cnt_r) AS BIGINT) FROM rdist) AS n_r),
+       |tot AS (SELECT coalesce((SELECT CAST(sum(cnt_t) AS BIGINT) FROM tdist), 0) AS n_t,
+       |               coalesce((SELECT CAST(sum(cnt_r) AS BIGINT) FROM rdist), 0) AS n_r),
        |ratios AS (
        |  SELECT r.dim,
        |    CAST(coalesce(t.cnt_t, 0) + 1 AS DOUBLE) * CAST(n_r + $dims AS DOUBLE) /

@@ -953,7 +953,9 @@ object TextOps {
     val counts = documents.groupBy("source")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    require(counts.nonEmpty, "sourceTemperatureMix: empty corpus")
+    // Empty corpus → empty result with the output schema, never a throw
+    // (EmptyInputSpec contract: a daily partition CAN be empty).
+    if (counts.isEmpty) return sourceMix(documents, Map("__none__" -> 1.0))
     val totalDocs = counts.map(_._2).sum
     val b = totalDocs.toDouble * budgetFrac
     val sqrtTot = counts.foldLeft(0.0)((acc, c) => acc + math.sqrt(c._2.toDouble))

@@ -18,6 +18,24 @@ class EmptyInputSpec extends SparkSpec {
       StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
         StructField("source", StringType), StructField("n_chars", LongType))))
 
+  test("curation family on an empty corpus returns empty, never throws") {
+    assert(DedupOps.lineDedup(emptyDocs).isEmpty)
+    assert(TextOps.sourceTemperatureMix(emptyDocs).isEmpty)
+    assert(SemanticOps.dsirScores(emptyDocs, emptyDocs).isEmpty)
+    assert(SemanticOps.dsirSelect(emptyDocs, emptyDocs).isEmpty)
+    // degenerate but defined: scoring with an EMPTY target still yields
+    // finite smoothed ratios (coalesced totals), not nulls
+    val raw = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val scored = SemanticOps.dsirScores(raw, emptyDocs).collect()
+    assert(scored.length == 1 && !scored.head.getAs[Double]("score_avg").isNaN)
+    // empty embeddings: cap sampler degrades to empty via the seedless path
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(SemanticOps.clusterCapSample(emptyVecs).isEmpty)
+  }
+
   test("dedup family on an empty corpus returns empty, never throws") {
     assert(DedupOps.exactDedup(emptyDocs).isEmpty)
     assert(DedupOps.minhashSignatures(emptyDocs).isEmpty)
