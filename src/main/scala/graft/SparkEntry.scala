@@ -306,11 +306,18 @@ object SparkEntry {
       TextOps.sourceTemperatureMix(Tables.documents(s, dir))),
     // DSIR importance scores/selection: target = held-out min(source)
     // reference set, raw = the rest (the lm_score_heldout split idiom)
+    // The score_avg guard is the count-prune no-op (scores are Laplace-
+    // smoothed products of positive ratios, never negative): without it
+    // Catalyst eliminates the cardinality-preserving tdist LEFT join
+    // inside the ratio table under Bench's count() and the bench would
+    // time only the raw-distribution half (lm_score_heldout idiom;
+    // `Profile count-prune` caught it).
     "dsir_weights" -> ((s, dir) => {
       val d = D(s, dir)
       val held = d.agg(min(col("source"))).head().getString(0)
       SemanticOps.dsirScores(
         d.filter(col("source") =!= held), d.filter(col("source") === held))
+        .where(col("score_avg") >= 0.0)
     }),
     "dsir_select" -> ((s, dir) => {
       val d = D(s, dir)
