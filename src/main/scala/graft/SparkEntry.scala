@@ -125,6 +125,10 @@ object SparkEntry {
     // members picked in content-addressed order
     "cluster_cap_sample" -> ((s, dir) => SemanticOps.clusterCapSample(
       SimilarityOps.augmentedEmbeddings(Tables.embeddings(s, dir)), k = 32)),
+    // trainable Rocchio classifier distilling lang labels: train on 90%,
+    // classify the held-out tenth by hashed-TF cosine argmax
+    "centroid_classify" -> ((s, dir) =>
+      SemanticOps.centroidClassifyHeldout(D(s, dir))),
     "semantic_decontaminate" -> ((s, dir) => SemanticOps.semanticDecontaminate(
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
     "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(
@@ -509,6 +513,7 @@ object SparkEntry {
     "semantic_dedup" -> SemanticOps.semanticDedupOracle(k = 32, minCos = 0.45),
     "cluster_cap_sample" -> SemanticOps.clusterCapSampleOracle(k = 32),
     "line_dedup" -> DedupOps.lineDedupOracle(),
+    "centroid_classify" -> SemanticOps.centroidClassifyOracle(),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "hashed_tf" -> SemanticOps.hashedTfOracle(),

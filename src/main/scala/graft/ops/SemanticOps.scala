@@ -414,6 +414,124 @@ object SemanticOps {
        |SELECT vec_id, cluster, rn FROM picked WHERE rn <= $cap""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Nearest-centroid (Rocchio) text classifier over hashed-TF features —
+  // the TRAINABLE counterpart to the rule-based gates (lang-id heuristic,
+  // Gopher battery): train per-class summed term-frequency centroids on a
+  // labeled split, classify by cosine argmax. This is the classic
+  // fastText-adjacent baseline that is exactly reproducible across
+  // engines: centroid weights are EXACT integer count sums
+  // (order-independent — no float-fold contract needed on the hot path),
+  // doc·centroid dot products are exact int64 sums, and the only float
+  // ops are one sqrt each side of a single division — all IEEE-exact.
+  //
+  // Scale design (100 TB): the model is (|classes| × ≤dims) rows —
+  // metadata — and BROADCASTS to scoring; training is one count shuffle
+  // on (label, dim) with map-side partial aggregation; scoring moves the
+  // corpus only as (doc_id, dim, count) rows through one count shuffle +
+  // one (doc_id, label) reduction. Int64 headroom: dot = Σ_dims c·w needs
+  // c·w·dims < 2^63 — safe through ~1e12-token classes at ~1e3-token
+  // docs; beyond that, shard classes or rescale counts.
+  // ---------------------------------------------------------------------
+
+  /** Train: per-class hashed-TF centroid (label, dim, w) with w an exact
+    * integer count sum, plus the class norm (sqrt of the dim-ordered fold
+    * of w² as doubles — w² alone can overflow int64 at corpus scale).
+    */
+  def centroidTrain(labeled: DataFrame, dims: Int = 4096,
+                    labelCol: String = "lang"): DataFrame =
+    labeled
+      .select(col("doc_id"), col(labelCol).as("label"), col("text"))
+      .select(col("label"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("label"),
+        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"))
+      .groupBy("label", "dim").agg(count(lit(1)).as("w"))
+
+  /** Classify: cosine argmax over the broadcast class centroids, label
+    * ASC tiebreak. Returns (doc_id, label = actual, pred, score).
+    */
+  def centroidClassify(model: DataFrame, docs: DataFrame, dims: Int = 4096,
+                       labelCol: String = "lang"): DataFrame = {
+    // class norms: ≤ dims values per class — fold in dim order (float
+    // addition does not commute; same contract as every similarity fold)
+    val norms = model.groupBy("label").agg(
+      expr("""sqrt(aggregate(transform(array_sort(collect_list(struct(dim, w))),
+             |  x -> CAST(x.w AS DOUBLE) * CAST(x.w AS DOUBLE)),
+             |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))""".stripMargin).as("cnorm"))
+    val feats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"),
+        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+    val docNorm = feats.groupBy("doc_id")
+      .agg(sum(col("c") * col("c")).as("n2")) // exact int64, order-free
+    val scored = feats
+      .join(broadcast(model), Seq("dim"))
+      .groupBy("doc_id", "label")
+      .agg(sum(col("c") * col("w")).as("dot")) // exact int64, order-free
+      .join(docNorm, Seq("doc_id"))
+      .join(broadcast(norms), Seq("label"))
+      .select(col("doc_id"), col("label"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * col("cnorm"))).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("label"))
+    scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col(labelCol).as("actual")), Seq("doc_id"))
+      .select(col("doc_id"), col("actual"), col("label").as("pred"), col("score"))
+  }
+
+  /** Registered `centroid_classify`: train on doc_id % 10 != 0, predict
+    * the `lang` of the held-out tenth — the distilled-classifier twin of
+    * the rule-based `lang_id`. */
+  def centroidClassifyHeldout(documents: DataFrame, dims: Int = 4096): DataFrame =
+    centroidClassify(
+      centroidTrain(documents.filter(col("doc_id") % 10 =!= 0), dims),
+      documents.filter(col("doc_id") % 10 === 0), dims)
+
+  def centroidClassifyOracle(dims: Int = 4096): String = {
+    val h = graft.functions.Hashing.hash64Duck("w")
+    s"""WITH tr AS (
+       |  SELECT lang AS label, $h % $dims AS dim
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE doc_id % 10 <> 0)
+       |  WHERE len(w) > 0),
+       |model AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS w
+       |          FROM tr GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT label, sqrt(list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(w AS DOUBLE) * CAST(w AS DOUBLE) ORDER BY dim)),
+       |    (acc, x) -> acc + x)) AS cnorm
+       |  FROM model GROUP BY label),
+       |ev AS (
+       |  SELECT doc_id, $h % $dims AS dim
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE doc_id % 10 = 0)
+       |  WHERE len(w) > 0),
+       |feats AS (SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS c
+       |          FROM ev GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2
+       |       FROM feats GROUP BY 1),
+       |dots AS (
+       |  SELECT f.doc_id, m.label, CAST(sum(f.c * m.w) AS BIGINT) AS dot
+       |  FROM feats f JOIN model m USING (dim) GROUP BY 1, 2),
+       |scoredall AS (
+       |  SELECT d.doc_id, d.label,
+       |    CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(dn.n2 AS DOUBLE)) * n.cnorm) AS score
+       |  FROM dots d JOIN dn USING (doc_id) JOIN norms n USING (label)),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, label) AS rn
+       |  FROM scoredall)
+       |SELECT b.doc_id, d.lang AS actual, b.label AS pred, b.score
+       |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+       |WHERE b.rn = 1""".stripMargin
+  }
+
   /** Distributed Lloyd's k-means over the embedding column. Returns the
     * final centroids (k × dims). Per iteration: map-side literal-centroid
     * assignment (zero shuffle), then one (cluster, dim) mean whose shuffle

@@ -175,6 +175,53 @@ class CurationSpec extends SparkSpec {
       "content-addressed pick must not reduce to ascending vec_id order")
   }
 
+  // ---- centroid classifier ----
+
+  private val labeledDocs = {
+    // two "languages" with disjoint vocabularies; eval docs stay in-vocab
+    val en = Seq("the quick brown fox jumps", "a lazy dog sleeps here",
+      "quick dog and brown fox")
+    val de = Seq("der schnelle braune fuchs springt", "ein fauler hund schlaeft",
+      "schnelle hund und braune fuchs")
+    (en.zipWithIndex.map { case (t, i) => (i * 2L + 1L, t, "en") } ++
+      de.zipWithIndex.map { case (t, i) => (i * 2L + 100L, t, "de") })
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("centroidClassify recovers disjoint-vocabulary labels perfectly") {
+    val model = SemanticOps.centroidTrain(labeledDocs)
+    val evalDocs = Seq(
+      (500L, "brown fox jumps here", "en"),
+      (501L, "braune fuchs springt", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = SemanticOps.centroidClassify(model, evalDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((500L, "en", "en"), (501L, "de", "de")),
+      s"disjoint vocabularies must classify exactly, got ${got.toSeq}")
+  }
+
+  test("centroidClassify scores are partitioning-invariant; model broadcasts") {
+    val evalDocs = Seq((500L, "quick brown fox", "en")).toDF("doc_id", "text", "lang")
+    def run(train: org.apache.spark.sql.DataFrame) =
+      SemanticOps.centroidClassify(SemanticOps.centroidTrain(train), evalDocs)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
+    assert(run(labeledDocs) == run(labeledDocs.repartition(7)),
+      "integer centroids + ordered norm folds must be partitioning-invariant")
+    val plan = SemanticOps.centroidClassify(
+      SemanticOps.centroidTrain(labeledDocs), evalDocs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the metadata-sized model must broadcast:\n$plan")
+  }
+
+  test("centroidClassify ties break by label ascending; no-overlap docs drop out") {
+    val model = SemanticOps.centroidTrain(labeledDocs)
+    val evalDocs = Seq((600L, "zzz qqq www", "en")).toDF("doc_id", "text", "lang")
+    // zero overlap with either centroid: the doc has no score row at all
+    assert(SemanticOps.centroidClassify(model, evalDocs).isEmpty,
+      "a doc sharing no hashed dim with any class must drop, not NaN")
+  }
+
   // ---- lineDedup ----
 
   test("lineDedup keeps first occurrence within a doc, leaves cross-doc duplicates alone") {
