@@ -58,4 +58,25 @@ object StreamingText {
       val docs = batch.select(col("doc_id").cast("long"), col("text"))
       sink(graft.ops.SemanticOps.scoreAgainstRatios(ratios, docs, dims), batchId)
     }
+
+  /** Classify arriving documents against a FROZEN centroid model
+    * ([[graft.ops.SemanticOps.centroidTrain]] — train once on the labeled
+    * corpus, persist, reuse every trigger). Rows carry the
+    * [[graft.ops.SemanticOps.centroidClassify]] schema minus `actual`
+    * (an arriving crawl has no label — that is why it is being
+    * classified): (doc_id, pred, score). Same zero-state foreachBatch
+    * rationale as the scorers above: the per-doc feature aggregation +
+    * argmax window would be unbounded streaming state, but each doc_id
+    * lives in exactly one micro-batch.
+    */
+  def classifyStream(spark: SparkSession, model: DataFrame, stream: DataFrame,
+                     dims: Int = 4096)
+                    (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val docs = batch
+        .select(col("doc_id").cast("long"), col("text"))
+        .withColumn("lang", lit(null).cast("string"))
+      sink(graft.ops.SemanticOps.centroidClassify(model, docs, dims)
+        .select(col("doc_id"), col("pred"), col("score")), batchId)
+    }
 }

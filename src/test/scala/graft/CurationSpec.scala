@@ -222,6 +222,37 @@ class CurationSpec extends SparkSpec {
       "a doc sharing no hashed dim with any class must drop, not NaN")
   }
 
+  test("classifyStream: frozen model, zero state, per-batch parity with the batch classifier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val model = SemanticOps.centroidTrain(labeledDocs).persist()
+    val arriving1 = Seq((700L, "quick brown fox"), (701L, "schnelle braune fuchs"))
+    val arriving2 = Seq((702L, "lazy dog sleeps"))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingText.classifyStream(
+      spark, model, input.toDF().toDF("doc_id", "text")) { (preds, _) =>
+      got ++= preds.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    }.start()
+    try {
+      input.addData(arriving1: _*)
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty)
+      input.addData(arriving2: _*)
+      query.processAllAvailable()
+      val expected = SemanticOps.centroidClassify(model,
+          (arriving1 ++ arriving2).map { case (id, t) => (id, t, "??") }
+            .toDF("doc_id", "text", "lang"))
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSet
+      assert(got.toSet == expected && got.size == 3,
+        s"streamed predictions must equal the batch classifier: $got")
+      assert(got.find(_._1 == 700L).get._2 == "en" &&
+        got.find(_._1 == 701L).get._2 == "de")
+    } finally {
+      query.stop(); model.unpersist()
+    }
+  }
+
   // ---- lineDedup ----
 
   test("lineDedup keeps first occurrence within a doc, leaves cross-doc duplicates alone") {
