@@ -279,6 +279,12 @@ object Profile {
       t("dsir_select")(SemanticOps.dsirSelect(raw, tgt).count())
       t("source_temperature_mix")(TextOps.sourceTemperatureMix(
         damp.withColumn("n_chars", length(col("text")).cast("long"))).count())
+      // classifier decade: model stays (classes × ≤dims) metadata at any
+      // corpus size, so train+classify must both scale linearly
+      val lab = damp.withColumn("lang", concat(lit("l"), col("doc_id") % 3))
+      t("centroid_classify")(SemanticOps.centroidClassify(
+        SemanticOps.centroidTrain(lab.filter(col("doc_id") % 10 =!= 0)),
+        lab.filter(col("doc_id") % 10 === 0)).count())
       spark.stop(); return
     }
 

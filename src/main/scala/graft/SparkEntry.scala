@@ -129,6 +129,9 @@ object SparkEntry {
     // classify the held-out tenth by hashed-TF cosine argmax
     "centroid_classify" -> ((s, dir) =>
       SemanticOps.centroidClassifyHeldout(D(s, dir))),
+    // held-out confusion matrix: the monitoring artifact of the gate
+    "centroid_confusion" -> ((s, dir) =>
+      SemanticOps.centroidConfusion(D(s, dir))),
     "semantic_decontaminate" -> ((s, dir) => SemanticOps.semanticDecontaminate(
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
     "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(
@@ -341,6 +344,8 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, dir) => TextOps.corpusShuffle(Tables.documents(s, dir))),
     // per-source token-budget selection in content-addressed shuffle order
     "token_budget_mix" -> ((s, dir) => TextOps.tokenBudgetMix(Tables.documents(s, dir))),
+    // quality-first budget fill: same budget, best documents first
+    "quality_budget_mix" -> ((s, dir) => TextOps.qualityBudgetMix(Tables.documents(s, dir))),
     // exact-k per-source sample in content-addressed order (eval sets)
     "stratified_sample" -> ((s, dir) => TextOps.stratifiedSample(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
@@ -514,6 +519,7 @@ object SparkEntry {
     "cluster_cap_sample" -> SemanticOps.clusterCapSampleOracle(k = 32),
     "line_dedup" -> DedupOps.lineDedupOracle(),
     "centroid_classify" -> SemanticOps.centroidClassifyOracle(),
+    "centroid_confusion" -> SemanticOps.centroidConfusionOracle(),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "hashed_tf" -> SemanticOps.hashedTfOracle(),
@@ -607,6 +613,7 @@ object SparkEntry {
     "pack_split" -> TextOps.packSplitOracle(),
     "corpus_shuffle" -> TextOps.corpusShuffleOracle(),
     "token_budget_mix" -> TextOps.tokenBudgetMixOracle(),
+    "quality_budget_mix" -> TextOps.qualityBudgetMixOracle(),
     "stratified_sample" -> TextOps.stratifiedSampleOracle(),
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,

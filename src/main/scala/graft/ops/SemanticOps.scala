@@ -491,6 +491,18 @@ object SemanticOps {
       centroidTrain(documents.filter(col("doc_id") % 10 =!= 0), dims),
       documents.filter(col("doc_id") % 10 === 0), dims)
 
+  /** Held-out confusion matrix (actual × pred counts) — the evaluation
+    * artifact a model-gated pipeline monitors; one count-sized aggregate
+    * on top of [[centroidClassifyHeldout]]. */
+  def centroidConfusion(documents: DataFrame, dims: Int = 4096): DataFrame =
+    centroidClassifyHeldout(documents, dims)
+      .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+
+  def centroidConfusionOracle(dims: Int = 4096): String =
+    s"""WITH cls AS (${centroidClassifyOracle(dims)})
+       |SELECT actual, pred, CAST(count(*) AS BIGINT) AS n
+       |FROM cls GROUP BY 1, 2""".stripMargin
+
   def centroidClassifyOracle(dims: Int = 4096): String = {
     val h = graft.functions.Hashing.hash64Duck("w")
     s"""WITH tr AS (

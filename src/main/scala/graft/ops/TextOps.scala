@@ -1171,6 +1171,51 @@ object TextOps {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        |WHERE cum_excl < $budget""".stripMargin
 
+  /** QUALITY-ordered per-source token-budget selection — fill each
+    * source's token budget BEST-QUALITY-FIRST instead of
+    * [[tokenBudgetMix]]'s content-addressed uniform order: the curation
+    * shape when a budget must be spent on the best available documents
+    * rather than a random sample (quality-first budget fill). Ordering
+    * key is ([[textStats]].quality_score DESC, doc_id) — the score is
+    * bitwise-deterministic (single IEEE ops over exact counts), so the
+    * selection is a total order both engines reproduce exactly. Same
+    * straddle convention as packing: keep iff the EXCLUSIVE prefix is
+    * under budget → budget + at most one straddler per source.
+    *
+    * Scale: one shuffle on source, window state is a running sum —
+    * identical plan shape to [[tokenBudgetMix]]; the stats pass is the
+    * audited map-side [[textStats]].
+    */
+  def qualityBudgetMix(documents: DataFrame, budget: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    textStats(documents, keep = Seq("source"))
+      .withColumn("cum_excl", sum("n_tokens").over(w) - col("n_tokens"))
+      .filter(col("cum_excl") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("cum_excl"))
+  }
+
+  def qualityBudgetMixOracle(budget: Long = 4096): String =
+    s"""WITH stats AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) *
+       |      (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      len(string_split(text, ' ')) AS n_tokens,
+       |      len(list_filter(string_split(text, ' '),
+       |          w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+       |    FROM documents))
+       |SELECT doc_id, source, n_tokens, quality_score, cum_excl FROM (
+       |  SELECT *, CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens AS cum_excl
+       |  FROM stats
+       |  WINDOW w AS (PARTITION BY source ORDER BY quality_score DESC, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |WHERE cum_excl < $budget""".stripMargin
+
   /** Exact-k STRATIFIED sample — k documents per source, the eval-set /
     * inspection-sample construction step (`sample(fraction)` gives a
     * binomial count that varies per run and can return 0 for small

@@ -302,6 +302,36 @@ class CurationSpec extends SparkSpec {
       s"within-doc dedup must be fully map-side:\n$plan")
   }
 
+  // ---- qualityBudgetMix ----
+
+  test("qualityBudgetMix fills the budget best-quality-first with at most one straddler per source") {
+    // same source: quality_score rises with n_tokens up to 100 tokens and
+    // falls with stopword ratio; craft docs with clearly ordered quality
+    val good = (1L, ("interesting content " * 40).trim, "src_a")   // 80 toks, 0 stop
+    val mid  = (2L, ("the of and " * 20 + "substance words " * 10).trim, "src_a") // stops
+    val bad  = (3L, "the of and a in to is", "src_a")              // all stopwords
+    val docs = Seq(good, mid, bad).toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.qualityBudgetMix(docs, budget = 90).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._2)
+    // doc 1 (best) fills 80 tokens; doc 2 straddles (cum_excl=80 < 90);
+    // doc 3's exclusive prefix >= 90 -> excluded
+    assert(got.map(_._1).toSeq == Seq(1L, 2L),
+      s"selection must be quality-ordered with one straddler, got ${got.toSeq}")
+  }
+
+  test("qualityBudgetMix is partitioning-invariant and budget-monotone") {
+    val docs = (0L until 30L).map(i =>
+      (i, ("word " * (10 + i.toInt)).trim, s"src_${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    def run(budget: Long, df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.qualityBudgetMix(df, budget).collect()
+        .map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq
+    assert(run(100, docs) == run(100, docs.repartition(7)))
+    val small = run(60, docs).map(_._1).toSet
+    val large = run(200, docs).map(_._1).toSet
+    assert(small.subsetOf(large), "a larger budget must only ADD documents")
+  }
+
   // ---- sourceTemperatureMix ----
 
   private val skewedDocs = {
