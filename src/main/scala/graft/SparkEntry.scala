@@ -139,6 +139,8 @@ object SparkEntry {
     "hashed_tf" -> ((s, dir) => SemanticOps.hashedTf(D(s, dir))),
     // ---- relational analytics surface ----
     "zorder_layout" -> ((s, dir) => LayoutOps.zorderLayout(Tables.lineitem(s, dir))),
+    // liquid-clustering counterpart: Hilbert curve, no diagonal jumps
+    "hilbert_layout" -> ((s, dir) => LayoutOps.hilbertLayout(Tables.lineitem(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
       O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -524,6 +526,7 @@ object SparkEntry {
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "hashed_tf" -> SemanticOps.hashedTfOracle(),
     "zorder_layout" -> LayoutOps.zorderLayoutOracle(),
+    "hilbert_layout" -> LayoutOps.hilbertLayoutOracle(),
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
     "orders_by_nation" -> RelationalOps.ordersByNationOracle,
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,

@@ -73,4 +73,97 @@ object LayoutOps {
        |  CAST((${duckMorton("l_partkey", "l_suppkey", 16)}) >> $blockBits AS BIGINT)
        |    AS block
        |FROM lineitem""".stripMargin
+
+  /** Hilbert-curve index of two non-negative integer columns on the
+    * 2^bits × 2^bits grid — the curve behind Databricks liquid
+    * clustering and the stronger half of the space-filling-curve
+    * trade: unlike the Z-curve it has NO diagonal jumps (consecutive
+    * curve positions are always grid neighbors — spec-proven
+    * bijection + continuity), so range boxes touch fewer, more
+    * compact runs of the curve.
+    *
+    * Implementation is the standard per-level fold (Wikipedia xy2d,
+    * full-grid rotation so coordinates provably stay in [0, 2^bits)):
+    * each level reads one bit of each coordinate, accumulates
+    * s²·quadrant, and rotates/reflects the frame. The quadrant term
+    * (3·rx)^ry is computed ARITHMETICALLY (3rx + ry − 2rx·ry — the
+    * identity holds on {0,1}²) so no engine-specific xor is needed.
+    * All exact integer CASE/add/multiply — bitwise cross-engine. The
+    * per-level transforms chain as named columns (linear growth;
+    * textual inlining would double per level), mirrored in the oracle
+    * as a CTE chain GENERATED FROM THE SAME LOOP, so the two sides
+    * cannot diverge structurally. Map-side, zero joins/shuffles — the
+    * same writer contract as [[zorderLayout]].
+    */
+  def withHilbert(df: DataFrame, xCol: Column, yCol: Column,
+                  bits: Int = 16, out: String = "hilbert"): DataFrame = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val n = 1L << bits
+    var cur = df
+      .withColumn("h_x", xCol.cast("long"))
+      .withColumn("h_y", yCol.cast("long"))
+      .withColumn(out, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("h_rx",
+          when(col("h_x").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("h_ry",
+          when(col("h_y").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out, col(out) + lit(s * s) *
+          (lit(3L) * col("h_rx") + col("h_ry") -
+            lit(2L) * col("h_rx") * col("h_ry")))
+        .withColumn("h_nx", when(col("h_ry") === 0L,
+          when(col("h_rx") === 1L, lit(n - 1) - col("h_y")).otherwise(col("h_y")))
+          .otherwise(col("h_x")))
+        .withColumn("h_ny", when(col("h_ry") === 0L,
+          when(col("h_rx") === 1L, lit(n - 1) - col("h_x")).otherwise(col("h_x")))
+          .otherwise(col("h_y")))
+        .withColumn("h_x", col("h_nx")).withColumn("h_y", col("h_ny"))
+    }
+    cur.drop("h_x", "h_y", "h_rx", "h_ry", "h_nx", "h_ny")
+  }
+
+  /** Hilbert layout of lineitem over (part, supplier) — the liquid-
+    * clustering counterpart of [[zorderLayout]], same block contract.
+    */
+  def hilbertLayout(lineitem: DataFrame, blockBits: Int = 10): DataFrame = {
+    require(blockBits >= 0 && blockBits < 32,
+      s"blockBits must be in [0, 32) for a 2x16-bit Hilbert index, got $blockBits")
+    withHilbert(
+      lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+      col("l_partkey"), col("l_suppkey"))
+      .withColumn("block", shiftrightunsigned(col("hilbert"), blockBits))
+  }
+
+  /** Oracle CTE chain generated from the same per-level loop as
+    * [[withHilbert]] — one CTE per level carrying (h_x, h_y, hd). */
+  def hilbertLayoutOracle(blockBits: Int = 10, bits: Int = 16): String = {
+    val n = 1L << bits
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      s"""h${k + 1} AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - h_y ELSE h_y END)
+         |         ELSE h_x END AS h_x,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - h_x ELSE h_x END)
+         |         ELSE h_y END AS h_y,
+         |    hd + ${s * s} * (3 * rx + ry - 2 * rx * ry) AS hd
+         |  FROM (SELECT *,
+         |          CASE WHEN (h_x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (h_y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$k))""".stripMargin
+    }
+    s"""WITH h0 AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    CAST(l_partkey AS BIGINT) AS h_x, CAST(l_suppkey AS BIGINT) AS h_y,
+       |    CAST(0 AS BIGINT) AS hd
+       |  FROM lineitem),
+       |${levels.mkString(",\n")}
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CAST(hd AS BIGINT) AS hilbert,
+       |  CAST(hd >> $blockBits AS BIGINT) AS block
+       |FROM h$bits""".stripMargin
+  }
 }
