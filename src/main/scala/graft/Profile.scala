@@ -81,6 +81,22 @@ object Profile {
       spark.stop(); return
     }
 
+    // Positional-salt document amplifier shared by every scale-* harness:
+    // copy k appends a per-(copy, position) salt token AFTER each original
+    // token (originals are KEPT — copies share their unigram mass with the
+    // base; what is new per copy is every 2+-gram/shingle, which is what
+    // keeps the near-dup RATE constant instead of quadratic). A SHARED
+    // per-copy salt would homogenize token distributions and collapse
+    // unweighted SimHash (measured 153M pairs / 416 s at 10x) — see
+    // PLANS.md "SimHash homogeneity hazard".
+    def amplifyDocs(base: DataFrame, factor: Int): DataFrame =
+      (0 until factor).map { k =>
+        if (k == 0) base.select(col("doc_id"), col("text"))
+        else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
+            .as("text"))
+      }.reduce(_ unionAll _)
+
     // `Profile scale [factor]` — the "one more decade" check: amplify the
     // sf0.1 documents corpus `factor`× (each copy's shingle space is
     // disjoint — a salt token is interleaved after every token, so every
@@ -90,19 +106,7 @@ object Profile {
     // here; results recorded in BASELINE.md.
     if (args.headOption.contains("scale")) {
       val factor = if (args.length > 1) args(1).toInt else 10
-      val base = DedupOps.augmented(docs)
-      val amplified = (0 until factor).map { k =>
-        if (k == 0) base
-        // the salt token is unique per (copy, position): with a SHARED
-        // per-copy salt, half of every doc's tokens become one dominant
-        // token, token distributions homogenize, and unweighted SimHash
-        // legitimately collapses into quadratic near-dup pairs (measured
-        // 153M pairs / 416 s at 10×) — see PLANS.md "SimHash homogeneity
-        // hazard". Positional salts keep the corpus heterogeneous.
-        else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
-            .as("text"))
-      }.reduce(_ unionAll _)
+      val amplified = amplifyDocs(DedupOps.augmented(docs), factor)
       amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
       t("exact_dedup")(DedupOps.exactDedup(amplified).count())
       t("substring_dup")(DedupOps.substringDup(amplified).count())
@@ -149,13 +153,7 @@ object Profile {
     // removal pipeline at scale (used to locate the 10× hot stage).
     if (args.headOption.contains("scale-substr")) {
       val factor = if (args.length > 1) args(1).toInt else 10
-      val base = DedupOps.augmented(docs)
-      val amplified = (0 until factor).map { k =>
-        if (k == 0) base
-        else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
-            .as("text"))
-      }.reduce(_ unionAll _)
+      val amplified = amplifyDocs(DedupOps.augmented(docs), factor)
       amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
       val st = DedupOps.substringDedupStages(amplified)
       st.foreach { case (name, df) => t(name)(df.count()) }
@@ -211,13 +209,8 @@ object Profile {
       t("ann_pq_adc")(PqOps.annPqAdc(amplified).count())
       t("ann_ivf_pq")(PqOps.annIvfPq(amplified).count())
       spark.catalog.clearCache()
-      val dbase = docs
-      val damp = (0 until factor).map { k =>
-        if (k == 0) dbase.select(col("doc_id"), col("text"))
-        else dbase.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
-            .as("text"))
-      }.reduce(_ unionAll _).withColumn("source", concat(lit("s"), col("doc_id") % 5))
+      val damp = amplifyDocs(docs, factor)
+        .withColumn("source", concat(lit("s"), col("doc_id") % 5))
       damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
       t("lm_likelihood")(TextOps.lmLikelihood(damp).where(col("avg_p") >= 0.0).count())
       t("lm_score_heldout")(TextOps.lmLikelihoodAgainst(
@@ -258,24 +251,24 @@ object Profile {
     }
 
     // `Profile scale-curation [factor]` — the DSIR/temperature-mix decade
-    // check. Documents amplify by positional salt (every copy's tokens
-    // are new → the hashed-feature space fills up but stays dims-BOUNDED:
-    // the ratio table is ≤ 4096 rows at ANY corpus size, so the broadcast
-    // is constant and scoring cost must grow linearly with tokens).
-    // Temperature mixing is one metadata-sized agg + a map-side gate —
-    // the decade cost is the count aggregate alone.
+    // check. Salted copies keep the original unigrams and add per-copy
+    // salt unigrams, so the hashed-feature space fills toward saturation
+    // but the ratio table stays dims-BOUNDED (≤ 4096 rows at ANY corpus
+    // size) — the broadcast is constant and scoring cost must grow
+    // linearly with tokens. Temperature mixing is one metadata-sized agg
+    // + a map-side gate — the decade cost is the count aggregate alone.
+    // The dsir_weights count() carries the same score_avg count-prune
+    // guard as the registered query: a bare count() lets Catalyst drop
+    // the tdist LEFT join and would time a pruned plan.
     if (args.headOption.contains("scale-curation")) {
       val factor = if (args.length > 1) args(1).toInt else 10
-      val damp = (0 until factor).map { k =>
-        if (k == 0) docs.select(col("doc_id"), col("text"))
-        else docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          expr(s"concat_ws(' ', transform(split(text, ' '), (t, i) -> concat(t, ' z${k}x', i)))")
-            .as("text"))
-      }.reduce(_ unionAll _).withColumn("source", concat(lit("s"), col("doc_id") % 5))
+      val damp = amplifyDocs(docs, factor)
+        .withColumn("source", concat(lit("s"), col("doc_id") % 5))
       damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
       val raw = damp.filter(col("source") =!= "s0")
       val tgt = damp.filter(col("source") === "s0")
-      t("dsir_weights")(SemanticOps.dsirScores(raw, tgt).count())
+      t("dsir_weights")(SemanticOps.dsirScores(raw, tgt)
+        .where(col("score_avg") >= 0.0).count())
       t("dsir_select")(SemanticOps.dsirSelect(raw, tgt).count())
       t("source_temperature_mix")(TextOps.sourceTemperatureMix(
         damp.withColumn("n_chars", length(col("text")).cast("long"))).count())

@@ -98,6 +98,13 @@ object LayoutOps {
   def withHilbert(df: DataFrame, xCol: Column, yCol: Column,
                   bits: Int = 16, out: String = "hilbert"): DataFrame = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // the per-level chain materializes working columns by name; fail
+    // LOUDLY rather than silently clobbering a caller column and
+    // dropping it at the end
+    val internal = Set("h_x", "h_y", "h_rx", "h_ry", "h_nx", "h_ny")
+    val clash = df.columns.filter(c => internal(c) || c == out)
+    require(clash.isEmpty,
+      s"withHilbert working columns collide with input columns: ${clash.mkString(", ")}")
     val n = 1L << bits
     var cur = df
       .withColumn("h_x", xCol.cast("long"))

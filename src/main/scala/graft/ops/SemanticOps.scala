@@ -440,12 +440,8 @@ object SemanticOps {
     */
   def centroidTrain(labeled: DataFrame, dims: Int = 4096,
                     labelCol: String = "lang"): DataFrame =
-    labeled
-      .select(col("doc_id"), col(labelCol).as("label"), col("text"))
-      .select(col("label"), explode(split(col("text"), " ", -1)).as("word"))
-      .filter(length(col("word")) > 0)
-      .select(col("label"),
-        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"))
+    hashedTokensBy(
+      labeled.select(col(labelCol).as("label"), col("text")), dims, "label")
       .groupBy("label", "dim").agg(count(lit(1)).as("w"))
 
   /** Classify: cosine argmax over the broadcast class centroids, label
@@ -459,11 +455,7 @@ object SemanticOps {
       expr("""sqrt(aggregate(transform(array_sort(collect_list(struct(dim, w))),
              |  x -> CAST(x.w AS DOUBLE) * CAST(x.w AS DOUBLE)),
              |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))""".stripMargin).as("cnorm"))
-    val feats = docs
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
-      .filter(length(col("word")) > 0)
-      .select(col("doc_id"),
-        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"))
+    val feats = hashedTokens(docs, dims)
       .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
     val docNorm = feats.groupBy("doc_id")
       .agg(sum(col("c") * col("c")).as("n2")) // exact int64, order-free
@@ -609,37 +601,28 @@ object SemanticOps {
   // shared with every reduction in the similarity family).
   // ---------------------------------------------------------------------
 
-  private def hashedTokens(docs: DataFrame, dims: Int): DataFrame =
+  /** Hashed-unigram tokens keyed by `keyCols` — the ONE tokenization +
+    * feature-hash pipeline shared by the DSIR family and the centroid
+    * classifier (a change here moves every hashed-TF consumer together).
+    */
+  private[ops] def hashedTokensBy(docs: DataFrame, dims: Int,
+                                  keyCols: String*): DataFrame =
     docs
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .select(keyCols.map(col) :+
+        explode(split(col("text"), " ", -1)).as("word"): _*)
       .filter(length(col("word")) > 0)
-      .select(col("doc_id"),
-        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"))
+      .select(keyCols.map(col) :+
+        (graft.functions.Hashing.hash64(col("word")) % dims).as("dim"): _*)
 
-  /** Per-document DSIR importance scores for `raw` documents against the
-    * `target` reference set. Laplace-smoothed feature distributions
-    * (`+1` count, `+dims` total) keep every ratio finite and defined for
-    * features absent from the target. Returns
-    * (doc_id, n_dims, n_toks, score_sum, score_avg) where score_avg is
-    * the per-token mean importance ratio — rank on it descending.
+  private def hashedTokens(docs: DataFrame, dims: Int): DataFrame =
+    hashedTokensBy(docs, dims, "doc_id")
+
+  /** Smoothed ratio table from already-aggregated distributions —
+    * coalesce(sum, 0): an EMPTY distribution side (degenerate config,
+    * e.g. empty target) yields defined smoothed ratios instead of nulls
+    * (EmptyInputSpec contract); no-op whenever the side has any tokens.
     */
-  /** The FROZEN half of DSIR: the dims-sized (dim, ratio) importance
-    * table — smoothed target-likelihood / raw-likelihood per hashed
-    * feature. This is the artifact a production pipeline trains once on a
-    * (raw sample, target) pair, persists, and reuses across batch runs
-    * and streaming triggers ([[graft.streaming.StreamingText.dsirScoreStream]]).
-    * Products are exact-int sums cast to double BEFORE multiplying (at
-    * 100 TB the cross product overflows long); op order (a*b)/(c*d) is
-    * mirrored textually in the oracle so IEEE rounding agrees bitwise.
-    */
-  def dsirRatioTable(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame = {
-    val tdist = hashedTokens(target, dims).groupBy("dim")
-      .agg(count(lit(1)).as("cnt_t"))
-    val rdist = hashedTokens(raw, dims).groupBy("dim")
-      .agg(count(lit(1)).as("cnt_r"))
-    // coalesce(sum, 0): an EMPTY distribution side (degenerate config,
-    // e.g. empty target) yields defined smoothed ratios instead of nulls
-    // (EmptyInputSpec contract); no-op whenever the side has any tokens.
+  private def ratioFrom(rdist: DataFrame, tdist: DataFrame, dims: Int): DataFrame =
     rdist
       .join(tdist, Seq("dim"), "left")
       .crossJoin(tdist.agg(coalesce(sum(col("cnt_t")), lit(0L)).as("n_t")))
@@ -649,11 +632,46 @@ object SemanticOps {
           (col("n_r") + dims).cast("double") /
           ((col("cnt_r") + 1L).cast("double") *
             (col("n_t") + dims).cast("double"))).as("ratio"))
-  }
 
+  /** The FROZEN half of DSIR: the dims-sized (dim, ratio) importance
+    * table — smoothed target-likelihood / raw-likelihood per hashed
+    * feature. This is the artifact a production pipeline trains once on a
+    * (raw sample, target) pair, persists, and reuses across batch runs
+    * and streaming triggers ([[graft.streaming.StreamingText.dsirScoreStream]]).
+    * Products are exact-int sums cast to double BEFORE multiplying (at
+    * 100 TB the cross product overflows long); op order (a*b)/(c*d) is
+    * mirrored textually in the oracle so IEEE rounding agrees bitwise.
+    */
+  def dsirRatioTable(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame =
+    ratioFrom(
+      hashedTokens(raw, dims).groupBy("dim").agg(count(lit(1)).as("cnt_r")),
+      hashedTokens(target, dims).groupBy("dim").agg(count(lit(1)).as("cnt_t")),
+      dims)
+
+  /** Per-document DSIR importance scores for `raw` documents against the
+    * `target` reference set. Laplace-smoothed feature distributions
+    * (`+1` count, `+dims` total) keep every ratio finite and defined for
+    * features absent from the target. Returns
+    * (doc_id, n_dims, n_toks, score_sum, score_avg) where score_avg is
+    * the per-token mean importance ratio — rank on it descending.
+    *
+    * The raw corpus is tokenized ONCE: the per-doc feats frame is
+    * persisted (skinny (doc_id, dim, count) rows — never text) and the
+    * raw distribution derives from it by a second dims-sized aggregate,
+    * so the explode+hash map stage does not run twice. Verify/Bench
+    * clearCache() between queries per the caller contract (the
+    * minhashPairs persist discipline).
+    */
   def dsirScores(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame = {
-    val ratios = dsirRatioTable(raw, target, dims)
-    hashedTokens(raw, dims).groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+    val feats = hashedTokens(raw, dims)
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
+      .persist()
+    val rdist = feats.groupBy("dim")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("cnt_r"))
+    val tdist = hashedTokens(target, dims).groupBy("dim")
+      .agg(count(lit(1)).as("cnt_t"))
+    val ratios = ratioFrom(rdist, tdist, dims)
+    feats
       .join(broadcast(ratios), Seq("dim"))
       .withColumn("v", col("c").cast("double") * col("ratio"))
       .groupBy("doc_id")

@@ -948,11 +948,32 @@ object TextOps {
     * float total is partitioning- and engine-independent. The document
     * gate itself stays fully distributed and map-side.
     */
+  /** DuckDB's default collation is binary UTF-8; JVM String ordering is
+    * UTF-16 code units, which DISAGREES for supplementary-plane
+    * characters vs U+E000..U+FFFF. The rate fold must add sqrt terms in
+    * the oracle's order, so sort source names by their UTF-8 bytes.
+    */
+  private val utf8ByteOrder: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   def sourceTemperatureMix(documents: DataFrame,
                            budgetFrac: Double = 0.5): DataFrame = {
-    val counts = documents.groupBy("source")
+    // NULL-source docs are excluded on BOTH sides (the oracle's rates
+    // join never matches NULL); a null key would also break the typedLit
+    // rates map and the driver sort.
+    val counts = documents.filter(col("source").isNotNull).groupBy("source")
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)(utf8ByteOrder)
     // Empty corpus → empty result with the output schema, never a throw
     // (EmptyInputSpec contract: a daily partition CAN be empty).
     if (counts.isEmpty) return sourceMix(documents, Map("__none__" -> 1.0))
@@ -962,7 +983,9 @@ object TextOps {
     val rates = counts.map { case (s, n) =>
       s -> math.min(1.0, b * math.sqrt(n.toDouble) / sqrtTot / n.toDouble)
     }.toMap
-    sourceMix(documents, rates)
+    // the same non-null filter on the gate side: sourceMix's defaultRate
+    // fallback would otherwise KEEP null-source docs the oracle excludes
+    sourceMix(documents.filter(col("source").isNotNull), rates)
   }
 
   /** Oracle recomputes the α=0.5 rates in SQL: same sqrt, same
@@ -970,7 +993,7 @@ object TextOps {
     * (B·√n / tot / n) op order, same 1/256 round-half-up grid. */
   def sourceTemperatureMixOracle(budgetFrac: Double = 0.5): String =
     s"""WITH sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-       |            FROM documents GROUP BY 1),
+       |            FROM documents WHERE source IS NOT NULL GROUP BY 1),
        |tot AS (SELECT
        |  CAST((SELECT CAST(sum(n) AS BIGINT) FROM sc) AS DOUBLE) * $budgetFrac AS b,
        |  (SELECT list_reduce(
