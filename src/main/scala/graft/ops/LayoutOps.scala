@@ -144,6 +144,26 @@ object LayoutOps {
       .withColumn("block", shiftrightunsigned(col("hilbert"), blockBits))
   }
 
+  /** Realize a curve layout on disk: range-repartition on the curve key
+    * (contiguous curve runs per output file), sort within partitions so
+    * row groups are tight too, and write parquet. This is what makes the
+    * keys computed by [[zorderLayout]]/[[hilbertLayout]] DO something:
+    * each file's min/max statistics over the original predicate columns
+    * become narrow boxes, so engines skip files/row-groups on 2-D range
+    * predicates (spec-measured: per-file key spans shrink by an order of
+    * magnitude vs an unclustered write of the same rows —
+    * [[graft.LayoutOpsSpec]]).
+    *
+    * `repartitionByRange` samples the key to pick near-equal-sized range
+    * bounds — the same one extra pass any compaction/OPTIMIZE rewrite
+    * already pays; no global sort task, no driver bottleneck.
+    */
+  def writeClustered(df: DataFrame, path: String, curveCol: String,
+                     numFiles: Int = 8): Unit =
+    df.repartitionByRange(numFiles, col(curveCol))
+      .sortWithinPartitions(curveCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Oracle CTE chain generated from the same per-level loop as
     * [[withHilbert]] — one CTE per level carrying (h_x, h_y, hd). */
   def hilbertLayoutOracle(blockBits: Int = 10, bits: Int = 16): String = {

@@ -105,6 +105,42 @@ class LayoutOpsSpec extends SparkSpec {
     assert(mortonJumps > 0, "Morton should exhibit diagonal jumps on this grid")
   }
 
+  test("writeClustered tightens per-file min/max statistics vs an unclustered write") {
+    import spark.implicits._
+    // near-uniform 2-D keys in ingestion (= random) order
+    val rows = (0L until 4096L).map { i =>
+      val x = (i * 2654435761L) % 256   // golden-ratio scatter
+      val y = (i * 40503L) % 256
+      (i, x, y)
+    }.toDF("id", "kx", "ky")
+    val keyed = LayoutOps.withHilbert(rows, col("kx"), col("ky"), bits = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    try {
+      LayoutOps.writeClustered(keyed, s"$dir/clustered", "hilbert", numFiles = 16)
+      rows.repartition(16).write.mode("overwrite").parquet(s"$dir/plain")
+      def meanSpan(path: String): Double = {
+        val spans = spark.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg((max("kx") - min("kx")).as("sx"), (max("ky") - min("ky")).as("sy"))
+          .collect().map(r => (r.getLong(1) + r.getLong(2)) / 2.0)
+        spans.sum / spans.length
+      }
+      val clustered = meanSpan(s"$dir/clustered")
+      val plain = meanSpan(s"$dir/plain")
+      // random order: every file spans ~the full 0..255 domain on both
+      // dims; a contiguous Hilbert run covers a compact tile
+      assert(plain > 200, s"unclustered files should span the domain, got $plain")
+      assert(clustered < plain * 0.6,
+        s"clustered per-file key span must shrink (clustered=$clustered plain=$plain)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("hilbertLayout is map-side: no Exchange; block carves the index high bits") {
     import spark.implicits._
     val plain = Seq((1L, 1, 5L, 7L))
