@@ -334,6 +334,15 @@ object SparkEntry {
       SemanticOps.dsirSelect(
         d.filter(col("source") =!= held), d.filter(col("source") === held))
     }),
+    // the frozen DSIR model artifact itself, oracle-verified; the ratio
+    // guard is the count-prune no-op (Laplace ratios are > 0)
+    "dsir_ratios" -> ((s, dir) => {
+      val d = D(s, dir)
+      val held = d.agg(min(col("source"))).head().getString(0)
+      SemanticOps.dsirRatioTable(
+        d.filter(col("source") =!= held), d.filter(col("source") === held))
+        .where(col("ratio") > 0.0)
+    }),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     // pack manifest: per-pack ordered (doc_id, offset, len) span lists
     "pack_spans" -> ((s, dir) =>
@@ -611,6 +620,7 @@ object SparkEntry {
     "source_temperature_mix" -> TextOps.sourceTemperatureMixOracle(),
     "dsir_weights" -> SemanticOps.dsirScoresOracle(),
     "dsir_select" -> SemanticOps.dsirSelectOracle(),
+    "dsir_ratios" -> SemanticOps.dsirRatiosOracle(),
     "pack_sequences" -> TextOps.packSequencesOracle(),
     "pack_spans" -> TextOps.packSpansOracle(),
     "pack_split" -> TextOps.packSplitOracle(),

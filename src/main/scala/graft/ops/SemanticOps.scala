@@ -755,6 +755,14 @@ object SemanticOps {
        |                (acc, x) -> acc + x) AS score_sum
        |  FROM scored GROUP BY doc_id)""".stripMargin
 
+  /** Oracle for the registered `dsir_ratios` query: the frozen model
+    * artifact itself, verified bitwise (ratio > 0 guard at the
+    * registration site is the count-prune no-op — Laplace ratios are
+    * strictly positive). */
+  def dsirRatiosOracle(dims: Int = 4096): String =
+    s"""WITH ${dsirScoredSql(dims)}
+       |SELECT dim, ratio FROM ratios""".stripMargin
+
   /** Oracle for the registered `dsir_weights` query (target = docs of the
     * lexicographically first source, raw = the rest — the held-out idiom
     * shared with `lm_score_heldout`). */
