@@ -106,9 +106,18 @@ object LayoutOps {
     require(clash.isEmpty,
       s"withHilbert working columns collide with input columns: ${clash.mkString(", ")}")
     val n = 1L << bits
+    // Out-of-range coordinates fail LOUDLY at execution time (ADVICE r6):
+    // a key above 2^bits-1 would have its high bits silently ignored —
+    // Spark and oracle would still agree (same truncation), masking the
+    // clustering-locality degradation. raise_error is a row-level branch
+    // (map-side, codegen'd); NullType coerces to the otherwise() type.
+    def checked(c: Column, axis: String): Column =
+      when(c < 0L || c >= n, raise_error(concat(
+        lit(s"withHilbert: $axis coordinate out of [0, $n) for bits=$bits: "),
+        c.cast("string")))).otherwise(c)
     var cur = df
-      .withColumn("h_x", xCol.cast("long"))
-      .withColumn("h_y", yCol.cast("long"))
+      .withColumn("h_x", checked(xCol.cast("long"), "x"))
+      .withColumn("h_y", checked(yCol.cast("long"), "y"))
       .withColumn(out, lit(0L))
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i

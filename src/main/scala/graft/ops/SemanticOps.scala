@@ -658,11 +658,27 @@ object SemanticOps {
     * The raw corpus is tokenized ONCE: the per-doc feats frame is
     * persisted (skinny (doc_id, dim, count) rows — never text) and the
     * raw distribution derives from it by a second dims-sized aggregate,
-    * so the explode+hash map stage does not run twice. Verify/Bench
-    * clearCache() between queries per the caller contract (the
-    * minhashPairs persist discipline).
+    * so the explode+hash map stage does not run twice.
+    *
+    * CACHE-LIFETIME CONTRACT (ADVICE r6): this method persists an
+    * intermediate that it cannot unpersist itself (the result is lazy;
+    * dropping the cache before the caller materializes it would re-run
+    * the tokenize stage twice and defeat the persist). Callers that
+    * invoke this repeatedly in a long-lived session must either
+    * `spark.catalog.clearCache()` after materializing each result (the
+    * Verify/Bench harness contract) or use [[dsirScoresWithHandle]] and
+    * unpersist the returned handle themselves.
     */
-  def dsirScores(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame = {
+  def dsirScores(raw: DataFrame, target: DataFrame, dims: Int = 4096): DataFrame =
+    dsirScoresWithHandle(raw, target, dims)._1
+
+  /** [[dsirScores]] variant for callers that manage cache lifetime
+    * explicitly: returns (scores, persistedFeats). After materializing
+    * `scores` (count/write/collect), call `persistedFeats.unpersist()`
+    * to release the cached tokenize stage — no session-wide
+    * clearCache() needed. */
+  def dsirScoresWithHandle(raw: DataFrame, target: DataFrame,
+                           dims: Int = 4096): (DataFrame, DataFrame) = {
     val feats = hashedTokens(raw, dims)
       .groupBy("doc_id", "dim").agg(count(lit(1)).as("c"))
       .persist()
@@ -671,7 +687,7 @@ object SemanticOps {
     val tdist = hashedTokens(target, dims).groupBy("dim")
       .agg(count(lit(1)).as("cnt_t"))
     val ratios = ratioFrom(rdist, tdist, dims)
-    feats
+    val scores = feats
       .join(broadcast(ratios), Seq("dim"))
       .withColumn("v", col("c").cast("double") * col("ratio"))
       .groupBy("doc_id")
@@ -683,6 +699,7 @@ object SemanticOps {
           .as("score_sum"))
       .select(col("doc_id"), col("n_dims"), col("n_toks"),
         col("score_sum"), (col("score_sum") / col("n_toks")).as("score_avg"))
+    (scores, feats)
   }
 
   /** Score arbitrary documents against an already-materialized (FROZEN)

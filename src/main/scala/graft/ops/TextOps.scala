@@ -975,8 +975,14 @@ object TextOps {
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)(utf8ByteOrder)
     // Empty corpus → empty result with the output schema, never a throw
-    // (EmptyInputSpec contract: a daily partition CAN be empty).
-    if (counts.isEmpty) return sourceMix(documents, Map("__none__" -> 1.0))
+    // (EmptyInputSpec contract: a daily partition CAN be empty). The
+    // non-null filter must apply here too: a corpus of ONLY null-source
+    // docs has empty `counts`, and without the filter those docs would
+    // fall through sourceMix's defaultRate=1.0 and be KEPT while the
+    // oracle's rates inner join returns empty (ADVICE r6).
+    if (counts.isEmpty)
+      return sourceMix(documents.filter(col("source").isNotNull),
+        Map("__none__" -> 1.0))
     val totalDocs = counts.map(_._2).sum
     val b = totalDocs.toDouble * budgetFrac
     val sqrtTot = counts.foldLeft(0.0)((acc, c) => acc + math.sqrt(c._2.toDouble))

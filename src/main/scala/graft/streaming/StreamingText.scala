@@ -68,6 +68,14 @@ object StreamingText {
     * rationale as the scorers above: the per-doc feature aggregation +
     * argmax window would be unbounded streaming state, but each doc_id
     * lives in exactly one micro-batch.
+    *
+    * Every ingested doc_id reaches the sink (ADVICE r6): the batch
+    * classifier's inner join drops docs sharing no hashed dim with any
+    * centroid (empty text, all-OOV tokens) — acceptable in batch where
+    * the input set is queryable, but an ingest gate that silently
+    * swallows documents breaks downstream accounting. A left join back
+    * to the micro-batch's doc_ids emits those as (doc_id, pred=NULL,
+    * score=0.0), so the sink can count and route rejects explicitly.
     */
   def classifyStream(spark: SparkSession, model: DataFrame, stream: DataFrame,
                      dims: Int = 4096)
@@ -76,7 +84,12 @@ object StreamingText {
       val docs = batch
         .select(col("doc_id").cast("long"), col("text"))
         .withColumn("lang", lit(null).cast("string"))
-      sink(graft.ops.SemanticOps.centroidClassify(model, docs, dims)
-        .select(col("doc_id"), col("pred"), col("score")), batchId)
+      val classified = graft.ops.SemanticOps.centroidClassify(model, docs, dims)
+        .select(col("doc_id"), col("pred"), col("score"))
+      val all = docs.select(col("doc_id"))
+        .join(classified, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pred"),
+          coalesce(col("score"), lit(0.0)).as("score"))
+      sink(all, batchId)
     }
 }
