@@ -108,4 +108,48 @@ class KafkaE2ESpec extends SparkSpec {
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.toLong).max }
     assert(got == Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L), s"got $got")
   }
+
+  test("topology + throttled metrics publish to the reference's __topology topics (VERDICT r6 item 2)") {
+    assume(brokers.nonEmpty, "KAFKA_BROKERS unset — live-broker e2e skipped")
+    val servers = brokers.get
+    import spark.implicits._
+
+    // the REAL reference topic names (kstreams/App.java:64-65); records
+    // are keyed by a per-run app name so shared-broker reruns never
+    // cross-read each other's registrations
+    val app = s"graft_obs_${java.util.UUID.randomUUID().toString.take(8)}"
+    val sink = new graft.streaming.KafkaMetricsSink(spark, servers, app)
+    val listener = new graft.streaming.TopologyMetricsListener(
+      app, sink, autoRegisterFrom = Some(spark))
+    spark.streams.addListener(listener)
+
+    val in = topic("obs_in")
+    writeKafka(Seq(("1", "to be or not to be")).toDF("key", "value"), servers, in)
+    val counts = StreamingOps.wordCountSpace(
+        StreamingOps.kafkaRecords(StreamingOps.kafkaSource(spark, servers, in)))
+      .select(col("word").as("key"), col("cnt").cast("string").as("value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("kafka_obs_ckpt").toString
+    val query = StreamingOps.kafkaSink(counts, servers, topic("obs_out"), ckpt).start()
+    try query.processAllAvailable() finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+
+    def mine(t: String): Seq[String] = readKafka(servers, t)
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toSeq
+      .filter(_._1 == app).map(_._2)
+
+    // O1: the DAG JSON arrived on __topology, carrying the aggregate node
+    // of the word-count plan
+    val topo = mine("__topology")
+    assert(topo.exists(j => j.startsWith("""{"kind":"topology"""") &&
+      j.contains("groupby")), s"no topology DAG on __topology: $topo")
+    // O2: at least one throttled metrics record (plus the start/terminate
+    // lifecycle events) arrived on __topology__metrics
+    val metrics = mine("__topology__metrics")
+    assert(metrics.exists(_.startsWith("""{"kind":"metrics"""")),
+      s"no metrics record on __topology__metrics: $metrics")
+    assert(metrics.exists(_.startsWith("""{"kind":"queryStarted"""")))
+  }
 }
