@@ -84,6 +84,7 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextOps.languageId(D(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(D(s, dir))),
     "bpe_pairs" -> ((s, dir) => BpeOps.bpePairCounts(D(s, dir))),
+    "bpe_segment" -> ((s, dir) => BpeOps.bpeSegmentFrozen(D(s, dir))),
     "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
     // ---- events: dedup + JSON extraction (B8a, B11) ----
     "dedup_events_exact" -> ((s, dir) => EventOps.dedupExact(E(s, dir))),
@@ -496,6 +497,7 @@ object SparkEntry {
         |    (a, b) -> a + b) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
     "bpe_pairs" -> BpeOps.bpePairCountsOracle(),
+    "bpe_segment" -> BpeOps.bpeSegmentOracle(),
     "fingerprints" ->
       "SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp FROM documents",
     "dedup_events_exact" ->

@@ -114,4 +114,64 @@ object BpeOps {
       df.withColumn("syms", mergePair(col("syms"), a, b))
     }
   }
+
+  /** The FROZEN merge list for the registered `bpe_segment` query —
+    * [[bpeTrain]]'s output on the sf0.001 documents corpus (nMerges=16),
+    * frozen the way a production pipeline freezes its tokenizer: trained
+    * once offline, then applied verbatim to every corpus thereafter (the
+    * same frozen-model idiom as the DSIR ratio table and the bigram LM).
+    * Freezing also makes the oracle SF-independent — both sides apply
+    * the identical literal merge sequence.
+    */
+  val frozenMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"))
+
+  /** `bpe_segment` in registerable form: segments the corpus vocabulary
+    * with [[frozenMerges]] and emits a hashable row per word —
+    * (word, freq, n_syms, segmented) with the symbol array joined on
+    * U+001F (unit separator). Words containing U+001F are excluded on
+    * both sides: the oracle's replace-chain encoding needs a separator
+    * that cannot occur inside a symbol (the same data-convention guard
+    * as the source-name parsing oracles).
+    */
+  def bpeSegmentFrozen(documents: DataFrame): DataFrame =
+    bpeSegment(documents, frozenMerges)
+      .filter(!col("word").contains("\u001f"))
+      .select(col("word"), col("freq"), size(col("syms")).cast("long").as("n_syms"),
+        concat_ws("\u001f", col("syms")).as("segmented"))
+
+  /** Oracle generated FROM THE SAME frozen merge sequence (the
+    * hilbert-oracle idiom: structurally incapable of diverging from the
+    * Scala loop) but via an INDEPENDENT formulation: each word's symbol
+    * list is encoded as a U+001F-joined string and each merge (a, b) is
+    * one `replace(s, 'a'||chr(31)||'b', 'ab')` — SQL replace scans
+    * left-to-right non-overlapping, which is exactly [[mergePair]]'s
+    * greedy fold semantics, so agreement cross-checks the fold against a
+    * second implementation rather than mirroring it textually.
+    * Single-quotes in merge symbols are SQL-escaped (doubled).
+    */
+  def bpeSegmentOracle(merges: Seq[(String, String)] = frozenMerges): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val chain = merges.zipWithIndex.map { case ((a, b), k) =>
+      s"""m${k + 1} AS (SELECT word, freq,
+         |  replace(s, '${esc(a)}' || chr(31) || '${esc(b)}', '${esc(a + b)}') AS s
+         |  FROM m$k)""".stripMargin
+    }
+    s"""WITH w AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |m0 AS (
+       |  SELECT word, freq,
+       |    array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> substr(word, CAST(i AS INT), 1)), chr(31)) AS s
+       |  FROM w WHERE strpos(word, chr(31)) = 0),
+       |${chain.mkString(",\n")}
+       |SELECT word, freq,
+       |  CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_syms,
+       |  s AS segmented
+       |FROM m${merges.length}""".stripMargin
+  }
 }

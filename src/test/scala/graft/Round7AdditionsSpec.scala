@@ -57,6 +57,31 @@ class Round7AdditionsSpec extends SparkSpec {
     assert(messages(e2).exists(_.contains("coordinate out of")))
   }
 
+  test("bpe_segment: character conservation, real merging, and frozen-merge determinism") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val seg = graft.ops.BpeOps.bpeSegmentFrozen(docs).cache()
+    try {
+      // conservation: stripping the separators reconstructs every word
+      // exactly — segmentation reorders nothing and loses nothing
+      val broken = seg.filter(
+        regexp_replace(col("segmented"), "\u001f", "") =!= col("word"))
+      assert(broken.isEmpty, s"non-conserving rows: ${broken.collect().toSeq}")
+      // the frozen merges actually merge: some word has fewer symbols
+      // than characters, and no word has more
+      assert(seg.filter(col("n_syms") < length(col("word"))).count() > 0)
+      assert(seg.filter(col("n_syms") > length(col("word"))).isEmpty)
+      // 'column' is fully covered by the frozen merge chain (co+lu+m)
+      val colRow = seg.filter(col("word") === "column").collect()
+      assert(colRow.nonEmpty && colRow.head.getAs[Long]("n_syms") == 2L,
+        s"'column' must segment as [colum, n]: ${colRow.toSeq}")
+      // determinism across partitionings (the fold is per-row map-side)
+      val a = seg.collect().map(r => r.getString(0) -> r.getString(3)).toMap
+      val b = graft.ops.BpeOps.bpeSegmentFrozen(docs.repartition(7))
+        .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+      assert(a == b)
+    } finally seg.unpersist()
+  }
+
   test("classifyStream emits pred=NULL/score=0 for docs sharing no dim with any centroid") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
