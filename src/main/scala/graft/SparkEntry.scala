@@ -142,6 +142,8 @@ object SparkEntry {
     "zorder_layout" -> ((s, dir) => LayoutOps.zorderLayout(Tables.lineitem(s, dir))),
     // liquid-clustering counterpart: Hilbert curve, no diagonal jumps
     "hilbert_layout" -> ((s, dir) => LayoutOps.hilbertLayout(Tables.lineitem(s, dir))),
+    "zorder3_layout" -> ((s, dir) => LayoutOps.zorder3Layout(Tables.lineitem(s, dir))),
+    "hilbert3_layout" -> ((s, dir) => LayoutOps.hilbert3Layout(Tables.lineitem(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
       O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -538,6 +540,8 @@ object SparkEntry {
     "hashed_tf" -> SemanticOps.hashedTfOracle(),
     "zorder_layout" -> LayoutOps.zorderLayoutOracle(),
     "hilbert_layout" -> LayoutOps.hilbertLayoutOracle(),
+    "zorder3_layout" -> LayoutOps.zorder3LayoutOracle(),
+    "hilbert3_layout" -> LayoutOps.hilbert3LayoutOracle(),
     "q1_pricing_summary" -> RelationalOps.pricingSummaryOracle,
     "orders_by_nation" -> RelationalOps.ordersByNationOracle,
     "top_orders_per_priority" -> RelationalOps.topOrdersPerPriorityOracle,

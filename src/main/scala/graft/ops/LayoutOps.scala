@@ -140,6 +140,50 @@ object LayoutOps {
     cur.drop("h_x", "h_y", "h_rx", "h_ry", "h_nx", "h_ny")
   }
 
+  /** d-dimensional Morton (Z-curve) interleave (VERDICT r6 item 5 —
+    * production OPTIMIZE ZORDER takes 3-4 columns): bit i of dimension j
+    * lands at position d·i + j, the direct generalization of the 2-D
+    * [[mortonCode]] (which this reproduces bit-for-bit at d=2). Disjoint
+    * bit targets, so the accumulation stays a plain exact-integer sum.
+    */
+  def mortonCodeN(cols: Seq[Column], bits: Int = 16): Column = {
+    val d = cols.size
+    require(d >= 2, s"mortonCodeN needs >= 2 dimensions, got $d")
+    require(bits > 0 && d * bits <= 63,
+      s"d*bits must fit a positive long: d=$d bits=$bits")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a + shiftleft(shiftrightunsigned(c.cast("long"), i) % 2, d * i + j)
+      }
+    }
+  }
+
+  private def duckMortonN(cols: Seq[String], bits: Int): String = {
+    val d = cols.size
+    (for { (c, j) <- cols.zipWithIndex; i <- 0 until bits }
+      yield s"((($c >> $i) & 1) << ${d * i + j})").mkString(" + ")
+  }
+
+  /** 3-D Z-order layout of lineitem over (part, supplier, linenumber) —
+    * the multi-column OPTIMIZE ZORDER form. Same map-side zero-exchange
+    * contract as [[zorderLayout]]; block carves the 48-bit code's high
+    * bits.
+    */
+  def zorder3Layout(lineitem: DataFrame, blockBits: Int = 38): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .withColumn("morton", mortonCodeN(
+        Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber"))))
+      .withColumn("block", shiftrightunsigned(col("morton"), blockBits))
+
+  def zorder3LayoutOracle(blockBits: Int = 38): String = {
+    val m = duckMortonN(Seq("l_partkey", "l_suppkey", "l_linenumber"), 16)
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  CAST($m AS BIGINT) AS morton,
+       |  CAST(($m) >> $blockBits AS BIGINT) AS block
+       |FROM lineitem""".stripMargin
+  }
+
   /** Hilbert layout of lineitem over (part, supplier) — the liquid-
     * clustering counterpart of [[zorderLayout]], same block contract.
     */
@@ -172,6 +216,185 @@ object LayoutOps {
     df.repartitionByRange(numFiles, col(curveCol))
       .sortWithinPartitions(curveCol)
       .write.mode("overwrite").parquet(path)
+
+  /** d-dimensional Hilbert index via Skilling's transform (John
+    * Skilling, "Programming the Hilbert curve", AIP Conf. Proc. 707,
+    * 2004 — the public d-dimensional algorithm behind every production
+    * multi-column Hilbert layout; VERDICT r6 item 5). Three fixed-shape
+    * phases, all exact integer CASE/xor/and/shift — bitwise
+    * cross-engine:
+    *
+    *  1. inverse-undo: for each bit level Q from 2^(bits-1) down to 2
+    *     and each dimension i, conditionally invert/exchange the low
+    *     bits of (X0, Xi) — the rotation bookkeeping the 2-D fold does
+    *     with its reflect/swap branch;
+    *  2. Gray encode: Xi ^= X(i-1) cascade, then xor the suffix
+    *     correction t derived from the last dimension into every axis;
+    *  3. transpose interleave: bit q of Xi lands at q·d + (d-1-i) —
+    *     MSB-first groups, dimension 0 most significant within a group.
+    *
+    * Bijection + continuity (consecutive indices are Manhattan-distance-1
+    * grid neighbors) are spec-proven over full grids at d = 2, 3, 4
+    * ([[graft.LayoutOpsSpec]]). Like [[withHilbert]], every per-step
+    * transform materializes as a named column (linear plan growth) and
+    * out-of-range coordinates fail loudly. Map-side, zero exchanges.
+    */
+  def withHilbertN(df: DataFrame, coords: Seq[Column], bits: Int = 16,
+                   out: String = "hilbert"): DataFrame = {
+    val d = coords.size
+    require(d >= 2, s"withHilbertN needs >= 2 dimensions, got $d")
+    require(bits > 0 && d * bits <= 63,
+      s"d*bits must fit a positive long: d=$d bits=$bits")
+    val names = (0 until d).map(i => s"hn_x$i")
+    val internal = names.toSet + "hn_t"
+    val clash = df.columns.filter(c => internal(c) || c == out)
+    require(clash.isEmpty,
+      s"withHilbertN working columns collide with input columns: ${clash.mkString(", ")}")
+    val n = 1L << bits
+    def checked(c: Column, axis: String): Column =
+      when(c < 0L || c >= n, raise_error(concat(
+        lit(s"withHilbertN: $axis coordinate out of [0, $n) for bits=$bits: "),
+        c.cast("string")))).otherwise(c)
+    var cur = df
+    for (i <- 0 until d)
+      cur = cur.withColumn(names(i), checked(coords(i).cast("long"), s"dim$i"))
+    // phase 1: inverse-undo (invert X0 / exchange (X0, Xi) below level Q)
+    var q = n >> 1
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until d) {
+        if (i == 0) {
+          cur = cur.withColumn(names(0),
+            when(col(names(0)).bitwiseAND(lit(q)) =!= 0L,
+              col(names(0)).bitwiseXOR(lit(p))).otherwise(col(names(0))))
+        } else {
+          // hn_t materializes from the PRE-step (X0, Xi); the two updates
+          // below then read only old values + hn_t, so ordering is safe
+          cur = cur.withColumn("hn_t",
+            col(names(0)).bitwiseXOR(col(names(i))).bitwiseAND(lit(p)))
+          cur = cur.withColumn(names(0),
+            when(col(names(i)).bitwiseAND(lit(q)) =!= 0L,
+              col(names(0)).bitwiseXOR(lit(p)))
+              .otherwise(col(names(0)).bitwiseXOR(col("hn_t"))))
+          cur = cur.withColumn(names(i),
+            when(col(names(i)).bitwiseAND(lit(q)) =!= 0L, col(names(i)))
+              .otherwise(col(names(i)).bitwiseXOR(col("hn_t"))))
+        }
+      }
+      q >>= 1
+    }
+    // phase 2: Gray encode — the cascade must read each UPDATED X(i-1),
+    // hence one withColumn per dimension in order
+    for (i <- 1 until d)
+      cur = cur.withColumn(names(i),
+        col(names(i)).bitwiseXOR(col(names(i - 1))))
+    var tExpr: Column = lit(0L)
+    q = n >> 1
+    while (q > 1) {
+      tExpr = tExpr.bitwiseXOR(
+        when(col(names(d - 1)).bitwiseAND(lit(q)) =!= 0L, lit(q - 1))
+          .otherwise(lit(0L)))
+      q >>= 1
+    }
+    cur = cur.withColumn("hn_t", tExpr)
+    for (i <- 0 until d)
+      cur = cur.withColumn(names(i), col(names(i)).bitwiseXOR(col("hn_t")))
+    // phase 3: transpose interleave (disjoint bit targets — plain sum)
+    val idx = (0 until d).foldLeft(lit(0L)) { (acc, i) =>
+      (0 until bits).foldLeft(acc) { (a, qb) =>
+        a + shiftleft(
+          shiftrightunsigned(col(names(i)), qb).bitwiseAND(lit(1L)),
+          qb * d + (d - 1 - i))
+      }
+    }
+    cur.withColumn(out, idx).drop(names :+ "hn_t": _*)
+  }
+
+  /** 3-D Hilbert layout of lineitem over (part, supplier, linenumber) —
+    * the d>2 liquid-clustering form; same contract as [[hilbertLayout]].
+    */
+  def hilbert3Layout(lineitem: DataFrame, blockBits: Int = 38): DataFrame =
+    withHilbertN(
+      lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+      Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")))
+      .withColumn("block", shiftrightunsigned(col("hilbert"), blockBits))
+
+  /** Oracle generated FROM THE SAME three-phase loop as [[withHilbertN]]
+    * (the hilbert-oracle idiom): one CTE per inverse-undo step — the
+    * exchange step inlines its `t` twice since both updates read only
+    * pre-step values — then the Gray cascade and the final interleave
+    * sum. DuckDB's xor() is the engine-independent exact-int xor.
+    */
+  def hilbert3LayoutOracle(blockBits: Int = 38, bits: Int = 16): String = {
+    val d = 3
+    val keys = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    val ctes = collection.mutable.ArrayBuffer.empty[String]
+    var k = 0
+    var q = (1L << bits) >> 1
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until d) {
+        k += 1
+        val body =
+          if (i == 0)
+            s"""SELECT $keys,
+               |  CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+               |  ${(1 until d).map(j => s"x$j").mkString(", ")}
+               |FROM s${k - 1}""".stripMargin
+          else {
+            val rest = (1 until d).filter(_ != i).map(j => s"x$j")
+            s"""SELECT $keys,
+               |  CASE WHEN (x$i & $q) != 0 THEN xor(x0, $p)
+               |       ELSE xor(x0, xor(x0, x$i) & $p) END AS x0,
+               |  CASE WHEN (x$i & $q) != 0 THEN x$i
+               |       ELSE xor(x$i, xor(x0, x$i) & $p) END AS x$i${
+                 if (rest.nonEmpty) ",\n  " + rest.mkString(", ") else ""}
+               |FROM s${k - 1}""".stripMargin
+          }
+        ctes += s"s$k AS (\n$body)"
+      }
+      q >>= 1
+    }
+    // Gray cascade: one CTE per dimension so each reads the updated prior
+    for (i <- 1 until d) {
+      k += 1
+      val rest = (0 until d).filter(_ != i).map(j => s"x$j")
+      ctes += s"""s$k AS (
+        |SELECT $keys, ${rest.mkString(", ")}, xor(x$i, x${i - 1}) AS x$i
+        |FROM s${k - 1})""".stripMargin
+    }
+    val tChain = {
+      var e = "CAST(0 AS BIGINT)"
+      var qq = (1L << bits) >> 1
+      while (qq > 1) {
+        e = s"xor($e, CASE WHEN (x${d - 1} & $qq) != 0 THEN ${qq - 1} ELSE 0 END)"
+        qq >>= 1
+      }
+      e
+    }
+    k += 1
+    ctes += s"""s$k AS (
+      |SELECT $keys, ${(0 until d).map(j => s"x$j").mkString(", ")}, $tChain AS t
+      |FROM s${k - 1})""".stripMargin
+    k += 1
+    ctes += s"""s$k AS (
+      |SELECT $keys, ${(0 until d).map(j => s"xor(x$j, t) AS x$j").mkString(", ")}
+      |FROM s${k - 1})""".stripMargin
+    val interleave = (for { i <- 0 until d; qb <- 0 until bits }
+      yield s"(((x$i >> $qb) & 1) << ${qb * d + (d - 1 - i)})").mkString(" + ")
+    s"""WITH s0 AS (
+       |  SELECT $keys,
+       |    CAST(l_partkey AS BIGINT) AS x0,
+       |    CAST(l_suppkey AS BIGINT) AS x1,
+       |    CAST(l_linenumber AS BIGINT) AS x2
+       |  FROM lineitem),
+       |${ctes.mkString(",\n")}
+       |SELECT $keys,
+       |  CAST($interleave AS BIGINT) AS hilbert,
+       |  CAST(($interleave) >> $blockBits AS BIGINT) AS block
+       |FROM s$k""".stripMargin
+  }
 
   /** Oracle CTE chain generated from the same per-level loop as
     * [[withHilbert]] — one CTE per level carrying (h_x, h_y, hd). */

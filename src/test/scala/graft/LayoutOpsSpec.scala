@@ -204,6 +204,99 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  /** Plain-JVM Skilling reference (AIP Conf. Proc. 707, 2004) — the
+    * independent implementation [[LayoutOps.withHilbertN]] is checked
+    * against, and the property harness for arbitrary d. */
+  private def hilbertNRef(bits: Int, coords: Array[Long]): Long = {
+    val d = coords.length
+    val x = coords.clone()
+    val m = 1L << (bits - 1)
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until d) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until d) x(i) ^= x(i - 1)
+    var t = 0L
+    q = m
+    while (q > 1) { if ((x(d - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    for (i <- 0 until d) x(i) ^= t
+    var idx = 0L
+    for (i <- 0 until d; qb <- 0 until bits)
+      idx |= ((x(i) >> qb) & 1L) << (qb * d + (d - 1 - i))
+    idx
+  }
+
+  test("hilbertNRef: bijection + continuity over full grids at d = 2, 3, 4") {
+    for ((d, bits) <- Seq((2, 4), (3, 3), (4, 2))) {
+      val n = 1 << bits
+      val cells = Seq.fill(d)(0 until n).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, r) => acc.flatMap(c => r.map(c :+ _))
+      }
+      val byIdx = cells.map(c =>
+        hilbertNRef(bits, c.map(_.toLong).toArray) -> c).toMap
+      assert(byIdx.keySet == (0L until math.pow(n, d).toLong).toSet,
+        s"d=$d bits=$bits: index must biject onto [0, n^d)")
+      val jumps = (0L until math.pow(n, d).toLong - 1).count { i =>
+        byIdx(i).zip(byIdx(i + 1)).map { case (a, b) => math.abs(a - b) }.sum != 1
+      }
+      assert(jumps == 0, s"d=$d bits=$bits: $jumps non-neighbor steps")
+    }
+  }
+
+  test("withHilbertN matches the JVM Skilling reference on a full 8x8x8 grid; d=2 stays a valid curve") {
+    import spark.implicits._
+    val bits = 3
+    val n = 1 << bits
+    val grid = (for { x <- 0L until n; y <- 0L until n; z <- 0L until n }
+      yield (x, y, z)).toDF("x", "y", "z")
+    val got = LayoutOps.withHilbertN(grid,
+        Seq(col("x"), col("y"), col("z")), bits, "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    for (((x, y, z), d) <- got)
+      assert(d == hilbertNRef(bits, Array(x, y, z)),
+        s"($x,$y,$z): got $d want ${hilbertNRef(bits, Array(x, y, z))}")
+    // d=2 through the N-dim path is also a bijective continuous curve
+    // (orientation may differ from the dedicated 2-D fold — both are
+    // valid Hilbert curves; the layout property is what matters)
+    val grid2 = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+    val got2 = LayoutOps.withHilbertN(grid2, Seq(col("x"), col("y")), 4, "d")
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(got2.keySet == (0L until 256L).toSet)
+    assert((0L until 255L).forall { i =>
+      val (x1, y1) = got2(i); val (x2, y2) = got2(i + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    })
+  }
+
+  test("mortonCodeN: reproduces the 2-D code bit-for-bit and interleaves d=3 correctly") {
+    import spark.implicits._
+    val df = Seq((3L, 5L, 1L), (65535L, 65535L, 65535L), (0L, 0L, 0L))
+      .toDF("a", "b", "c")
+      .withColumn("m2", LayoutOps.mortonCode(col("a"), col("b")))
+      .withColumn("n2", LayoutOps.mortonCodeN(Seq(col("a"), col("b"))))
+      .withColumn("n3", LayoutOps.mortonCodeN(Seq(col("a"), col("b"), col("c")), bits = 16))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getAs[Long]("m2") == r.getAs[Long]("n2")),
+      "d=2 N-code must equal the dedicated 2-D interleave")
+    // (3, 5, 1): a bits {0,1} -> pos 0,3; b bits {0,2} -> pos 1,7;
+    // c bit {0} -> pos 2 => 1 + 8 + 2 + 128 + 4 = 143
+    assert(rows.find(_.getLong(0) == 3L).get.getAs[Long]("n3") == 143L)
+    assert(rows.find(_.getLong(0) == 65535L).get.getAs[Long]("n3") == (1L << 48) - 1)
+    // map-side like every layout op: no exchange in the d=3 lineitem form
+    val plain = Seq((1L, 1, 5L, 7L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val plan3 = LayoutOps.zorder3Layout(plain).queryExecution.executedPlan.toString
+    assert(!plan3.contains("Exchange"), s"zorder3 must not shuffle:\n$plan3")
+    val planH3 = LayoutOps.hilbert3Layout(plain).queryExecution.executedPlan.toString
+    assert(!planH3.contains("Exchange"), s"hilbert3 must not shuffle:\n$planH3")
+  }
+
   test("hilbertLayout is map-side: no Exchange; block carves the index high bits") {
     import spark.implicits._
     val plain = Seq((1L, 1, 5L, 7L))
