@@ -171,6 +171,52 @@ class StreamingDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("compactSignatureIndex: identical verdicts, replay rows collapsed, fewer files, TTL admits expired matches (VERDICT r6 item 6)") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_idx").toString
+    val base = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "red orange yellow green blue indigo violet pink brown black"))
+      .toDF("doc_id", "text")
+    // the loop's append pattern: one slice per trigger, plus an
+    // at-least-once REPLAY of slice 1 (bit-identical re-append)
+    base.filter($"doc_id" === 1L).transform(d => DedupOps.signatureIndex(d))
+      .write.mode("overwrite").parquet(dir)
+    base.filter($"doc_id" =!= 1L).transform(d => DedupOps.signatureIndex(d))
+      .write.mode("append").parquet(dir)
+    base.filter($"doc_id" === 1L).transform(d => DedupOps.signatureIndex(d))
+      .write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 4) // 3 docs + 1 replay row
+
+    val delta = Seq(
+      (10L, "one two three four five six seven eight nine ten"), // dup of 1
+      (11L, "totally novel words appear in this document body here now"))
+      .toDF("doc_id", "text")
+    def verdicts(): Set[(Long, Long, Boolean)] = {
+      val v = DedupOps.dedupIncremental(spark.read.parquet(dir), delta)
+      try v.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      finally v.unpersist()
+    }
+    val before = verdicts()
+    assert(before == Set((10L, 1L, true), (11L, -1L, false)), s"got $before")
+
+    val (nBefore, nAfter) = graft.streaming.StreamingDedup
+      .compactSignatureIndex(spark, dir, numFiles = 2)
+    assert(nBefore == 4 && nAfter == 3, s"replay row must collapse: $nBefore -> $nAfter")
+    val files = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files <= 2, s"compaction must bound the file count, got $files")
+    assert(verdicts() == before,
+      "a compacted index must yield byte-identical verdicts")
+
+    // TTL: retire doc 1; its former dup is now admitted as new — the
+    // documented retention trade
+    graft.streaming.StreamingDedup
+      .compactSignatureIndex(spark, dir, numFiles = 1, dropBefore = Some(2L))
+    val idxIds = spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    assert(idxIds == Set(2L, 3L), s"TTL must drop expired ids: $idxIds")
+    assert(verdicts() == Set((10L, -1L, false), (11L, -1L, false)))
+  }
+
   test("dedupAgainstIndexStream rejects a non-index static side") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
