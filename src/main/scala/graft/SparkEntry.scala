@@ -383,6 +383,10 @@ object SparkEntry {
     // ---- joins Spark lacks natively, composed from built-ins ----
     "funnel_conversion" -> ((s, dir) => EventOps.funnelConversion(E(s, dir))),
     "retention_cohorts" -> ((s, dir) => EventOps.retentionCohorts(E(s, dir))),
+    // CDC MERGE: events changelog (latest-per-key upsert/tombstone)
+    // applied onto the customer snapshot — the lakehouse ingest shape.
+    "cdc_upsert" -> ((s, dir) =>
+      EventOps.cdcUpsert(E(s, dir), Tables.customer(s, dir))),
     "asof_join" -> ((s, dir) => {
       val e = E(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val left = e.select("event_id", "user_id", "ts_us", "event_type")
@@ -643,6 +647,7 @@ object SparkEntry {
     // implementation validating our union+window composition.
     "funnel_conversion" -> EventOps.funnelConversionOracle(),
     "retention_cohorts" -> EventOps.retentionCohortsOracle,
+    "cdc_upsert" -> EventOps.cdcUpsertOracle,
     "asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

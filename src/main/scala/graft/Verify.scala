@@ -30,7 +30,16 @@ object Verify {
         finally s.close()
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Iteration aid (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): dump only a
+    // comma-separated subset; the driver never sets it, so its runs are
+    // always the full surface. oracle_sql.json is still written in full.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (n, _) => set(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

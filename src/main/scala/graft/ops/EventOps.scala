@@ -239,6 +239,74 @@ object EventOps {
       |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
       |ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin
 
+  /** CDC changelog apply — the lakehouse MERGE shape. The events stream is
+    * read as a changelog keyed by `user_id`: `event_type = 'error'` is a
+    * delete tombstone, every other type upserts `value` as the new account
+    * balance. The LATEST change per key (event-time order, event_id
+    * tiebreak) is applied to the customer snapshot keyed by `c_custkey`:
+    * untouched base rows pass through (`last_op` NULL), updated rows carry
+    * the changed balance, changelog keys absent from the base become
+    * inserts (`c_name` NULL), and keys whose latest change is a tombstone
+    * are dropped.
+    *
+    * Scale design: latest-per-key is one window shuffle over the DELTA
+    * (delta-sized, not base-sized), then ONE key-partitioned full-outer
+    * join against the snapshot — exactly what Delta/Iceberg MERGE
+    * executes. The production optimization on top is file-level pruning
+    * (probe the delta keys against per-file min/max zone maps — see
+    * [[LayoutOps.writeClustered]] — so only touched files rewrite); the
+    * join itself is the irreducible cost and is key-partitioned, never
+    * broadcast (FULL OUTER cannot build a one-sided hash table without
+    * losing the other side's unmatched rows). The survivor filter keeps
+    * NULL `last_op` rows, so Catalyst correctly does NOT push it below
+    * the join (a pushdown would resurrect tombstoned base rows). Carried
+    * values are byte-passthrough — no arithmetic — so the oracle
+    * hash-matches bitwise.
+    */
+  def cdcUpsert(events: DataFrame, customer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val latest = events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("chg_key"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("last_op"),
+        col("value").as("new_bal"))
+    customer
+      .select(col("c_custkey").as("base_key"), col("c_name"), col("c_acctbal"))
+      .join(latest, col("base_key") === col("chg_key"), "full_outer")
+      .filter(col("last_op").isNull || col("last_op") =!= "delete")
+      .select(
+        coalesce(col("base_key"), col("chg_key")).as("key"),
+        col("c_name"),
+        when(col("last_op") === "upsert", col("new_bal"))
+          .otherwise(col("c_acctbal")).as("acctbal"),
+        col("last_op"))
+  }
+
+  val cdcUpsertOracle: String =
+    """WITH latest AS (
+      |  SELECT user_id AS chg_key,
+      |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+      |      AS last_op,
+      |    value AS new_bal
+      |  FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC)
+      |      AS rn
+      |    FROM events)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(c.c_custkey, l.chg_key) AS key,
+      |  c.c_name,
+      |  CASE WHEN l.last_op = 'upsert' THEN l.new_bal ELSE c.c_acctbal END
+      |    AS acctbal,
+      |  l.last_op
+      |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.chg_key
+      |WHERE l.last_op IS NULL OR l.last_op <> 'delete'""".stripMargin
+
   /** Retention cohorts: users grouped by first-activity week, distinct
     * active users per (cohort, week offset). Pure integer epoch-week
     * arithmetic (no calendar functions — exact on every engine). Two
