@@ -225,6 +225,7 @@ object SparkEntry {
     "chunk_docs" -> ((s, dir) => TextOps.chunkDocuments(D(s, dir))),
     // flagship composite: quality -> scrub -> dedup -> split -> account
     "corpus_prep" -> ((s, dir) => TextOps.corpusPrep(D(s, dir))),
+    "curation_report" -> ((s, dir) => TextOps.curationReport(D(s, dir))),
     // n-gram LM counting stage: bigram counts + P(w2|w1)
     "bigram_lm" -> ((s, dir) => TextOps.bigramLm(D(s, dir))),
     "lm_likelihood" -> ((s, dir) => TextOps.lmLikelihood(D(s, dir))),
@@ -584,6 +585,7 @@ object SparkEntry {
     "unigram_scores" -> TextOps.unigramScoresOracle(),
     "chunk_docs" -> TextOps.chunkDocumentsOracle(),
     "corpus_prep" -> TextOps.corpusPrepOracle(),
+    "curation_report" -> TextOps.curationReportOracle,
     "bigram_lm" -> TextOps.bigramLmOracle,
     "lm_likelihood" -> TextOps.lmLikelihoodOracle,
     "lm_score_heldout" -> TextOps.lmLikelihoodAgainstOracle,

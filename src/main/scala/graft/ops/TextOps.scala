@@ -601,6 +601,60 @@ object TextOps {
        |FROM deduped
        |GROUP BY 1, 2""".stripMargin
 
+  /** B10 — per-source curation audit report: the one-stop operational
+    * dashboard a corpus pipeline reads before a training run — per
+    * source: volume (docs, chars), exact-duplicate pressure (docs minus
+    * distinct content digests — extra copies WITHIN the source; a doc
+    * duplicated across two sources counts once in each), language
+    * spread, and how many docs clear an integer-arithmetic quality gate
+    * (>= 20 tokens, stopword count at most half the tokens — the gate is
+    * deliberately transcendental-free so both engines agree bitwise).
+    *
+    * Scale shape: every per-doc signal (digest, token/stop counts) is
+    * map-side; ONE shuffle keyed on source with full partial
+    * aggregation (the distinct-digest count partial-aggregates on
+    * (source, fp) first). NULL source is reported as its own group —
+    * operationally that row IS the "untagged ingest" alarm.
+    */
+  def curationReport(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val isStop = (w: Column) => w.isInCollection(stopwords)
+    val perDoc = documents.select(
+      col("source"),
+      col("lang"),
+      md5(col("text")).as("fp"),
+      col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, w) => acc + when(isStop(w), 1L).otherwise(0L))
+        .as("n_stop"))
+    perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("fp")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_extra"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum("n_chars").as("total_chars"),
+      sum(when(col("n_tokens") >= 20 && col("n_stop") * 2 <= col("n_tokens"), 1L)
+        .otherwise(0L)).as("n_quality_pass"))
+  }
+
+  def curationReportOracle: String =
+    s"""WITH per_doc AS (
+       |  SELECT source, lang, md5(text) AS fp, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |        w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")})))
+       |      AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+       |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_extra,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(CASE WHEN n_tokens >= 20 AND n_stop * 2 <= n_tokens
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+       |FROM per_doc GROUP BY source""".stripMargin
+
   /** B10 — sliding-window document chunking: the step before embedding
     * or long-context packing — each document becomes overlapping
     * `window`-token chunks every `stride` tokens (stride < window ⇒

@@ -1,9 +1,11 @@
 package graft
 
-import graft.ops.EventOps
+import graft.ops.{EventOps, TextOps}
 import org.apache.spark.sql.functions._
 
-/** Round-7 surface extensions: CDC changelog apply (lakehouse MERGE). */
+/** Round-7 surface extensions: CDC changelog apply (lakehouse MERGE),
+  * per-source curation audit report.
+  */
 class Round7ExtrasSpec extends SparkSpec {
   import spark.implicits._
 
@@ -36,6 +38,27 @@ class Round7ExtrasSpec extends SparkSpec {
       (1L, Some("alice"), 10.0, None),          // untouched passthrough
       (2L, Some("bob"), 99.0, Some("upsert")),  // latest-wins update
       (4L, None, 44.0, Some("upsert"))))        // fresh insert
+  }
+
+  test("curationReport: dup pressure, language spread, quality gate, null-source group") {
+    val many = (1 to 30).map(i => s"tok$i").mkString(" ") // 30 tokens, 0 stopwords
+    val docs = Seq(
+      (1L, "same text", "web", "en", 9L),
+      (2L, "same text", "web", "fr", 9L),   // exact dup within source
+      (3L, many, "web", "en", many.length.toLong), // quality pass
+      (4L, "same text", "books", "en", 9L), // cross-source copy: counts once here
+      (5L, "hello", null.asInstanceOf[String], "en", 5L) // untagged ingest
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val rows = TextOps.curationReport(docs).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))
+      .toMap
+    assert(rows(Some("web")) === ((3L, 2L, 1L, 2L, 1L)),
+      "web: 3 docs, 2 distinct, 1 extra copy, 2 langs, 1 quality pass")
+    assert(rows(Some("books")) === ((1L, 1L, 0L, 1L, 0L)),
+      "cross-source copy is not a dup within books")
+    assert(rows(None) === ((1L, 1L, 0L, 1L, 0L)),
+      "null source reports as its own group")
   }
 
   test("cdcUpsert: same-timestamp changes resolve by event_id (deterministic latest)") {
