@@ -104,6 +104,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => SimilarityOps.embeddingNearDupLsh(Tables.embeddings(s, dir))),
     "embedding_quantize" -> ((s, dir) => SimilarityOps.quantizeEmbeddingsRows(Tables.embeddings(s, dir))),
+    "embedding_project" -> ((s, dir) => SimilarityOps.projectEmbeddings(Tables.embeddings(s, dir))),
+    "ann_project_rerank" -> ((s, dir) => SimilarityOps.annProjectRerank(Tables.embeddings(s, dir))),
     "embedding_pq" -> ((s, dir) => PqOps.pqEncode(Tables.embeddings(s, dir))),
     "ann_pq_adc" -> ((s, dir) => PqOps.annPqAdc(Tables.embeddings(s, dir))),
     "ann_ivf_pq" -> ((s, dir) => PqOps.annIvfPq(Tables.embeddings(s, dir))),
@@ -530,6 +532,8 @@ object SparkEntry {
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
     "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
     "embedding_quantize" -> SimilarityOps.quantizeEmbeddingsOracle,
+    "embedding_project" -> SimilarityOps.projectEmbeddingsOracle(),
+    "ann_project_rerank" -> SimilarityOps.annProjectRerankOracle(),
     "embedding_pq" -> PqOps.pqEncodeOracle(),
     "ann_pq_adc" -> PqOps.annPqAdcOracle(),
     "ann_ivf_pq" -> PqOps.annIvfPqOracle(),

@@ -162,6 +162,16 @@ case class DotFold(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_fold"
 
+  /** Nullable even when both children are non-nullable: a length mismatch
+    * (or null element) yields null regardless of child nullability. The
+    * BinaryExpression default (children's OR) is WRONG here — with
+    * non-nullable inputs (e.g. CreateArray of literals) nullSafeCodeGen
+    * renders `ev.isNull` as the constant `false`, the mismatch branch
+    * generates `false = true;`, and Janino rejects the whole stage
+    * ("not an rvalue"), silently dropping the plan to interpreted mode.
+    */
+  override def nullable: Boolean = true
+
   /** Whole-stage-codegen body: same strict left-fold loop as eval, so the
     * interpreted and generated paths are bit-identical. Unlike the md5-
     * bound hashes (where digest cost dominates and CodegenFallback is

@@ -491,6 +491,135 @@ object SimilarityOps {
       |  vmin, vmax
       |FROM base, unnest(range(1, 65)) AS t(i)""".stripMargin
 
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix: sign(j,d) from
+    * the parity of hash64("jl:j:d"). Multiplying by ±1.0 is EXACT in
+    * IEEE, so unlike general Gaussian projections the reduced vectors
+    * carry no rounding beyond the left-fold sums both engines share —
+    * the oracle embeds the identical literals and hash-matches bitwise.
+    */
+  def jlSigns(outDims: Int = 16, dims: Int = 64): Seq[Seq[Double]] =
+    (0 until outDims).map(j => (0 until dims).map { d =>
+      if ((graft.functions.Hashing.hash64Jvm(s"jl:$j:$d") & 1L) == 0L) 1.0 else -1.0
+    })
+
+  /** The projected vector as ONE map-side array expression over an `emb`
+    * column: outDims codegen'd DotFolds against the sign rows.
+    */
+  private[graft] def projExpr(outDims: Int): Column =
+    array(jlSigns(outDims).map(s =>
+      graft.functions.native.dotFold(col("emb"), typedlit(s))): _*)
+
+  /** JL dimensionality reduction 64 → outDims: the vector-compression
+    * step that makes billion-scale ANN affordable — a 4× smaller column
+    * whose inner products approximate the original's (distortion
+    * ~1/sqrt(outDims), Johnson-Lindenstrauss). Entirely map-side, no
+    * shuffle; at 100 TB the projection is computed once at ingest and
+    * stored as its own column so coarse search never reads full vectors.
+    * Output is row-per-(vector, dim), the driver-compare convention for
+    * array results (`minhash_signatures`).
+    */
+  def projectEmbeddings(embeddings: DataFrame, outDims: Int = 16): DataFrame =
+    embeddings
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), posexplode(projExpr(outDims)))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+
+  /** Left-fold over the first n dims as DuckDB SQL (duckDot is the n=64
+    * instance; the lambda variable is `li` so callers may alias an outer
+    * `range` as `i` without capture).
+    */
+  private def duckFold(n: Int, a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, ${n + 1}), li -> $a[CAST(li AS INT)] * $b[CAST(li AS INT)])), (acc, x) -> acc + x)""".stripMargin
+
+  private def duckSignRow(s: Seq[Double]): String =
+    s.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+
+  def projectEmbeddingsOracle(outDims: Int = 16): String = {
+    val comps = jlSigns(outDims)
+      .map(s => duckFold(64, "emb", s"(${duckSignRow(s)})"))
+      .mkString("[", ",\n    ", "]::DOUBLE[]")
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |proj AS (SELECT vec_id, $comps AS p FROM base)
+       |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, p[CAST(i AS INT)] AS value
+       |FROM proj, unnest(range(1, ${outDims + 1})) AS t(i)""".stripMargin
+  }
+
+  /** B9 — the coarse-to-fine ANN funnel: stage 1 ranks the WHOLE corpus
+    * per query on the [[projectEmbeddings]] vectors only (outDims-wide
+    * reads — at 100 TB this scan touches the small projection column,
+    * never the full vectors), keeps a `shortlist`-deep candidate set,
+    * and stage 2 fetches full vectors for shortlist ids alone (a
+    * broadcast equi-join of nQueries × shortlist ids against the
+    * corpus) to produce the exact-cosine top-k. This is the funnel
+    * every production vector store runs (SCaNN/DiskANN shape):
+    * cheap-approximate over everything, exact over almost nothing.
+    * Both stages' scores are shared-fold IEEE, so ranks — and therefore
+    * the emitted exact scores — hash-match the oracle bitwise.
+    */
+  def annProjectRerank(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                       outDims: Int = 16, shortlist: Int = 20): DataFrame = {
+    val full = withNorm(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+    val projected = full
+      .withColumn("proj", projExpr(outDims))
+      .withColumn("p_norm", sqrt(graft.functions.native.dotFold(col("proj"), col("proj"))))
+      .select(col("vec_id"), col("proj"), col("p_norm"))
+    val queries = projected.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("proj").as("q_proj"),
+        col("p_norm").as("q_pnorm"))
+    val wc = Window.partitionBy("q_id").orderBy(col("c_score").desc, col("vec_id").asc)
+    val short = projected.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("c_score",
+        dot("proj", "q_proj") / (col("p_norm") * col("q_pnorm")))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qFull = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    full.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qFull), Seq("q_id"))
+      .withColumn("score", dot("emb", "q_emb") / (col("norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "score", "rank")
+  }
+
+  def annProjectRerankOracle(nQueries: Int = 10, k: Int = 5,
+                             outDims: Int = 16, shortlist: Int = 20): String = {
+    val comps = jlSigns(outDims)
+      .map(s => duckFold(64, "emb", s"(${duckSignRow(s)})"))
+      .mkString("[", ",\n    ", "]::DOUBLE[]")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id, p, sqrt(${duckFold(16, "p", "p")}) AS pn
+       |  FROM (SELECT vec_id, $comps AS p FROM base)),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${duckFold(outDims, "c.p", "q.p")} / (c.pn * q.pn) DESC,
+       |        c.vec_id ASC) AS c_rank
+       |    FROM proj c JOIN proj q
+       |      ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+       |  WHERE c_rank <= $shortlist)
+       |SELECT q_id, vec_id, score, rank FROM (
+       |  SELECT s.q_id, c.vec_id,
+       |    ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) AS score,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) DESC,
+       |      c.vec_id ASC) AS rank
+       |  FROM short s
+       |    JOIN base c ON c.vec_id = s.vec_id
+       |    JOIN base q ON q.vec_id = s.q_id)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   def embeddingNearDupLshOracle(nPlanes: Int = 8): String =
     s"""WITH aug AS (
        |  SELECT vec_id, embedding, label FROM embeddings

@@ -1,10 +1,11 @@
 package graft
 
-import graft.ops.{EventOps, TextOps}
+import graft.ops.{EventOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-7 surface extensions: CDC changelog apply (lakehouse MERGE),
-  * per-source curation audit report.
+  * per-source curation audit report, JL projection + coarse-to-fine ANN
+  * rerank funnel, and the DotFold nullability regression.
   */
 class Round7ExtrasSpec extends SparkSpec {
   import spark.implicits._
@@ -76,6 +77,73 @@ class Round7ExtrasSpec extends SparkSpec {
     val out = EventOps.cdcUpsert(changelog(), base)
     assert(out.count() === 2)
     assert(out.filter(col("last_op").isNotNull).count() === 0)
+  }
+
+  test("dotFold stays codegen'd over NON-nullable inputs and nulls on length mismatch") {
+    // regression: with non-nullable children (CreateArray of literals)
+    // BinaryExpression's default nullable=false rendered ev.isNull as the
+    // constant `false`, the mismatch branch emitted `false = true;`, and
+    // Janino rejected the stage — silently dropping to interpreted mode
+    // data-dependent but non-nullable inputs (range ids are non-nullable),
+    // so ConstantFolding cannot pre-evaluate and the stage must codegen
+    val x = col("id").cast("double")
+    val df = spark.range(3, 4).select(
+      graft.functions.native.dotFold(
+        array(x, lit(2.0)), array(x, lit(4.0))).as("d"),
+      graft.functions.native.dotFold(
+        array(x), array(x, lit(2.0))).as("mismatch"))
+    val row = df.collect().head
+    assert(row.getDouble(0) === 17.0) // 3*3 + 2*4
+    assert(row.isNullAt(1), "length mismatch must yield null, not garbage")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("),
+      s"non-nullable dotFold must stay inside whole-stage codegen:\n$plan")
+  }
+
+  private lazy val realEmb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("projectEmbeddings: outDims components per vector, JL sign parity") {
+    val n = realEmb.count()
+    val out = SimilarityOps.projectEmbeddings(realEmb, outDims = 16)
+    assert(out.count() === n * 16)
+    assert(out.groupBy("vec_id").count().filter(col("count") =!= 16).count() === 0)
+    // a projected component is the signed sum of the vector's elements —
+    // check one value against a plain-Scala fold with the same signs
+    val signs = SimilarityOps.jlSigns(16, 64)
+    val v0 = realEmb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val expected0 = v0.indices.foldLeft(0.0)((acc, i) =>
+      acc + v0(i).toDouble * signs(0)(i))
+    val got0 = out.filter(col("vec_id") === 0 && col("dim") === 0)
+      .select("value").collect().head.getDouble(0)
+    assert(got0 === expected0)
+  }
+
+  test("annProjectRerank with a corpus-wide shortlist equals brute-force cosineTopK") {
+    val brute = SimilarityOps.cosineTopK(realEmb, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val funnel = SimilarityOps.annProjectRerank(realEmb, nQueries = 5, k = 5,
+        shortlist = realEmb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(funnel === brute,
+      "an exhaustive shortlist makes the funnel exactly the brute-force ranking")
+  }
+
+  test("annProjectRerank: k rows per query, ranks 1..k, exact scores on the emitted pairs") {
+    val out = SimilarityOps.annProjectRerank(realEmb, nQueries = 5, k = 5)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to 5L))
+    }
+    // every emitted score must be the TRUE cosine (stage 2 is exact):
+    // cross-check against the brute-force scores for the same pairs
+    val brute = SimilarityOps.cosineTopK(realEmb, nQueries = 5, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.collect().foreach { r =>
+      assert(r.getDouble(2) === brute((r.getLong(0), r.getLong(1))))
+    }
   }
 
   test("cdcUpsert plan: survivor filter stays ABOVE the full-outer join") {
