@@ -281,6 +281,41 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-r7 [factor]` — decade check for the round-7 family:
+    // CDC merge (events changelog amplified by key-shifted copies — both
+    // the window and the full-outer join must scale linearly in the
+    // delta), the JL projection (map-side ⇒ linear), and the
+    // coarse-to-fine funnel (stage-1 candidate work is corpus × nQueries
+    // ⇒ linear in the corpus; stage 2 is shortlist-bounded and must NOT
+    // grow with the corpus).
+    if (args.headOption.contains("scale-r7")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val events = Tables.events(spark, sfDir)
+      val customer = Tables.customer(spark, sfDir)
+      val eventsAmp = (0 until factor).map { k =>
+        if (k == 0) events
+        else events.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+      eventsAmp.persist(); t(s"amplify_events_${factor}x")(eventsAmp.count())
+      t("cdc_upsert")(EventOps.cdcUpsert(eventsAmp, customer).count())
+      eventsAmp.unpersist()
+      val base = Tables.embeddings(spark, sfDir)
+      val embAmp = (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, x -> float(x * (1.0 + $k * 0.0003) + $k * 0.001))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
+      t("embedding_project")(SimilarityOps.projectEmbeddings(embAmp).count())
+      t("ann_project_rerank")(SimilarityOps.annProjectRerank(embAmp).count())
+      embAmp.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))
