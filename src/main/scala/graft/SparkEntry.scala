@@ -390,6 +390,16 @@ object SparkEntry {
     // applied onto the customer snapshot — the lakehouse ingest shape.
     "cdc_upsert" -> ((s, dir) =>
       EventOps.cdcUpsert(E(s, dir), Tables.customer(s, dir))),
+    // the same MERGE applied INCREMENTALLY: the changelog split into three
+    // slices folded in scrambled order — tombstone retention makes the
+    // fold order-insensitive, so the ONE-SHOT oracle must match exactly
+    "cdc_upsert_incremental" -> ((s, dir) => {
+      val e = E(s, dir)
+      val slices = Seq(2L, 0L, 1L).map(i => e.filter(col("event_id") % 3 === i))
+      EventOps.cdcCurrentView(
+        slices.foldLeft(EventOps.cdcInitSnapshot(Tables.customer(s, dir)))(
+          EventOps.cdcApplyChanges))
+    }),
     "asof_join" -> ((s, dir) => {
       val e = E(s, dir).withColumn("ts_us", expr("ts div 1000"))
       val left = e.select("event_id", "user_id", "ts_us", "event_type")
@@ -654,6 +664,7 @@ object SparkEntry {
     "funnel_conversion" -> EventOps.funnelConversionOracle(),
     "retention_cohorts" -> EventOps.retentionCohortsOracle,
     "cdc_upsert" -> EventOps.cdcUpsertOracle,
+    "cdc_upsert_incremental" -> EventOps.cdcUpsertOracle,
     "asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value

@@ -287,6 +287,80 @@ object EventOps {
         col("last_op"))
   }
 
+  /** Latest change per key for one changelog slice, retaining the
+    * (ts_us, event_id) ordering tuple so later slices can arbitrate
+    * against already-applied changes.
+    */
+  private def latestChanges(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("chg_key"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("chg_op"),
+        col("value").as("new_bal"),
+        col("ts_us").as("chg_ts_us"),
+        col("event_id").as("chg_event_id"))
+  }
+
+  /** The [[cdcUpsert]] snapshot in INCREMENTAL form: base rows carry a
+    * NULL applied-change tuple; every applied change records its
+    * (op, ts_us, event_id) so later slices can lose to it.
+    */
+  def cdcInitSnapshot(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("key"), col("c_name"),
+      col("c_acctbal").as("acctbal"),
+      lit(null).cast("string").as("last_op"),
+      lit(null).cast("long").as("last_ts_us"),
+      lit(null).cast("long").as("last_event_id"))
+
+  /** One incremental MERGE step — apply a changelog SLICE to a snapshot.
+    * The snapshot RETAINS delete tombstones (with their ordering tuple):
+    * that is what makes slice application ORDER-INSENSITIVE — a late
+    * slice carrying an older upsert for a deleted key loses the
+    * (ts_us, event_id) comparison instead of resurrecting the row, so
+    * folding any partition of the changelog in any order yields the
+    * same snapshot as one-shot [[cdcUpsert]] over the whole changelog
+    * (the registered `cdc_upsert_incremental` query proves this against
+    * the SAME DuckDB oracle as the one-shot form). Production systems
+    * expire tombstones after a retention window bounded by the maximum
+    * slice lag; here they are retained indefinitely.
+    *
+    * Scale shape: per step, one delta-sized window + one
+    * key-partitioned full-outer join — the nightly-MERGE-batch plan,
+    * repeated per slice.
+    */
+  def cdcApplyChanges(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = latestChanges(changes)
+    val chgWins = col("chg_key").isNotNull && (col("last_ts_us").isNull ||
+      struct(col("chg_ts_us"), col("chg_event_id")) >
+        struct(col("last_ts_us"), col("last_event_id")))
+    snapshot.join(latest, col("key") === col("chg_key"), "full_outer")
+      .select(
+        coalesce(col("key"), col("chg_key")).as("key"),
+        col("c_name"),
+        when(chgWins,
+          when(col("chg_op") === "upsert", col("new_bal"))
+            .otherwise(lit(null).cast("double")))
+          .otherwise(col("acctbal")).as("acctbal"),
+        when(chgWins, col("chg_op")).otherwise(col("last_op")).as("last_op"),
+        when(chgWins, col("chg_ts_us")).otherwise(col("last_ts_us"))
+          .as("last_ts_us"),
+        when(chgWins, col("chg_event_id")).otherwise(col("last_event_id"))
+          .as("last_event_id"))
+  }
+
+  /** The queryable face of an incremental snapshot: tombstones hidden,
+    * columns exactly those of one-shot [[cdcUpsert]].
+    */
+  def cdcCurrentView(snapshot: DataFrame): DataFrame =
+    snapshot.filter(col("last_op").isNull || col("last_op") =!= "delete")
+      .select("key", "c_name", "acctbal", "last_op")
+
   val cdcUpsertOracle: String =
     """WITH latest AS (
       |  SELECT user_id AS chg_key,
