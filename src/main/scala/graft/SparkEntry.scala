@@ -407,6 +407,10 @@ object SparkEntry {
         .select("user_id", "ts_us", "event_id", "value")
       JoinOps.asofJoin(left, right, "user_id", "ts_us", "event_id", Seq("value"))
     }),
+    // interval×interval overlap via cell-bucketed candidates (the naive
+    // inequality join is a corpus² BNLJ; the oracle keeps that naive form)
+    "interval_join" -> ((s, dir) =>
+      JoinOps.sessionOverlapPairs(EventOps.sessionize(E(s, dir)))),
     "range_join" -> ((s, dir) => {
       val tiers = s.range(20).select(col("id").as("tier"),
         (col("id") * 25000).cast("double").as("lo"),
@@ -676,6 +680,8 @@ object SparkEntry {
         |       r.value AS asof_value
         |FROM e ASOF LEFT JOIN r
         |  ON e.user_id = r.user_id AND e.ts_us >= r.ts_us""".stripMargin,
+    "interval_join" ->
+      JoinOps.sessionOverlapPairsOracle(EventOps.sessionizeOracle),
     "range_join" ->
       """SELECT o_orderkey, o_totalprice, tier
         |FROM orders

@@ -80,4 +80,64 @@ object JoinOps {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** INTERVAL-OVERLAP self-join — overlapping session pairs across
+    * different users (the interval×interval sibling of [[rangeJoin]]'s
+    * point×interval). Naively `a.s <= b.e AND b.s <= a.e` is a
+    * BroadcastNestedLoopJoin over corpus² — the classic scale-killer.
+    * Bucketized: each interval explodes to the fixed-width time CELLS it
+    * covers, candidates meet by cell EQUI-join, and a pair is emitted
+    * only in the FIRST cell both intervals cover
+    * (`cell = greatest(a_start_cell, b_start_cell)` — the grid-join
+    * dedup trick: no `distinct` shuffle, each true pair tested exactly
+    * once). Verification is the exact overlap predicate; `overlap_us`
+    * is pure integer arithmetic, so the naive-formulation DuckDB oracle
+    * hash-matches bitwise.
+    *
+    * Scale: replication is (length/cellUs + 1) cells per interval and
+    * candidate work is Σ_cell |cell|² — `cellUs` trades the two
+    * (sessions here are ≤ ~3 h against 1 h cells). A pathological hot
+    * cell (everyone online at the same hour) is the df-cap situation:
+    * shrink `cellUs`, or salt the cell key (`SkewOps`) for the
+    * verify-heavy variant; AQE skew-split handles moderate skew.
+    *
+    * Input: `sessions` as produced by `EventOps.sessionize`
+    * (user_id, session_idx, start_us, end_us).
+    */
+  def sessionOverlapPairs(sessions: DataFrame,
+                          cellUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val cells = sessions.select(
+      col("user_id"), col("session_idx"), col("start_us"), col("end_us"),
+      expr(s"start_us div $cellUs").as("start_cell"),
+      explode(expr(s"sequence(start_us div $cellUs, end_us div $cellUs)"))
+        .as("cell"))
+    val a = cells.select(col("cell"),
+      col("user_id").as("a_user"), col("session_idx").as("a_session"),
+      col("start_us").as("a_s"), col("end_us").as("a_e"),
+      col("start_cell").as("a_start_cell"))
+    val b = cells.select(col("cell"),
+      col("user_id").as("b_user"), col("session_idx").as("b_session"),
+      col("start_us").as("b_s"), col("end_us").as("b_e"),
+      col("start_cell").as("b_start_cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_user") < col("b_user") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        col("cell") === greatest(col("a_start_cell"), col("b_start_cell")))
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_us"))
+  }
+
+  /** Oracle: the NAIVE inequality-join formulation over the same
+    * sessionize CTE — independent of the cell/dedup machinery.
+    */
+  def sessionOverlapPairsOracle(sessionizeOracle: String): String =
+    s"""WITH s AS ($sessionizeOracle)
+       |SELECT a.user_id AS a_user, a.session_idx AS a_session,
+       |  b.user_id AS b_user, b.session_idx AS b_session,
+       |  least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+       |    AS overlap_us
+       |FROM s a JOIN s b
+       |  ON a.user_id < b.user_id
+       | AND a.start_us <= b.end_us AND b.start_us <= a.end_us""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{EventOps, SimilarityOps, TextOps}
+import graft.ops.{EventOps, JoinOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Round-7 surface extensions: CDC changelog apply (lakehouse MERGE),
@@ -144,6 +144,28 @@ class Round7ExtrasSpec extends SparkSpec {
     out.collect().foreach { r =>
       assert(r.getDouble(2) === brute((r.getLong(0), r.getLong(1))))
     }
+  }
+
+  test("sessionOverlapPairs: exact pairs once each, boundary touches, equi-join plan") {
+    // cell width 100 for the test; sessions as (user, idx, start, end)
+    val sessions = Seq(
+      (1L, 1L, 0L, 250L),    // spans cells 0,1,2
+      (2L, 1L, 240L, 260L),  // overlaps user 1 in cell 2 — must emit ONCE
+      (3L, 1L, 250L, 300L),  // touches user 1 exactly at 250 -> overlap 0
+      (4L, 1L, 400L, 410L),  // same cell as user 5 but disjoint
+      (5L, 1L, 420L, 430L))
+      .toDF("user_id", "session_idx", "start_us", "end_us")
+    val out = JoinOps.sessionOverlapPairs(sessions, cellUs = 100L)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).sorted
+    assert(rows === Seq((1L, 2L, 10L), (1L, 3L, 0L), (2L, 3L, 10L)).sorted,
+      s"got ${rows.toSeq}")
+    // the pair spanning shared cells 2..2 appears exactly once (no dedup
+    // shuffle — the first-shared-cell condition does it): total row count
+    assert(out.count() === 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"bucketed overlap must plan as an equi-join:\n$plan")
   }
 
   test("cdcUpsert plan: survivor filter stays ABOVE the full-outer join") {
