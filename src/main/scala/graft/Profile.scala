@@ -292,14 +292,23 @@ object Profile {
       val factor = if (args.length > 1) args(1).toInt else 10
       val events = Tables.events(spark, sfDir)
       val customer = Tables.customer(spark, sfDir)
+      // copies shift by 40 days (ns) so the amplified corpora don't
+      // temporally overlap: interval_join's OUTPUT then grows linearly
+      // (same-density corpus, more of it) instead of quadratically
+      // (denser cells — which would measure the statistic's own growth,
+      // not the plan's). user_id shifts keep CDC keys disjoint.
+      val dayNs = 24L * 3600 * 1000 * 1000 * 1000
       val eventsAmp = (0 until factor).map { k =>
         if (k == 0) events
         else events.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
-          col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          (col("ts") + lit(k * 40L * dayNs)).as("ts"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionAll _)
       eventsAmp.persist(); t(s"amplify_events_${factor}x")(eventsAmp.count())
       t("cdc_upsert")(EventOps.cdcUpsert(eventsAmp, customer).count())
+      t("interval_join")(
+        JoinOps.sessionOverlapPairs(EventOps.sessionize(eventsAmp)).count())
       eventsAmp.unpersist()
       val base = Tables.embeddings(spark, sfDir)
       val embAmp = (0 until factor).map { k =>
