@@ -264,17 +264,11 @@ object EventOps {
     * hash-matches bitwise.
     */
   def cdcUpsert(events: DataFrame, customer: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us").desc, col("event_id").desc)
-    val latest = events
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id").as("chg_key"),
-        when(col("event_type") === "error", lit("delete"))
-          .otherwise(lit("upsert")).as("last_op"),
-        col("value").as("new_bal"))
+    // one shared latest-per-key derivation with the incremental path
+    // ([[cdcApplyChanges]]) — the two forms are asserted equivalent, so
+    // the tiebreak/tombstone rules must live in exactly one place
+    val latest = latestChanges(events)
+      .select(col("chg_key"), col("chg_op").as("last_op"), col("new_bal"))
     customer
       .select(col("c_custkey").as("base_key"), col("c_name"), col("c_acctbal"))
       .join(latest, col("base_key") === col("chg_key"), "full_outer")

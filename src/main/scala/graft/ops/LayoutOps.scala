@@ -37,12 +37,38 @@ object LayoutOps {
     * bit i of `b` at 2i+1. Disjoint targets, so the OR-accumulation is
     * a plain sum — identical arithmetic in Spark and DuckDB.
     */
+  /** Row-level loud out-of-range guard shared by every curve layout
+    * (ADVICE r6, extended to the Morton paths by review): a coordinate
+    * at or above 2^bits would have its high bits silently ignored —
+    * Spark and oracle would agree on the truncation, so verify would
+    * stay green while clustering locality silently degraded. raise_error
+    * is a map-side codegen'd branch; NullType coerces to otherwise()'s.
+    */
+  private def rangeChecked(fn: String, c: Column, axis: String,
+                           bits: Int): Column = {
+    val n = 1L << bits
+    when(c < 0L || c >= n, raise_error(concat(
+      lit(s"$fn: $axis coordinate out of [0, $n) for bits=$bits: "),
+      c.cast("string")))).otherwise(c)
+  }
+
   def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc + shiftleft(shiftrightunsigned(a.cast("long"), i) % 2, 2 * i) +
-        shiftleft(shiftrightunsigned(b.cast("long"), i) % 2, 2 * i + 1)
+    val aL = a.cast("long")
+    val bL = b.cast("long")
+    val code = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(shiftrightunsigned(aL, i) % 2, 2 * i) +
+        shiftleft(shiftrightunsigned(bL, i) % 2, 2 * i + 1)
     }
+    // ONE guard around the assembled code (not per bit) keeps the
+    // expression tree linear; the branch fires before any truncated
+    // result can escape.
+    val n = 1L << bits
+    when(aL < 0L || aL >= n || bL < 0L || bL >= n,
+      raise_error(concat(
+        lit(s"mortonCode: coordinate out of [0, $n) for bits=$bits: "),
+        aL.cast("string"), lit(","), bL.cast("string"))))
+      .otherwise(code)
   }
 
   private def duckMorton(a: String, b: String, bits: Int): String =
@@ -111,13 +137,9 @@ object LayoutOps {
     // Spark and oracle would still agree (same truncation), masking the
     // clustering-locality degradation. raise_error is a row-level branch
     // (map-side, codegen'd); NullType coerces to the otherwise() type.
-    def checked(c: Column, axis: String): Column =
-      when(c < 0L || c >= n, raise_error(concat(
-        lit(s"withHilbert: $axis coordinate out of [0, $n) for bits=$bits: "),
-        c.cast("string")))).otherwise(c)
     var cur = df
-      .withColumn("h_x", checked(xCol.cast("long"), "x"))
-      .withColumn("h_y", checked(yCol.cast("long"), "y"))
+      .withColumn("h_x", rangeChecked("withHilbert", xCol.cast("long"), "x", bits))
+      .withColumn("h_y", rangeChecked("withHilbert", yCol.cast("long"), "y", bits))
       .withColumn(out, lit(0L))
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i
@@ -151,11 +173,19 @@ object LayoutOps {
     require(d >= 2, s"mortonCodeN needs >= 2 dimensions, got $d")
     require(bits > 0 && d * bits <= 63,
       s"d*bits must fit a positive long: d=$d bits=$bits")
-    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+    val longs = cols.map(_.cast("long"))
+    val code = longs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
       (0 until bits).foldLeft(acc) { (a, i) =>
-        a + shiftleft(shiftrightunsigned(c.cast("long"), i) % 2, d * i + j)
+        a + shiftleft(shiftrightunsigned(c, i) % 2, d * i + j)
       }
     }
+    val n = 1L << bits
+    val outOfRange = longs.map(c => c < 0L || c >= n).reduce(_ || _)
+    when(outOfRange,
+      raise_error(concat(
+        lit(s"mortonCodeN: coordinate out of [0, $n) for bits=$bits: ") +:
+          longs.flatMap(c => Seq(c.cast("string"), lit(","))).dropRight(1): _*)))
+      .otherwise(code)
   }
 
   private def duckMortonN(cols: Seq[String], bits: Int): String = {
@@ -251,13 +281,10 @@ object LayoutOps {
     require(clash.isEmpty,
       s"withHilbertN working columns collide with input columns: ${clash.mkString(", ")}")
     val n = 1L << bits
-    def checked(c: Column, axis: String): Column =
-      when(c < 0L || c >= n, raise_error(concat(
-        lit(s"withHilbertN: $axis coordinate out of [0, $n) for bits=$bits: "),
-        c.cast("string")))).otherwise(c)
     var cur = df
     for (i <- 0 until d)
-      cur = cur.withColumn(names(i), checked(coords(i).cast("long"), s"dim$i"))
+      cur = cur.withColumn(names(i),
+        rangeChecked("withHilbertN", coords(i).cast("long"), s"dim$i", bits))
     // phase 1: inverse-undo (invert X0 / exchange (X0, Xi) below level Q)
     var q = n >> 1
     while (q > 1) {

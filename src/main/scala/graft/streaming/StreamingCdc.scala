@@ -23,12 +23,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * DuckDB oracle).
   *
   * Write protocol: the next snapshot generation is written to a sibling
-  * `__merging` dir and swapped in by rename — read-modify-overwrite of
-  * the live dir would corrupt the snapshot on a mid-write crash (the
-  * `compactSignatureIndex` idiom). The read side must tolerate the
-  * still-atomic-enough swap window the same way the signature index
-  * does; a real deployment uses a table format (Delta/Iceberg) whose
-  * commit protocol makes the swap transactional.
+  * `__next` dir and published via [[graft.sources.SnapshotSwap]] —
+  * retire-then-swap with `_SUCCESS`-gated recovery, so every crash
+  * window leaves a complete generation on disk and a restart resumes
+  * instead of silently re-initializing (a real deployment gets this
+  * from a table format's commit protocol — Delta/Iceberg).
   *
   * Scale shape per batch: one delta-sized window + one key-partitioned
   * full-outer join against the snapshot — MERGE's irreducible cost.
@@ -38,36 +37,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingCdc {
 
-  /** Initialize `snapshotDir` from a base table if it does not exist. */
+  /** Initialize `snapshotDir` from a base table if it does not exist
+    * (after repairing any interrupted publish — an existing snapshot
+    * must NEVER be silently re-initialized: the streaming checkpoint
+    * already marks merged batches committed, so re-init would lose them
+    * without error).
+    */
   def initSnapshot(spark: SparkSession, base: DataFrame, snapshotDir: String,
-                   numFiles: Int = 8): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(snapshotDir)))
-      EventOps.cdcInitSnapshot(base)
-        .repartition(numFiles).write.parquet(snapshotDir)
-  }
+                   numFiles: Int = 8): Unit =
+    if (!graft.sources.SnapshotSwap.recover(spark, snapshotDir)) {
+      EventOps.cdcInitSnapshot(base).repartition(numFiles)
+        .write.parquet(graft.sources.SnapshotSwap.nextPath(snapshotDir))
+      graft.sources.SnapshotSwap.publish(spark, snapshotDir)
+    }
 
   /** Merge ONE changelog slice into the on-disk snapshot (the foreachBatch
-    * body, callable directly for deterministic tests).
+    * body, callable directly for deterministic tests). The swap is the
+    * crash-safe [[graft.sources.SnapshotSwap]] publish — every crash
+    * window leaves a complete generation recoverable on restart.
     */
   def mergeBatch(spark: SparkSession, changes: DataFrame, snapshotDir: String,
                  numFiles: Int = 8): Unit = {
     if (changes.isEmpty) return
+    graft.sources.SnapshotSwap.recover(spark, snapshotDir)
     val next = EventOps.cdcApplyChanges(spark.read.parquet(snapshotDir), changes)
-    val tmp = snapshotDir.stripSuffix("/") + "__merging"
-    next.repartition(numFiles).write.mode("overwrite").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(snapshotDir)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(dst, true)
-    require(fs.rename(src, dst), s"snapshot swap failed: $src -> $dst")
+    next.repartition(numFiles).write.mode("overwrite")
+      .parquet(graft.sources.SnapshotSwap.nextPath(snapshotDir))
+    graft.sources.SnapshotSwap.publish(spark, snapshotDir)
   }
 
   /** The queryable state: tombstones hidden, one-shot-MERGE columns. */
-  def currentView(spark: SparkSession, snapshotDir: String): DataFrame =
+  def currentView(spark: SparkSession, snapshotDir: String): DataFrame = {
+    graft.sources.SnapshotSwap.recover(spark, snapshotDir)
     EventOps.cdcCurrentView(spark.read.parquet(snapshotDir))
+  }
 
   /** Wire a change stream (events schema) into a continuously merged
     * snapshot. `changes` must be a STREAMING DataFrame with the events

@@ -240,30 +240,32 @@ object StreamingDedup {
     * retention trade, made explicit here; pipelines that pack ingest
     * time into the id high bits get time-based TTL directly).
     *
-    * The rewrite goes to a sibling `__compacting` directory first and
-    * swaps in via filesystem rename, so a crash mid-compaction leaves
-    * the live index intact. One (doc_id, sig)-shaped shuffle over the
-    * index — never text, never shingles; safe at any index size.
+    * The rewrite goes to a sibling `__next` directory first and is
+    * published via [[graft.sources.SnapshotSwap]] (retire-then-swap
+    * with `_SUCCESS`-gated recovery): a crash at ANY point — including
+    * mid-swap — leaves a complete index generation recoverable on
+    * restart. One (doc_id, sig)-shaped shuffle over the index — never
+    * text, never shingles; safe at any index size.
     *
     * Returns (rows before, rows after).
     */
   def compactSignatureIndex(spark: SparkSession, indexDir: String,
                             numFiles: Int = 8,
                             dropBefore: Option[Long] = None): (Long, Long) = {
+    graft.sources.SnapshotSwap.recover(spark, indexDir)
     val idx = spark.read.parquet(indexDir)
     require(idx.columns.sorted.sameElements(Array("doc_id", "sig")),
       s"index must be a signatureIndex (doc_id, sig); got ${idx.columns.mkString(",")}")
     val before = idx.count()
     val kept = dropBefore.fold(idx)(h => idx.filter(col("doc_id") >= h)).distinct()
-    val tmp = indexDir.stripSuffix("/") + "__compacting"
+    // crash-safe publish (review: the old delete-then-rename swap had a
+    // window where the LIVE index was gone; SnapshotSwap's retire/swap
+    // with _SUCCESS-gated recovery leaves a complete generation in
+    // every window)
+    val tmp = graft.sources.SnapshotSwap.nextPath(indexDir)
     kept.repartition(numFiles).write.mode("overwrite").parquet(tmp)
     val after = spark.read.parquet(tmp).count()
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(indexDir)
-    val src = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(dst, true)
-    require(fs.rename(src, dst), s"compaction swap failed: $src -> $dst")
+    graft.sources.SnapshotSwap.publish(spark, indexDir)
     (before, after)
   }
 

@@ -146,6 +146,35 @@ class Round7ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("bpeSegment handles boundary-collision words; oracle rejects a==b merges") {
+    import graft.ops.BpeOps
+    // words where a merge's right side is a PREFIX of the following
+    // symbol (the review-caught oracle divergence: ('c','o') must NOT
+    // fire on [s, c, or, e]) plus adjacency chains
+    val words = Seq("score", "record", "cow", "core", "corow", "colucolu")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    def fold(word: String): Seq[String] =
+      BpeOps.frozenMerges.foldLeft(word.map(_.toString)) { case (syms, (a, b)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+    val got = BpeOps.bpeSegmentFrozen(docs).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    words.foreach { w =>
+      assert(got(w) === fold(w).mkString(""),
+        s"$w: expected ${fold(w)}")
+    }
+    assert(got("score") === "score",
+      "('c','o') must not merge across the [c][or] symbol boundary")
+    // the replace-chain oracle cannot express a==b pairing — loud reject
+    val e = intercept[IllegalArgumentException] {
+      BpeOps.bpeSegmentOracle(Seq(("x", "x")))
+    }
+    assert(e.getMessage.contains("identical sides"))
+  }
+
   test("sessionOverlapPairs: exact pairs once each, boundary touches, equi-join plan") {
     // cell width 100 for the test; sessions as (user, idx, start, end)
     val sessions = Seq(

@@ -70,6 +70,32 @@ class StreamingCdcSpec extends SparkSpec {
       "the retained tombstone must win the ordering comparison")
   }
 
+  test("an interrupted publish recovers the COMMITTED generation, never re-initializes") {
+    import graft.sources.SnapshotSwap
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_cdc_crash").toString + "/snap"
+    StreamingCdc.initSnapshot(spark, base, snapDir)
+    StreamingCdc.mergeBatch(spark,
+      changesDF(Seq((300L, 1000L * 1000, 1L, "click", 77.0))), snapDir)
+    // simulate the crash window of the NEXT merge: the next generation is
+    // fully written but the live dir was already retired (the window the
+    // old delete-then-rename protocol lost data in)
+    val next = EventOps.cdcApplyChanges(spark.read.parquet(snapDir),
+      changesDF(Seq((301L, 2000L * 1000, 1L, "click", 88.0))))
+    next.repartition(2).write.parquet(SnapshotSwap.nextPath(snapDir))
+    val fs = new org.apache.hadoop.fs.Path(snapDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(snapDir),
+      new org.apache.hadoop.fs.Path(snapDir + "__old")))
+    // restart path: initSnapshot must RECOVER (not re-init from base)
+    StreamingCdc.initSnapshot(spark, base, snapDir)
+    val bal = StreamingCdc.currentView(spark, snapDir)
+      .filter(col("key") === 1L).select("acctbal").collect().head.getDouble(0)
+    assert(bal === 88.0, "recovery must surface the committed next generation")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snapDir + "__old")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(SnapshotSwap.nextPath(snapDir))),
+      "recovery must clean up the protocol's working directories")
+  }
+
   test("empty batch is a no-op and the snapshot keeps a bounded file count") {
     val snapDir = java.nio.file.Files.createTempDirectory("graft_cdc_files").toString + "/snap"
     StreamingCdc.initSnapshot(spark, base, snapDir, numFiles = 2)
