@@ -106,6 +106,8 @@ object SparkEntry {
     "embedding_quantize" -> ((s, dir) => SimilarityOps.quantizeEmbeddingsRows(Tables.embeddings(s, dir))),
     "embedding_project" -> ((s, dir) => SimilarityOps.projectEmbeddings(Tables.embeddings(s, dir))),
     "ann_project_rerank" -> ((s, dir) => SimilarityOps.annProjectRerank(Tables.embeddings(s, dir))),
+    // the vector-side flagship composite (corpus_prep's embedding sibling)
+    "embedding_pipeline" -> ((s, dir) => SimilarityOps.embeddingPipeline(Tables.embeddings(s, dir))),
     "embedding_pq" -> ((s, dir) => PqOps.pqEncode(Tables.embeddings(s, dir))),
     "ann_pq_adc" -> ((s, dir) => PqOps.annPqAdc(Tables.embeddings(s, dir))),
     "ann_ivf_pq" -> ((s, dir) => PqOps.annIvfPq(Tables.embeddings(s, dir))),
@@ -548,6 +550,7 @@ object SparkEntry {
     "embedding_quantize" -> SimilarityOps.quantizeEmbeddingsOracle,
     "embedding_project" -> SimilarityOps.projectEmbeddingsOracle(),
     "ann_project_rerank" -> SimilarityOps.annProjectRerankOracle(),
+    "embedding_pipeline" -> SimilarityOps.embeddingPipelineOracle(),
     "embedding_pq" -> PqOps.pqEncodeOracle(),
     "ann_pq_adc" -> PqOps.annPqAdcOracle(),
     "ann_ivf_pq" -> PqOps.annIvfPqOracle(),

@@ -620,6 +620,68 @@ object SimilarityOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** B9 FLAGSHIP composite — the vector-side ingest pipeline a 100 TB
+    * ANN deployment runs end to end, as ONE declarative plan (the
+    * embedding sibling of `corpus_prep`): coarse-quantizer assignment
+    * (best anchor by cosine — the IVF cell this vector will be listed
+    * under), hyperplane-LSH bucket (the alternative coarse path), and
+    * PQ codes + quantization error (the compressed representation ADC
+    * scans). Each stage already has its own oracle-checked query; the
+    * composite verifies their INTERACTIONS — one consistent vec_id
+    * spine through assignment, bucketing, and coding, exactly the table
+    * you would persist at scale.
+    *
+    * Scale shape: anchors and the codebook are metadata (broadcast);
+    * assignment/bucketing/coding are map-side over the corpus; the
+    * final assembly is two vec_id-keyed equi-joins (co-partitioned at
+    * scale — AQE picks broadcast at this SF).
+    */
+  def embeddingPipeline(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val corpus = withNorm(embeddings)
+      .select(col("vec_id"), col("label"), col("emb"), col("norm"))
+    val wCell = Window.partitionBy("label").orderBy(col("vec_id").asc)
+    val anchors = corpus.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("label").as("a_label"), col("emb").as("a_emb"),
+        col("norm").as("a_norm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("a_score").desc, col("a_label").asc)
+    val assigned = corpus.crossJoin(broadcast(anchors))
+      .withColumn("a_score", dot("emb", "a_emb") / (col("norm") * col("a_norm")))
+      .withColumn("cell_rank", row_number().over(wAssign))
+      .filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("a_label").as("cell"))
+    val bucketed = corpus
+      .select(col("vec_id"), bucketExpr(nPlanes).as("bucket"))
+    PqOps.pqEncode(embeddings)
+      .join(assigned, Seq("vec_id"))
+      .join(bucketed, Seq("vec_id"))
+      .select("vec_id", "cell", "bucket", "sub", "code", "qerr")
+  }
+
+  def embeddingPipelineOracle(nPlanes: Int = 8): String =
+    s"""WITH $duckCorpus,
+       |anchors AS (
+       |  SELECT label AS a_label, emb AS a_emb, norm AS a_norm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+       |    FROM corpus)
+       |  WHERE rn = 1),
+       |assigned AS (
+       |  SELECT vec_id, a_label AS cell FROM (
+       |    SELECT c.vec_id, a.a_label,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |        ${duckDot("c.emb", "a.a_emb")} / (c.norm * a.a_norm) DESC,
+       |        a.a_label ASC) AS cell_rank
+       |    FROM corpus c, anchors a)
+       |  WHERE cell_rank = 1),
+       |bucketed AS (
+       |  SELECT vec_id, ${duckBucket(nPlanes)} AS bucket FROM corpus),
+       |codes AS (${PqOps.pqEncodeOracle()})
+       |SELECT k.vec_id, a.cell, b.bucket, k.sub, k.code, k.qerr
+       |FROM codes k
+       |  JOIN assigned a ON a.vec_id = k.vec_id
+       |  JOIN bucketed b ON b.vec_id = k.vec_id""".stripMargin
+
   def embeddingNearDupLshOracle(nPlanes: Int = 8): String =
     s"""WITH aug AS (
        |  SELECT vec_id, embedding, label FROM embeddings

@@ -146,6 +146,24 @@ class Round7ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("embeddingPipeline: one vec_id spine, stage-consistent with its component ops") {
+    import graft.ops.PqOps
+    val out = SimilarityOps.embeddingPipeline(realEmb).collect()
+    val n = realEmb.count()
+    assert(out.length === n * 4, "one row per (vector, PQ subspace)")
+    // PQ codes must be exactly pqEncode's
+    val codes = out.map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(4)).toMap
+    PqOps.pqEncode(realEmb).collect().foreach { r =>
+      assert(codes((r.getLong(0), r.getLong(1))) === r.getLong(2))
+    }
+    // each vector carries ONE cell and ONE bucket across its subspaces
+    // (cell is the int32 label column; bucket is long)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getAs[Number](1).longValue).distinct.length === 1)
+      assert(rows.map(_.getLong(2)).distinct.length === 1)
+    }
+  }
+
   test("bpeSegment handles boundary-collision words; oracle rejects a==b merges") {
     import graft.ops.BpeOps
     // words where a merge's right side is a PREFIX of the following
