@@ -387,6 +387,7 @@ object SparkEntry {
     "approx_users" -> ((s, dir) => EventOps.approxUsersByType(E(s, dir))),
     // ---- joins Spark lacks natively, composed from built-ins ----
     "funnel_conversion" -> ((s, dir) => EventOps.funnelConversion(E(s, dir))),
+    "funnel_steps" -> ((s, dir) => EventOps.funnelSteps(E(s, dir))),
     "retention_cohorts" -> ((s, dir) => EventOps.retentionCohorts(E(s, dir))),
     // CDC MERGE: events changelog (latest-per-key upsert/tombstone)
     // applied onto the customer snapshot — the lakehouse ingest shape.
@@ -669,6 +670,7 @@ object SparkEntry {
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation validating our union+window composition.
     "funnel_conversion" -> EventOps.funnelConversionOracle(),
+    "funnel_steps" -> EventOps.funnelStepsOracle(),
     "retention_cohorts" -> EventOps.retentionCohortsOracle,
     "cdc_upsert" -> EventOps.cdcUpsertOracle,
     "cdc_upsert_incremental" -> EventOps.cdcUpsertOracle,

@@ -375,6 +375,75 @@ object EventOps {
       |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.chg_key
       |WHERE l.last_op IS NULL OR l.last_op <> 'delete'""".stripMargin
 
+  /** Multi-step ordered funnel — the k-step generalization of
+    * [[funnelConversion]]'s 2-step as-of: for each user, the GREEDY
+    * earliest completion of the step sequence (t1 = first step-1 event;
+    * t_i = first step-i event strictly after t_{i-1}), and whether the
+    * whole sequence completed within `windowUs` of t1. The greedy
+    * earliest chain is the standard funnel semantics (Amplitude-style
+    * "in order" conversion) and is deterministic — pure integer
+    * event-time micros, so DuckDB reproduces it exactly.
+    *
+    * Scale shape: one aggregation per step plus a user-keyed join each —
+    * ALL keyed on user_id, so the shuffles co-partition and AQE
+    * coalesces them in practice; per-step state is one timestamp per
+    * user (never the event list). Users that never reach step 1 are
+    * absent; later steps left-join so partial funnels surface with NULL
+    * step times and converted = 0.
+    */
+  def funnelSteps(events: DataFrame,
+                  steps: Seq[String] = Seq("signup", "click", "purchase"),
+                  windowUs: Long = 24L * 3600 * 1000 * 1000): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val chained = steps.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        val next = e.filter(col("event_type") === step)
+          .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+          .filter(col("ts_us") > col(prev))
+          .groupBy("user_id").agg(min("ts_us").as(cur))
+        acc.join(next.select(col("user_id"), col(cur)), Seq("user_id"), "left")
+    }
+    val last = s"t${steps.length}"
+    chained.withColumn("converted",
+      when(col(last).isNotNull && col(last) - col("t1") <= windowUs, 1L)
+        .otherwise(0L))
+  }
+
+  def funnelStepsOracle(steps: Seq[String] = Seq("signup", "click", "purchase"),
+                        windowUs: Long = 24L * 3600 * 1000 * 1000): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val first =
+      s"""s1 AS (
+         |  SELECT user_id, min(ts_us) AS t1 FROM e
+         |  WHERE event_type = '${esc(steps.head)}' GROUP BY 1)""".stripMargin
+    val chain = steps.zipWithIndex.tail.map { case (step, i) =>
+      s"""s${i + 1} AS (
+         |  SELECT e.user_id, min(e.ts_us) AS t${i + 1}
+         |  FROM e JOIN s$i ON e.user_id = s$i.user_id
+         |  WHERE e.event_type = '${esc(step)}' AND e.ts_us > s$i.t$i
+         |  GROUP BY 1)""".stripMargin
+    }
+    val joins = (2 to steps.length)
+      .map(i => s"LEFT JOIN s$i ON s1.user_id = s$i.user_id").mkString("\n")
+    val cols = (1 to steps.length).map(i => s"t$i").mkString(", ")
+    val last = s"t${steps.length}"
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |$first,
+       |${chain.mkString(",\n")}
+       |SELECT s1.user_id, $cols,
+       |  CAST(CASE WHEN $last IS NOT NULL AND $last - t1 <= $windowUs
+       |       THEN 1 ELSE 0 END AS BIGINT) AS converted
+       |FROM s1
+       |$joins""".stripMargin
+  }
+
   /** Retention cohorts: users grouped by first-activity week, distinct
     * active users per (cohort, week offset). Pure integer epoch-week
     * arithmetic (no calendar functions — exact on every engine). Two

@@ -146,6 +146,38 @@ class Round7ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("funnelSteps: greedy earliest chain, order enforcement, partial funnels, window edge") {
+    val h = 3600L * 1000 * 1000 // 1h in us
+    def ev(id: Long, user: Long, typ: String, tUs: Long) =
+      (id, tUs * 1000, user, typ, 0.0, "{}")
+    val events = Seq(
+      // user 1: clean signup(1h) -> click(2h) -> purchase(3h): converts
+      ev(1, 1, "signup", h), ev(2, 1, "click", 2 * h), ev(3, 1, "purchase", 3 * h),
+      // user 2: click BEFORE signup doesn't count; later click does
+      ev(4, 2, "click", h), ev(5, 2, "signup", 2 * h),
+      ev(6, 2, "click", 4 * h), ev(7, 2, "purchase", 5 * h),
+      // user 3: partial — signup only
+      ev(8, 3, "signup", h),
+      // user 4: completes exactly AT the 24h window boundary: converts
+      ev(9, 4, "signup", h), ev(10, 4, "click", 2 * h), ev(11, 4, "purchase", 25 * h),
+      // user 5: completes one microsecond past the window: does not
+      ev(12, 5, "signup", h), ev(13, 5, "click", 2 * h),
+      (14L, 25 * h * 1000 + 1000, 5L, "purchase", 0.0, "{}"),
+      // user 6: never signs up -> absent from output
+      ev(15, 6, "purchase", h))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.funnelSteps(events).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3))), r.getLong(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L) === (((Some(h), Some(2 * h), Some(3 * h)), 1L)))
+    assert(out(2L)._1 === ((Some(2 * h), Some(4 * h), Some(5 * h))),
+      "a click before signup must not satisfy step 2")
+    assert(out(3L) === (((Some(h), None, None), 0L)), "partial funnel surfaces with NULLs")
+    assert(out(4L)._2 === 1L, "completion exactly at the window converts")
+    assert(out(5L)._2 === 0L, "one microsecond past the window does not")
+  }
+
   test("embeddingPipeline: one vec_id spine, stage-consistent with its component ops") {
     import graft.ops.PqOps
     val out = SimilarityOps.embeddingPipeline(realEmb).collect()
