@@ -29,10 +29,19 @@ object StreamingJoins {
 
   /** `purchases`/`views` need (event_id, user_id, ts) with ts in epoch
     * NANOS (the events-table convention; `Tables.events` normalizes).
+    *
+    * `joinType` "inner" emits only matched pairs as they meet;
+    * "left_outer" ALSO emits every unattributed purchase with NULL view
+    * columns — but only once the watermark proves no qualifying view
+    * can still arrive (v_time <= p_time, so eviction at
+    * watermark > p_time): the outer result is late by one watermark
+    * delay BY DESIGN, the price of a correct "no match" verdict on an
+    * unbounded stream (spec-asserted).
     */
   def purchaseAttribution(purchases: DataFrame, views: DataFrame,
                           windowUs: Long = 3600L * 1000 * 1000,
-                          delay: String = "10 minutes"): DataFrame = {
+                          delay: String = "10 minutes",
+                          joinType: String = "inner"): DataFrame = {
     val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("p_time"))
       .withWatermark("p_time", delay)
@@ -43,7 +52,8 @@ object StreamingJoins {
     p.join(v,
         col("user_id") === col("v_user") &&
           col("v_time") <= col("p_time") &&
-          col("v_time") >= col("p_time") - expr(s"INTERVAL $windowUs MICROSECOND"))
+          col("v_time") >= col("p_time") - expr(s"INTERVAL $windowUs MICROSECOND"),
+        joinType)
       .select(col("p_id"), col("user_id"), col("p_time"),
         col("v_id"), col("v_time"))
   }

@@ -54,6 +54,41 @@ class StreamingJoinsSpec extends SparkSpec {
       "user 1 attributes both in-window views; user 2's view is outside the window")
   }
 
+  test("left-outer emits unattributed purchases with NULLs once the watermark proves no match") {
+    implicit val sq = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, Long)]
+    val vIn = MemoryStream[(Long, Long, Long)]
+    val joined = StreamingJoins.purchaseAttribution(
+      pIn.toDF().toDF("event_id", "user_id", "ts"),
+      vIn.toDF().toDF("event_id", "user_id", "ts"),
+      joinType = "left_outer")
+    val query = joined.writeStream.format("memory")
+      .queryName("attribution_outer").outputMode("append").start()
+    try {
+      // user 1 purchase has a matching view; user 9 purchase has NONE
+      vIn.addData(views.head)
+      pIn.addData(purchases.head, (30L, 9L, 60L * usPerMin * 1000))
+      query.processAllAvailable()
+      // before the watermark passes, the no-match purchase is withheld
+      val early = spark.table("attribution_outer")
+        .filter(col("p_id") === 30L).count()
+      assert(early === 0L, "outer result must wait for the watermark")
+      // advance event time on BOTH streams well past purchase+delay,
+      // then run the extra batches watermark propagation needs
+      val far = 300L * usPerMin * 1000
+      vIn.addData((98L, 8L, far)); pIn.addData((99L, 8L, far))
+      query.processAllAvailable()
+      vIn.addData((96L, 8L, far + 1000)); pIn.addData((97L, 8L, far + 1000))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("attribution_outer")
+    val noMatch = out.filter(col("p_id") === 30L).collect()
+    assert(noMatch.length === 1 && noMatch.head.isNullAt(3),
+      s"unattributed purchase must emit exactly once with NULL view: ${out.collect().toSeq}")
+    assert(out.filter(col("p_id") === purchases.head._1 && col("v_id").isNotNull)
+      .count() >= 1, "matched purchases still emit their pairs")
+  }
+
   test("the join keys state by user and time-bounds BOTH sides (plan sanity)") {
     implicit val sq = spark.sqlContext
     val pIn = MemoryStream[(Long, Long, Long)]
