@@ -98,6 +98,34 @@ class EmptyInputSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("round-7 additions on empty input return empty, never throw") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+    val base = Seq((1L, "alice", 10.0)).toDF("c_custkey", "c_name", "c_acctbal")
+    // empty changelog: MERGE is the identity; empty base: all inserts
+    assert(EventOps.cdcUpsert(emptyEvents, base).count() === 1)
+    assert(EventOps.cdcUpsert(emptyEvents, base.limit(0)).isEmpty)
+    assert(EventOps.funnelSteps(emptyEvents).isEmpty)
+    assert(TextOps.curationReport(
+      emptyDocs.withColumn("lang", org.apache.spark.sql.functions.lit(null: String))).isEmpty)
+    val emptySessions = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType), StructField("session_idx", LongType),
+        StructField("start_us", LongType), StructField("end_us", LongType))))
+    assert(JoinOps.sessionOverlapPairs(emptySessions).isEmpty)
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    assert(SimilarityOps.projectEmbeddings(emptyVecs).isEmpty)
+    assert(SimilarityOps.annProjectRerank(emptyVecs).isEmpty)
+    assert(SimilarityOps.embeddingPipeline(emptyVecs).isEmpty)
+  }
+
   test("stats family on empty input returns empty aggregates, never throws") {
     val emptyLi = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
