@@ -433,10 +433,10 @@ object EventOps {
       .map(i => s"LEFT JOIN s$i ON s1.user_id = s$i.user_id").mkString("\n")
     val cols = (1 to steps.length).map(i => s"t$i").mkString(", ")
     val last = s"t${steps.length}"
+    val ctes = (first +: chain).mkString(",\n")
     s"""WITH e AS (
        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-       |$first,
-       |${chain.mkString(",\n")}
+       |$ctes
        |SELECT s1.user_id, $cols,
        |  CAST(CASE WHEN $last IS NOT NULL AND $last - t1 <= $windowUs
        |       THEN 1 ELSE 0 END AS BIGINT) AS converted

@@ -83,13 +83,31 @@ object SimilarityOps {
     * data-sized — and the corpus is touched only via the probed-cell
     * equi-join on `label`.
     */
+  /** The cell ANCHOR convention shared by the probed-IVF search and the
+    * ingest composite: each cell's min-vec_id member (deterministic,
+    * unlike a mean centroid whose float-summation order could never
+    * hash-match an oracle). One source of truth — [[duckAnchors]] is
+    * the SQL twin.
+    */
+  private def cellAnchors(corpus: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy("label").orderBy(col("vec_id").asc)
+    corpus.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("label").as("a_label"), col("emb").as("a_emb"),
+        col("norm").as("a_norm"))
+  }
+
+  private val duckAnchors: String =
+    """anchors AS (
+      |  SELECT label AS a_label, emb AS a_emb, norm AS a_norm FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |    FROM corpus)
+      |  WHERE rn = 1)""".stripMargin
+
   def ivfTopKProbed(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
                     nProbe: Int = 2): DataFrame = {
     val corpus = withNorm(embeddings).select(col("vec_id"), col("label"), col("emb"), col("norm"))
-    val wCell = Window.partitionBy("label").orderBy(col("vec_id").asc)
-    val anchors = corpus.withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("label").as("a_label"), col("emb").as("a_emb"), col("norm").as("a_norm"))
+    val anchors = cellAnchors(corpus)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
     val wq = Window.partitionBy("q_id").orderBy(col("a_score").desc, col("a_label").asc)
@@ -112,11 +130,7 @@ object SimilarityOps {
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
        |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
        |  FROM embeddings),
-       |anchors AS (
-       |  SELECT label AS a_label, emb AS a_emb, norm AS a_norm FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-       |    FROM corpus)
-       |  WHERE rn = 1),
+       |$duckAnchors,
        |queries AS (
        |  SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm
        |  FROM corpus WHERE vec_id < $nQueries),
@@ -639,11 +653,7 @@ object SimilarityOps {
   def embeddingPipeline(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
     val corpus = withNorm(embeddings)
       .select(col("vec_id"), col("label"), col("emb"), col("norm"))
-    val wCell = Window.partitionBy("label").orderBy(col("vec_id").asc)
-    val anchors = corpus.withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("label").as("a_label"), col("emb").as("a_emb"),
-        col("norm").as("a_norm"))
+    val anchors = cellAnchors(corpus)
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("a_score").desc, col("a_label").asc)
     val assigned = corpus.crossJoin(broadcast(anchors))
@@ -661,11 +671,7 @@ object SimilarityOps {
 
   def embeddingPipelineOracle(nPlanes: Int = 8): String =
     s"""WITH $duckCorpus,
-       |anchors AS (
-       |  SELECT label AS a_label, emb AS a_emb, norm AS a_norm FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-       |    FROM corpus)
-       |  WHERE rn = 1),
+       |$duckAnchors,
        |assigned AS (
        |  SELECT vec_id, a_label AS cell FROM (
        |    SELECT c.vec_id, a.a_label,

@@ -12,6 +12,13 @@ import org.apache.spark.sql.types._
 class EmptyInputSpec extends SparkSpec {
   import spark.implicits._
 
+  // mirrors the embeddings table schema (vec_id, embedding, label)
+  private def emptyEmb: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+
   // mirrors the documents table schema (doc_id, text, source, n_chars…)
   private def emptyDocs: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -29,11 +36,7 @@ class EmptyInputSpec extends SparkSpec {
     val scored = SemanticOps.dsirScores(raw, emptyDocs).collect()
     assert(scored.length == 1 && !scored.head.getAs[Double]("score_avg").isNaN)
     // empty embeddings: cap sampler degrades to empty via the seedless path
-    val emptyVecs = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)))))
-    assert(SemanticOps.clusterCapSample(emptyVecs).isEmpty)
+    assert(SemanticOps.clusterCapSample(emptyEmb).isEmpty)
   }
 
   test("dedup family on an empty corpus returns empty, never throws") {
@@ -82,11 +85,6 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("semantic family on an empty corpus returns empty, never throws") {
-    val emptyEmb = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)),
-        StructField("label", IntegerType))))
     assert(SemanticOps.semanticClusters(emptyEmb).isEmpty)
     assert(SemanticOps.semanticDedup(emptyEmb).isEmpty)
     assert(SemanticOps.semanticDecontaminate(emptyEmb).isEmpty)
@@ -116,14 +114,9 @@ class EmptyInputSpec extends SparkSpec {
       StructType(Seq(StructField("user_id", LongType), StructField("session_idx", LongType),
         StructField("start_us", LongType), StructField("end_us", LongType))))
     assert(JoinOps.sessionOverlapPairs(emptySessions).isEmpty)
-    val emptyVecs = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("embedding", ArrayType(FloatType)),
-        StructField("label", IntegerType))))
-    assert(SimilarityOps.projectEmbeddings(emptyVecs).isEmpty)
-    assert(SimilarityOps.annProjectRerank(emptyVecs).isEmpty)
-    assert(SimilarityOps.embeddingPipeline(emptyVecs).isEmpty)
+    assert(SimilarityOps.projectEmbeddings(emptyEmb).isEmpty)
+    assert(SimilarityOps.annProjectRerank(emptyEmb).isEmpty)
+    assert(SimilarityOps.embeddingPipeline(emptyEmb).isEmpty)
   }
 
   test("stats family on empty input returns empty aggregates, never throws") {
