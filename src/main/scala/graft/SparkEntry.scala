@@ -370,6 +370,8 @@ object SparkEntry {
     "value_histogram" -> ((s, dir) => TextOps.valueHistogram(E(s, dir))),
     "hash_split" -> ((s, dir) => TextOps.hashSplit(D(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.nearDupClusters(DedupOps.augmented(D(s, dir)))),
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      DedupOps.clusterSizeHistogram(DedupOps.augmented(D(s, dir)))),
     // canonical representative per cluster: longest doc survives, rest drop
     "dedup_canonical" -> ((s, dir) => DedupOps.dedupCanonical(DedupOps.augmented(D(s, dir)))),
     // Incremental dedup: index = base docs' persisted signatures, delta =
@@ -387,7 +389,14 @@ object SparkEntry {
     "approx_users" -> ((s, dir) => EventOps.approxUsersByType(E(s, dir))),
     // ---- joins Spark lacks natively, composed from built-ins ----
     "funnel_conversion" -> ((s, dir) => EventOps.funnelConversion(E(s, dir))),
-    "funnel_steps" -> ((s, dir) => EventOps.funnelSteps(E(s, dir))),
+    // The t3 guard is the count-prune no-op (NULL-accepting, so it can
+    // neither be folded nor pushed): without it Catalyst drops all six
+    // user-keyed joins under Bench's count() — s1's cardinality alone
+    // determines the row count — and the bench would time only the first
+    // aggregation (`Profile count-prune` caught it).
+    "funnel_steps" -> ((s, dir) => EventOps.funnelSteps(E(s, dir))
+      .where(col("t3").isNull ||
+        col("t1") + col("t2") + col("t3") >= 0L)),
     "retention_cohorts" -> ((s, dir) => EventOps.retentionCohorts(E(s, dir))),
     // CDC MERGE: events changelog (latest-per-key upsert/tombstone)
     // applied onto the customer snapshot — the lakehouse ingest shape.
@@ -665,6 +674,7 @@ object SparkEntry {
     "value_histogram" -> TextOps.valueHistogramOracle(),
     "hash_split" -> TextOps.hashSplitOracle,
     "dedup_clusters" -> DedupOps.nearDupClustersOracle,
+    "dedup_cluster_sizes" -> DedupOps.clusterSizeHistogramOracle,
     "dedup_canonical" -> DedupOps.dedupCanonicalOracle,
     "dedup_incremental" -> DedupOps.dedupIncrementalOracle(),
     // Oracle uses DuckDB's NATIVE ASOF JOIN — an independent

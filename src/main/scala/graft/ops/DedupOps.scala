@@ -471,6 +471,31 @@ object DedupOps {
     s"""$clusterCtes
        |SELECT doc_id, label FROM clusters""".stripMargin
 
+  /** Dedup AUDIT histogram over [[nearDupClusters]] — the operational
+    * readout a dedup pipeline publishes after each run: for each
+    * near-dup cluster size, how many clusters have it and how many
+    * documents (= extra copies + survivors) they hold. A shifting size
+    * distribution is the canary for template floods and crawler loops;
+    * the removable-copy total is `sum((size-1) * n_clusters)`. One
+    * cluster-sized aggregation on top of the clustering — cost lives in
+    * the clustering itself.
+    */
+  def clusterSizeHistogram(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    nearDupClusters(corpus, minJaccard)
+      .groupBy("label").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(
+        count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("size")).as("n_docs"))
+
+  lazy val clusterSizeHistogramOracle: String =
+    s"""$clusterCtes,
+       |sized AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS size
+       |  FROM clusters GROUP BY label)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(count(*) * size AS BIGINT) AS n_docs
+       |FROM sized GROUP BY size""".stripMargin
+
   lazy val dedupCanonicalOracle: String =
     s"""$clusterCtes,
        |sized AS (

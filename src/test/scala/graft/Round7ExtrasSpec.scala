@@ -146,6 +146,26 @@ class Round7ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("clusterSizeHistogram: sizes partition the clustered docs; removable = sum((size-1)*n)") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),  // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (4L, "totally different words entirely here now ok yes"),
+      (5L, "another unrelated document with its own content words")
+    ).toDF("doc_id", "text")
+    val hist = DedupOps.clusterSizeHistogram(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1,2,3 cluster together; 4 and 5 are singleton non-members
+    // (nearDupClusters only emits docs that appear in a verified pair)
+    assert(hist.keySet === Set(3L), s"got $hist")
+    assert(hist(3L) === ((1L, 3L)))
+    val removable = hist.map { case (size, (n, _)) => (size - 1) * n }.sum
+    assert(removable === 2L, "two copies are removable from the 3-cluster")
+    spark.catalog.clearCache()
+  }
+
   test("funnelSteps: greedy earliest chain, order enforcement, partial funnels, window edge") {
     val h = 3600L * 1000 * 1000 // 1h in us
     def ev(id: Long, user: Long, typ: String, tUs: Long) =
