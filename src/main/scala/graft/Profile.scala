@@ -325,6 +325,49 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-profile [factor]` — decade check for the landing-gate
+    // family: the profile/constraint aggregates are single-scan map-side
+    // partials (must be linear), skewReport is one keyed shuffle + a
+    // key-sized summary (linear in rows, NOT in keys²), and the
+    // compaction window grows with the file COUNT only (inventory rows =
+    // nFiles, constant here — its cost must stay flat while the scan
+    // underneath grows).
+    if (args.headOption.contains("scale-profile")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val docsAmp = amplifyDocs(docs, factor)
+      docsAmp.persist(); t(s"amplify_docs_${factor}x")(docsAmp.count())
+      // amplifier carries (doc_id, text) — restore the profiled metadata
+      val docsFull = docsAmp
+        .withColumn("lang", lit("xx")).withColumn("source", lit("amp"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      t("data_profile")(StatsOps.dataProfile(docsFull).count())
+      t("compaction_plan")(
+        LayoutOps.compactionPlan(LayoutOps.fileInventory(docsFull)).count())
+      docsAmp.unpersist()
+      val li = Tables.lineitem(spark, sfDir)
+      val liAmp = (0 until factor).map { k =>
+        if (k == 0) li
+        else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+      }.reduce(_ unionAll _)
+      liAmp.persist(); t(s"amplify_lineitem_${factor}x")(liAmp.count())
+      t("constraint_check")(StatsOps.constraintCheck(liAmp).count())
+      // l_partkey NOT shifted: keys get factor× hotter — the stress case
+      t("skew_report")(SkewOps.skewReport(liAmp, "l_partkey").count())
+      liAmp.unpersist()
+      // drift: same-density copies shifted by 40 days keep the bucket
+      // count fixed — cost must be the linear scan + O(buckets) shuffle
+      val ev = Tables.events(spark, sfDir)
+      val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+      val evAmp = (0 until factor).map { k =>
+        if (k == 0) ev
+        else ev.withColumn("ts", col("ts") + lit(k * 40L * dayNs))
+      }.reduce(_ unionAll _)
+      evAmp.persist(); t(s"amplify_events_${factor}x")(evAmp.count())
+      t("drift_check")(StatsOps.driftCheck(evAmp).count())
+      evAmp.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))

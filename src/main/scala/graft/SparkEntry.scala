@@ -148,6 +148,10 @@ object SparkEntry {
     "hilbert_layout" -> ((s, dir) => LayoutOps.hilbertLayout(Tables.lineitem(s, dir))),
     "zorder3_layout" -> ((s, dir) => LayoutOps.zorder3Layout(Tables.lineitem(s, dir))),
     "hilbert3_layout" -> ((s, dir) => LayoutOps.hilbert3Layout(Tables.lineitem(s, dir))),
+    // small-file compaction plan: quota-fill bin packing over the file
+    // inventory (layout hygiene's other half — file COUNT, not row order)
+    "compaction_plan" -> ((s, dir) =>
+      LayoutOps.compactionPlan(LayoutOps.fileInventory(D(s, dir)))),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
       O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -309,6 +313,17 @@ object SparkEntry {
     "stats_corr" -> ((s, dir) => StatsOps.statsCorr(Tables.lineitem(s, dir))),
     "median_quantiles" -> ((s, dir) => StatsOps.quantiles(Tables.lineitem(s, dir))),
     "outlier_screen" -> ((s, dir) => StatsOps.outliers(Tables.lineitem(s, dir))),
+    // Deequ-style landing gate: one-pass per-column profile + one-pass
+    // declarative constraint verdicts (the admit/reject check a pipeline
+    // runs on every landed partition before training reads it)
+    "data_profile" -> ((s, dir) => StatsOps.dataProfile(D(s, dir))),
+    "constraint_check" -> ((s, dir) => StatsOps.constraintCheck(Tables.lineitem(s, dir))),
+    // join-key skew diagnostic: the measurement that sizes salted_join's
+    // salt factor (and decides whether salting is needed at all)
+    "skew_report" -> ((s, dir) => SkewOps.skewReport(Tables.lineitem(s, dir), "l_partkey")),
+    // landing gate part 3: time-split distribution drift (χ²-style,
+    // transcendental-free so both engines agree bitwise)
+    "drift_check" -> ((s, dir) => StatsOps.driftCheck(E(s, dir))),
     "simhash_shingles" -> ((s, dir) => DedupOps.simhashShingles(DedupOps.augmented(D(s, dir)))),
     "doc_repetition" -> ((s, dir) =>
       TextOps.docRepetition(D(s, dir)).where(col("top_bigram_frac") >= 0.0)),
@@ -575,6 +590,7 @@ object SparkEntry {
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
     "hashed_tf" -> SemanticOps.hashedTfOracle(),
     "zorder_layout" -> LayoutOps.zorderLayoutOracle(),
+    "compaction_plan" -> LayoutOps.compactionPlanOracle(),
     "hilbert_layout" -> LayoutOps.hilbertLayoutOracle(),
     "zorder3_layout" -> LayoutOps.zorder3LayoutOracle(),
     "hilbert3_layout" -> LayoutOps.hilbert3LayoutOracle(),
@@ -655,6 +671,10 @@ object SparkEntry {
     "stats_corr" -> StatsOps.statsCorrOracle,
     "median_quantiles" -> StatsOps.quantilesOracle,
     "outlier_screen" -> StatsOps.outliersOracle(),
+    "data_profile" -> StatsOps.dataProfileOracle(),
+    "constraint_check" -> StatsOps.constraintCheckOracle(),
+    "skew_report" -> SkewOps.skewReportOracle(),
+    "drift_check" -> StatsOps.driftCheckOracle(),
     "simhash_shingles" -> DedupOps.simhashShinglesOracle,
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "pii_scrub" -> TextOps.piiScrubOracle,

@@ -452,4 +452,74 @@ object LayoutOps {
        |  CAST(hd >> $blockBits AS BIGINT) AS block
        |FROM h$bits""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Small-file compaction planning — the OTHER half of layout hygiene.
+  // --------------------------------------------------------------------
+
+  /** Deterministic file inventory derived from the documents table: 97
+    * pseudo-files keyed by `doc_id % 97`, sized by their total text
+    * bytes. Stands in for a real `FileSystem.listStatus` inventory so
+    * the PLANNER below is oracle-checkable; a production caller feeds
+    * the actual (file_id, size_bytes) listing instead. */
+  def fileInventory(documents: DataFrame, nFiles: Int = 97): DataFrame =
+    documents
+      .groupBy(pmod(col("doc_id"), lit(nFiles)).cast("long").as("file_id"))
+      .agg(sum("n_chars").cast("long").as("size_bytes"))
+
+  /** Small-file COMPACTION plan: assign every file to an output bin so
+    * each compacted file lands near `targetBytes`. A 100 TB table that
+    * ingests hourly accretes millions of KB-scale files; scan cost (task
+    * scheduling, footer reads, row-group seeks) is then dominated by
+    * file COUNT, and periodic compaction is what keeps
+    * `maxPartitionBytes`-sized splits meaningful.
+    *
+    * Policy: quota-fill by descending size — files sorted (size DESC,
+    * file_id) take `bin = cum_bytes_before div targetBytes`. This is the
+    * deterministic, window-expressible cousin of first-fit-decreasing:
+    * every bin's payload is within one file of the quota, large files
+    * concentrate early, and — unlike true FFD's mutable bin state — the
+    * whole plan is ONE window over the inventory, so both engines
+    * compute it identically.
+    *
+    * Scale shape: the input is file METADATA (one row per file — ~1e6
+    * rows for a 100 TB table at 100 MB/file), three orders of magnitude
+    * under data scale, so the single-partition global window is a
+    * deliberate, bounded driver-adjacent step (same class as the
+    * documented bounded `.collect()` sites); the expensive part of
+    * compaction — actually rewriting bytes — is the per-bin
+    * `repartitionByRange` write that CONSUMES this plan, and that is
+    * fully distributed. */
+  def compactionPlan(files: DataFrame, targetBytes: Long = 128 * 1024): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("size_bytes").desc, col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .select(col("file_id"), col("size_bytes"),
+        coalesce(sum(col("size_bytes")).over(w), lit(0L)).as("cum_before"))
+      .select(col("file_id"), col("size_bytes"),
+        expr(s"cum_before div ${targetBytes}L").cast("long").as("bin"))
+  }
+
+  /** Same inventory + quota-fill window in DuckDB. Both sides use EXACT
+    * integer division (Spark `div`, DuckDB `//`) — not double division,
+    * whose correctly-rounded quotient can land ON the next integer when
+    * bin indices approach 2^36 (half-ulp ≈ 1/target there), i.e. exactly
+    * the 100 TB-inventory regime this planner exists for. */
+  def compactionPlanOracle(targetBytes: Long = 128 * 1024, nFiles: Int = 97): String =
+    s"""WITH inv AS (
+       |  SELECT CAST(doc_id % $nFiles AS BIGINT) AS file_id,
+       |    CAST(sum(n_chars) AS BIGINT) AS size_bytes
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT file_id, size_bytes,
+       |    CAST(COALESCE(sum(size_bytes) OVER (
+       |      ORDER BY size_bytes DESC, file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM inv)
+       |SELECT file_id, size_bytes,
+       |  cum_before // $targetBytes AS bin
+       |FROM w""".stripMargin
 }

@@ -32,4 +32,58 @@ object SkewOps {
     saltedFact.join(saltedDim.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Join-key SKEW diagnostic — the measurement that decides whether
+    * [[saltedJoin]] (or AQE skew-join) is needed at all, and with what
+    * salt factor. One row summarizing the key distribution of `df[key]`:
+    * key count, row count, min/max rows per key, mean rows per key, the
+    * skew factor (max/mean — >8–16 on a shuffle-hash join means one
+    * reducer does that multiple of the average work), and the salt count
+    * that would level the hottest key back to ~mean
+    * (`recommended_salt = ceil(skew_factor)` — exactly the `salts`
+    * argument of [[saltedJoin]]).
+    *
+    * Scale shape: groupBy(key).count is ONE shuffle with full map-side
+    * partial aggregation; the summary pass aggregates the key-sized
+    * frame (partial-agg to a single row — no second meaningful
+    * shuffle). The derived doubles are a fixed IEEE sequence over exact
+    * int64s, so the row hash-matches DuckDB.
+    */
+  def skewReport(df: DataFrame, key: String): DataFrame = {
+    val mean = col("n_rows").cast("double") / col("n_keys").cast("double")
+    df.groupBy(col(key)).agg(count(lit(1)).as("per_key"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("per_key").cast("long").as("n_rows"),
+        min("per_key").as("min_per_key"),
+        max("per_key").as("max_per_key"))
+      .select(
+        lit(key).as("key_col"),
+        col("n_keys"), col("n_rows"), col("min_per_key"), col("max_per_key"),
+        mean.as("mean_per_key"),
+        (col("max_per_key").cast("double") / mean).as("skew_factor"),
+        ceil(col("max_per_key").cast("double") / mean).cast("long")
+          .as("recommended_salt"))
+  }
+
+  /** Same two-level aggregate in DuckDB; sum(BIGINT)→HUGEINT cast back
+    * before use so both engines see the same int64s. */
+  def skewReportOracle(table: String = "lineitem", key: String = "l_partkey"): String =
+    s"""WITH per AS (
+       |  SELECT $key, count(*) AS per_key FROM $table GROUP BY 1),
+       |a AS (
+       |  SELECT count(*) AS n_keys, CAST(sum(per_key) AS BIGINT) AS n_rows,
+       |    min(per_key) AS min_per_key, max(per_key) AS max_per_key
+       |  FROM per)
+       |SELECT '$key' AS key_col,
+       |  CAST(n_keys AS BIGINT) AS n_keys, n_rows,
+       |  CAST(min_per_key AS BIGINT) AS min_per_key,
+       |  CAST(max_per_key AS BIGINT) AS max_per_key,
+       |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_per_key,
+       |  CAST(max_per_key AS DOUBLE)
+       |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_factor,
+       |  CAST(ceil(CAST(max_per_key AS DOUBLE)
+       |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))) AS BIGINT)
+       |    AS recommended_salt
+       |FROM a""".stripMargin
 }

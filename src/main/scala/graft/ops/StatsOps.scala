@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Statistical profiling aggregates — the data-profiling pass a pipeline
@@ -174,4 +174,239 @@ object StatsOps {
       |  quantile_cont(l_quantity, 0.5) AS median,
       |  quantile_cont(l_quantity, 0.75) AS q75
       |FROM lineitem GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Table profiling (Deequ-style): the pre-training-run validation pass.
+  // --------------------------------------------------------------------
+
+  /** ONE-pass per-column table profile — the validation report a pipeline
+    * computes over every landed partition before admitting it to a
+    * training run: row count, per-column completeness (non-null ratio),
+    * exact distinct counts, and — for numeric columns — min/max/mean.
+    *
+    * All ~5 metrics × N columns are computed in a SINGLE aggregate over
+    * ONE scan; the wide 1-row result is then unpivoted to per-column rows
+    * map-side (explode of a literal struct array over one row — free).
+    * Means come from exact integer-cent sums (the [[statsCorr]] trick):
+    * addition of int64 is order-independent, so the value is
+    * bitwise-reproducible across partitionings AND engines; min/max of
+    * doubles are exact (no accumulation). Completeness is one IEEE
+    * division of two exact int64s — identical everywhere.
+    *
+    * Scale shape: the multiple exact `countDistinct`s plan through one
+    * Expand (input ×(N+1) in the partial aggregate) — the standard Spark
+    * multi-distinct strategy; shuffle traffic is per-(gid, value) partials,
+    * NOT raw rows. At 100 TB exact per-column distincts are genuinely
+    * expensive — a production profile swaps `countDistinct` for
+    * `approx_count_distinct` (HLL++, one pass, no Expand) and accepts a
+    * ±2% estimate; the exact form is kept here because the driver's
+    * oracle hash-compares values. int64 cent-sums bound the mean domain
+    * exactly as documented on [[statsCorr]].
+    */
+  def dataProfile(df: DataFrame,
+                  numCols: Seq[String] = Seq("doc_id", "n_chars"),
+                  strCols: Seq[String] = Seq("text", "lang", "source")): DataFrame = {
+    val allCols = numCols ++ strCols
+    def cents(c: String) = round(col(c) * 100).cast("long")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        allCols.flatMap { c =>
+          Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+        } ++
+        numCols.flatMap { c =>
+          Seq(min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"),
+            sum(cents(c)).as(s"sc_$c"))
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = allCols.map { c =>
+      val isNum = numCols.contains(c)
+      val nullD = lit(null).cast("double")
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        col(s"nn_$c").cast("long").as("n_nonnull"),
+        (col("n_rows") - col(s"nn_$c")).cast("long").as("n_nulls"),
+        // nullif guards keep the 0-row / all-NULL degenerate cases
+        // DEFINED (NULL) instead of an ANSI divide-by-zero error
+        (col(s"nn_$c").cast("double") / nullif(col("n_rows").cast("double"), lit(0.0)))
+          .as("completeness"),
+        col(s"nd_$c").cast("long").as("n_distinct"),
+        (if (isNum) col(s"mn_$c") else nullD).as("min_num"),
+        (if (isNum) col(s"mx_$c") else nullD).as("max_num"),
+        (if (isNum)
+          (col(s"sc_$c").cast("double") / lit(100.0)) /
+            nullif(col(s"nn_$c").cast("double"), lit(0.0))
+        else nullD).as("mean_num"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Same single-scan wide aggregate in DuckDB, unpivoted by a UNION ALL
+    * over the 1-row CTE (each branch is a constant projection — DuckDB
+    * scans once). sum(BIGINT) is HUGEINT there — cast back before the
+    * double conversion so both engines convert the same int64. */
+  def dataProfileOracle(table: String = "documents",
+                        numCols: Seq[String] = Seq("doc_id", "n_chars"),
+                        strCols: Seq[String] = Seq("text", "lang", "source")): String = {
+    val allCols = numCols ++ strCols
+    val aggSelects =
+      Seq("count(*) AS n_rows") ++
+        allCols.flatMap { c =>
+          Seq(s"count($c) AS nn_$c", s"count(DISTINCT $c) AS nd_$c")
+        } ++
+        numCols.flatMap { c =>
+          Seq(s"CAST(min($c) AS DOUBLE) AS mn_$c",
+            s"CAST(max($c) AS DOUBLE) AS mx_$c",
+            s"CAST(sum(CAST(round($c * 100) AS BIGINT)) AS BIGINT) AS sc_$c")
+        }
+    val branches = allCols.map { c =>
+      val isNum = numCols.contains(c)
+      val mn = if (isNum) s"mn_$c" else "CAST(NULL AS DOUBLE)"
+      val mx = if (isNum) s"mx_$c" else "CAST(NULL AS DOUBLE)"
+      val mean =
+        if (isNum)
+          s"(CAST(sc_$c AS DOUBLE) / 100.0) / NULLIF(CAST(nn_$c AS DOUBLE), 0.0)"
+        else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST(nn_$c AS BIGINT) AS n_nonnull,
+         |  CAST(n_rows - nn_$c AS BIGINT) AS n_nulls,
+         |  CAST(nn_$c AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0) AS completeness,
+         |  CAST(nd_$c AS BIGINT) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num, $mean AS mean_num
+         |FROM a""".stripMargin
+    }
+    s"WITH a AS (SELECT ${aggSelects.mkString(", ")} FROM $table)\n" +
+      branches.mkString("\nUNION ALL\n")
+  }
+
+  /** Declarative constraint suite over lineitem — the admit/reject gate
+    * that runs right after [[dataProfile]]: each constraint is an ANSI
+    * SQL predicate evaluated per row; a NULL predicate counts as a
+    * VIOLATION (CASE WHEN cond THEN 0 ELSE 1 — the conservative
+    * accounting a gate wants, since an un-evaluable row is not a pass).
+    * All constraints are folded into ONE aggregate over ONE scan, then
+    * unpivoted to per-constraint verdict rows.
+    *
+    * The predicate strings are fed verbatim to BOTH engines (Spark
+    * `expr()` and the DuckDB oracle) — shared-text conditions make
+    * cross-engine drift in the constraint semantics impossible by
+    * construction. Scale: sums of 0/1 int64 partials, map-side combine —
+    * shuffle traffic is one row per partition regardless of table size.
+    */
+  val defaultConstraints: Seq[(String, String)] = Seq(
+    "quantity_in_range" -> "l_quantity >= 1 AND l_quantity <= 50",
+    "price_positive" -> "l_extendedprice > 0",
+    "discount_in_range" -> "l_discount >= 0 AND l_discount <= 0.10",
+    "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+    "linestatus_domain" -> "l_linestatus IN ('O', 'F')",
+    "shipdate_nonnull" -> "l_shipdate IS NOT NULL",
+    "keys_positive" -> "l_orderkey > 0 AND l_partkey > 0 AND l_suppkey > 0")
+
+  def constraintCheck(df: DataFrame,
+                      constraints: Seq[(String, String)] = defaultConstraints): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++ constraints.zipWithIndex.map {
+        case ((_, cond), i) =>
+          coalesce(sum(when(expr(cond), 0L).otherwise(1L)), lit(0L)).as(s"v_$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = constraints.zipWithIndex.map { case ((name, _), i) =>
+      struct(
+        lit(name).as("c_name"),
+        col("n_rows").cast("long").as("n_rows"),
+        col(s"v_$i").cast("long").as("n_violations"),
+        when(col(s"v_$i") === 0L, "pass").otherwise("fail").as("status"))
+    }
+    one.select(explode(array(rows: _*)).as("c")).select("c.*")
+  }
+
+  /** Distribution DRIFT check — landing gate, part 3: after profile and
+    * constraints pass, compare the value distribution of the newly
+    * landed half of the stream against the established half. Rows are
+    * split at the midpoint of the observed time range (exact integer
+    * microsecond arithmetic), histogrammed into fixed-width buckets, and
+    * each bucket contributes a chi-square-style term
+    * `(p_a − p_b)² / ((p_a + p_b) / 2)` — deliberately TRANSCENDENTAL-
+    * FREE (no ln as in PSI/KL), so every term is a fixed IEEE sequence
+    * over exact int64 counts and the rows hash-match DuckDB bitwise.
+    * Σ contrib > ~0.1 is the "distribution moved" alarm threshold.
+    *
+    * Scale shape: side assignment and bucketing are map-side; ONE
+    * (bucket)-keyed aggregation with full partial aggregation counts
+    * both sides simultaneously (no per-side join); the time bounds and
+    * side totals are 1-row metadata broadcast via the documented
+    * single-row crossJoin pattern. Shuffle traffic is O(buckets), not
+    * rows.
+    */
+  def driftCheck(events: DataFrame, width: Double = 50.0): DataFrame = {
+    // Tables.events canonical ts is epoch NANOS as LONG; micros idiom
+    val tsUs = expr("ts div 1000")
+    val bounds = events.agg(
+      min(tsUs).as("t0"), max(tsUs).as("t1"))
+      .select(expr("t0 + (t1 - t0) div 2").as("mid"))
+    val sided = events.select(tsUs.as("t_us"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .crossJoin(broadcast(bounds))
+      .select(col("bucket"), when(col("t_us") <= col("mid"), 1L).otherwise(0L).as("is_a"))
+    val counts = sided.groupBy("bucket").agg(
+      sum(col("is_a")).as("n_a"),
+      sum(lit(1L) - col("is_a")).as("n_b"))
+    val totals = counts.agg(
+      sum("n_a").cast("long").as("tot_a"), sum("n_b").cast("long").as("tot_b"))
+    val pA = col("n_a").cast("double") / col("tot_a").cast("double")
+    val pB = col("n_b").cast("double") / col("tot_b").cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        pA.as("p_a"), pB.as("p_b"),
+        ((pA - pB) * (pA - pB) / ((pA + pB) / lit(2.0))).as("contrib"))
+  }
+
+  /** Same split/bucket/term arithmetic in DuckDB. epoch_us is the exact
+    * integer microsecond form on both engines; integer midpoint via `//`
+    * mirrors Spark's long division. */
+  def driftCheckOracle(width: Double = 50.0): String =
+    s"""WITH b AS (
+       |  SELECT (min(epoch_us(ts)) +
+       |          (max(epoch_us(ts)) - min(epoch_us(ts))) // 2) AS mid
+       |  FROM events),
+       |sided AS (
+       |  SELECT CAST(floor(value / $width) AS BIGINT) AS bucket,
+       |    CASE WHEN epoch_us(ts) <= (SELECT mid FROM b) THEN 1 ELSE 0 END AS is_a
+       |  FROM events),
+       |counts AS (
+       |  SELECT bucket, CAST(sum(is_a) AS BIGINT) AS n_a,
+       |    CAST(sum(1 - is_a) AS BIGINT) AS n_b
+       |  FROM sided GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+       |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM counts)
+       |SELECT bucket, n_a, n_b,
+       |  CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
+       |  CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+       |  (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+       |     - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+       |  * (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+       |     - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+       |  / ((CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+       |      + CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0) AS contrib
+       |FROM counts, tot""".stripMargin
+
+  def constraintCheckOracle(table: String = "lineitem",
+                            constraints: Seq[(String, String)] = defaultConstraints): String = {
+    val aggSelects =
+      Seq("count(*) AS n_rows") ++ constraints.zipWithIndex.map {
+        case ((_, cond), i) =>
+          s"CAST(COALESCE(sum(CASE WHEN $cond THEN 0 ELSE 1 END), 0) AS BIGINT) AS v_$i"
+      }
+    val branches = constraints.zipWithIndex.map { case ((name, _), i) =>
+      s"""SELECT '$name' AS c_name, CAST(n_rows AS BIGINT) AS n_rows,
+         |  v_$i AS n_violations,
+         |  CASE WHEN v_$i = 0 THEN 'pass' ELSE 'fail' END AS status
+         |FROM a""".stripMargin
+    }
+    s"WITH a AS (SELECT ${aggSelects.mkString(", ")} FROM $table)\n" +
+      branches.mkString("\nUNION ALL\n")
+  }
 }

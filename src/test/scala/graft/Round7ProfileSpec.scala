@@ -1,0 +1,141 @@
+package graft
+
+import graft.ops.{LayoutOps, SkewOps, StatsOps}
+import org.apache.spark.sql.functions._
+
+/** Round-7 session additions: the landing-gate trio (data profile,
+  * constraint suite, skew diagnostic) and the small-file compaction
+  * planner. Each is pinned on a hand-built adversarial fixture where the
+  * expected output is computable by eye — NULL columns, violated
+  * constraints, a hot key, quota-straddling file sizes — independently
+  * of the DuckDB oracle that checks the registered production shapes.
+  */
+class Round7ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dataProfile: completeness, distincts, and exact numeric moments") {
+    val docs = Seq(
+      (1L, "aa", "en", "web", 10L),
+      (2L, "bb", null, "web", 20L),
+      (3L, "aa", "en", null, 30L),
+      (4L, null, "de", "book", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = StatsOps.dataProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("doc_id", "n_chars", "text", "lang", "source"))
+    p.values.foreach(r => assert(r.getLong(1) == 4)) // n_rows everywhere
+    val lang = p("lang")
+    assert(lang.getLong(2) == 3 && lang.getLong(3) == 1) // nonnull / nulls
+    assert(lang.getDouble(4) == 0.75 && lang.getLong(5) == 2) // completeness, distinct
+    assert(lang.isNullAt(6) && lang.isNullAt(7) && lang.isNullAt(8)) // no numerics
+    val text = p("text")
+    assert(text.getLong(5) == 2) // "aa" counted once, NULL ignored
+    val nc = p("n_chars")
+    assert(nc.getDouble(6) == 10.0 && nc.getDouble(7) == 40.0)
+    assert(nc.getDouble(8) == 25.0) // (10+20+30+40)/4 via exact cents
+    val id = p("doc_id")
+    assert(id.getLong(5) == 4 && id.getDouble(8) == 2.5)
+  }
+
+  test("constraintCheck: NULL predicate counts as violation; empty passes vacuously") {
+    val rows = Seq[(java.lang.Double, String)](
+      (10.0, "A"), (55.0, "A"), (null, "R"), (20.0, "X"))
+      .toDF("l_quantity", "l_returnflag")
+    val cs = Seq(
+      "quantity_in_range" -> "l_quantity >= 1 AND l_quantity <= 50",
+      "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')")
+    val out = StatsOps.constraintCheck(rows, cs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // 55.0 out of range + NULL un-evaluable = 2 violations
+    assert(out("quantity_in_range").getLong(2) == 2)
+    assert(out("quantity_in_range").getString(3) == "fail")
+    assert(out("returnflag_domain").getLong(2) == 1) // 'X'
+    // zero-row partition: every constraint passes with 0 violations
+    val empty = rows.where(lit(false))
+    StatsOps.constraintCheck(empty, cs).collect().foreach { r =>
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getString(3) == "pass")
+    }
+  }
+
+  test("skewReport: hot key measured; recommended_salt levels it in saltedJoin") {
+    // key 'hot' has 8 rows, 'a'..'d' one each: mean = 12/5, skew = 8/2.4
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b", "c", "d")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("event_id", "event_type")
+    val r = SkewOps.skewReport(df, "event_type").collect().head
+    assert(r.getAs[Long]("n_keys") == 5 && r.getAs[Long]("n_rows") == 12)
+    assert(r.getAs[Long]("min_per_key") == 1 && r.getAs[Long]("max_per_key") == 8)
+    assert(math.abs(r.getAs[Double]("skew_factor") - (8.0 / 2.4)) < 1e-12)
+    val salt = r.getAs[Long]("recommended_salt")
+    assert(salt == 4) // ceil(3.33)
+    // the diagnostic feeds the mitigation: salted join with that factor
+    // reproduces the plain join exactly
+    val dim = df.groupBy("event_type").agg(count(lit(1)).as("total"))
+    val salted = SkewOps.saltedJoin(df, dim, "event_type", col("event_id"), salt.toInt)
+      .orderBy("event_id").collect()
+    val plain = df.join(dim, "event_type").orderBy("event_id")
+      .select("event_id", "event_type", "total").collect()
+    assert(salted.map(r2 => (r2.getAs[Long]("event_id"), r2.getAs[Long]("total"))).toSeq ==
+      plain.map(r2 => (r2.getAs[Long]("event_id"), r2.getAs[Long]("total"))).toSeq)
+  }
+
+  test("compactionPlan: quota-fill bins by descending size, deterministic tiebreak") {
+    val files = Seq(
+      (1L, 70L), (2L, 60L), (3L, 50L), (4L, 40L), (5L, 40L), (6L, 10L))
+      .toDF("file_id", "size_bytes")
+    val out = LayoutOps.compactionPlan(files, targetBytes = 100L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // order: 70,60,50,40(id4),40(id5),10 — cums before: 0,70,130,180,220,260
+    assert(out(1L)._2 == 0 && out(2L)._2 == 0)
+    assert(out(3L)._2 == 1 && out(4L)._2 == 1)
+    assert(out(5L)._2 == 2 && out(6L)._2 == 2)
+    // invariants: bins contiguous from 0; every bin except the last ends
+    // at-or-past its quota boundary (cum including last file >= quota)
+    val bins = out.values.map(_._2).toSeq.sorted
+    assert(bins.distinct == (0L to bins.max))
+    // empty inventory plans to empty, never throws
+    assert(LayoutOps.compactionPlan(files.where(lit(false))).isEmpty)
+    // empty skew input: one row, NULL summary stats, no ANSI div error
+    val er = SkewOps.skewReport(
+      Seq.empty[(Long, String)].toDF("event_id", "event_type"), "event_type")
+      .collect().head
+    assert(er.getAs[Long]("n_keys") == 0 && er.isNullAt(5))
+  }
+
+  test("driftCheck: time-split histogram divergence, exact by hand") {
+    // ts in epoch NANOS (Tables.events canonical); mid lands at 52 µs
+    val early = Seq((1L, 10.0), (2L, 10.0), (3L, 60.0), (4L, 60.0))
+    val late = Seq((101L, 10.0), (102L, 110.0), (103L, 110.0), (104L, 110.0))
+    val ev = (early ++ late).map { case (us, v) => (us * 1000L, v) }
+      .toDF("ts", "value")
+    val out = StatsOps.driftCheck(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L).getAs[Long]("n_a") == 2 && out(0L).getAs[Long]("n_b") == 1)
+    assert(out(1L).getAs[Long]("n_a") == 2 && out(1L).getAs[Long]("n_b") == 0)
+    assert(out(2L).getAs[Long]("n_a") == 0 && out(2L).getAs[Long]("n_b") == 3)
+    // χ²-style contribs: (pA−pB)²/((pA+pB)/2) with tot_a=tot_b=4
+    assert(math.abs(out(1L).getAs[Double]("contrib") - 1.0) < 1e-12)
+    assert(math.abs(out(2L).getAs[Double]("contrib") - 1.5) < 1e-12)
+    assert(math.abs(out(0L).getAs[Double]("contrib") - 1.0 / 6.0) < 1e-12)
+    // identical halves ⇒ zero drift everywhere
+    val same = (early ++ early.map { case (us, v) => (us + 100L, v) })
+      .map { case (us, v) => (us * 1000L, v) }.toDF("ts", "value")
+    assert(StatsOps.driftCheck(same).collect()
+      .forall(_.getAs[Double]("contrib") == 0.0))
+  }
+
+  test("dataProfile: all-null column and empty frame degenerate cleanly") {
+    val docs = Seq((1L, "x", null: String, null: String, 5L), (2L, "y", null: String, null: String, 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = StatsOps.dataProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("lang").getLong(2) == 0 && p("lang").getDouble(4) == 0.0)
+    assert(p("lang").getLong(5) == 0)
+    // empty: one row per column, n_rows=0, completeness NULL (nullif
+    // guard — not an ANSI divide-by-zero error); never throws
+    val empty = docs.where(lit(false))
+    val ep = StatsOps.dataProfile(empty).collect()
+    assert(ep.length == 5 && ep.forall(_.getLong(1) == 0))
+    assert(ep.forall(_.isNullAt(4)))
+  }
+}
