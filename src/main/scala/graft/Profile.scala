@@ -343,6 +343,10 @@ object Profile {
       t("data_profile")(StatsOps.dataProfile(docsFull).count())
       t("compaction_plan")(
         LayoutOps.compactionPlan(LayoutOps.fileInventory(docsFull)).count())
+      // release diff vs the line-deduped rewrite: digest join must stay
+      // linear — the shuffle carries (key, digest), never text
+      t("output_diff")(StatsOps.outputDiff(docsFull,
+        DedupOps.lineDedup(docsFull), "doc_id", "text", "text_dedup").count())
       docsAmp.unpersist()
       val li = Tables.lineitem(spark, sfDir)
       val liAmp = (0 until factor).map { k =>

@@ -324,6 +324,14 @@ object SparkEntry {
     // landing gate part 3: time-split distribution drift (χ²-style,
     // transcendental-free so both engines agree bitwise)
     "drift_check" -> ((s, dir) => StatsOps.driftCheck(E(s, dir))),
+    // release audit: what did the boilerplate-strip stage do to the
+    // dup-injected corpus? (digest-compare map-side — text never
+    // shuffles; removed/changed/unchanged all populated)
+    "output_diff" -> ((s, dir) => {
+      val corpus = DedupOps.augmented(D(s, dir))
+      StatsOps.outputDiff(corpus, DedupOps.boilerplateStrip(corpus),
+        "doc_id", "text", "text_clean")
+    }),
     "simhash_shingles" -> ((s, dir) => DedupOps.simhashShingles(DedupOps.augmented(D(s, dir)))),
     "doc_repetition" -> ((s, dir) =>
       TextOps.docRepetition(D(s, dir)).where(col("top_bigram_frac") >= 0.0)),
@@ -675,6 +683,8 @@ object SparkEntry {
     "constraint_check" -> StatsOps.constraintCheckOracle(),
     "skew_report" -> SkewOps.skewReportOracle(),
     "drift_check" -> StatsOps.driftCheckOracle(),
+    "output_diff" -> StatsOps.outputDiffBoilerplateOracle(
+      DedupOps.augmentedSql, DedupOps.boilerplateStripOracle()),
     "simhash_shingles" -> DedupOps.simhashShinglesOracle,
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "pii_scrub" -> TextOps.piiScrubOracle,

@@ -502,6 +502,28 @@ object LayoutOps {
         expr(s"cum_before div ${targetBytes}L").cast("long").as("bin"))
   }
 
+  /** EXECUTE a compaction plan end-to-end: re-write `documents` so each
+    * plan bin becomes exactly ONE output file (`bin=k/part-*.parquet`).
+    * The distributed half of the planner: rows map-side join the
+    * broadcast (file_id → bin) plan, hash-repartition on bin (each bin
+    * lands wholly in one task → one file per `partitionBy` directory),
+    * and stream to parquet. The only driver-side step is reading the
+    * bin COUNT off the plan — bounded metadata (one long), same class
+    * as the engine's other documented bounded collects. Returns the bin
+    * count so callers can assert the file-count contraction. */
+  def applyCompaction(documents: DataFrame, path: String,
+                      nFiles: Int = 97, targetBytes: Long = 128 * 1024): Long = {
+    val plan = compactionPlan(fileInventory(documents, nFiles), targetBytes)
+    val nBins = plan.agg(max("bin")).head.getLong(0) + 1
+    documents
+      .withColumn("file_id", pmod(col("doc_id"), lit(nFiles)).cast("long"))
+      .join(broadcast(plan.select("file_id", "bin")), "file_id")
+      .drop("file_id")
+      .repartition(nBins.toInt, col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(path)
+    nBins
+  }
+
   /** Same inventory + quota-fill window in DuckDB. Both sides use EXACT
     * integer division (Spark `div`, DuckDB `//`) — not double division,
     * whose correctly-rounded quotient can land ON the next integer when

@@ -393,6 +393,53 @@ object StatsOps {
        |      + CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0) AS contrib
        |FROM counts, tot""".stripMargin
 
+  /** Release-audit DIFF between two pipeline outputs keyed on `key`:
+    * how many rows a new run ADDED, REMOVED, CHANGED, or left UNCHANGED
+    * versus the previous run — the regression report a data-pipeline
+    * release gate reads before promoting a corpus version.
+    *
+    * Scale shape: values are compared by md5 DIGEST computed map-side
+    * BEFORE the join, so the key-partitioned full-outer sort-merge join
+    * shuffles (key, 32-byte digest) — never the document text. The
+    * status classification and count are then one tiny aggregate.
+    * Digest equality is exact for change DETECTION (no within-bucket
+    * verify needed: a release audit counts differences, it does not
+    * need to prove collisions impossible — an md5 collision would
+    * undercount `changed` by one at probability ~2⁻¹²⁸).
+    */
+  def outputDiff(a: DataFrame, b: DataFrame, key: String,
+                 valA: String, valB: String): DataFrame = {
+    val left = a.select(col(key).as("k"), md5(col(valA)).as("da"), lit(1).as("in_a"))
+    val right = b.select(col(key).as("k"), md5(col(valB)).as("db"), lit(1).as("in_b"))
+    left.join(right, Seq("k"), "full_outer")
+      .select(
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(col("da") <=> col("db"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
+  /** Oracle for the registered pair (the dup-injected corpus vs its
+    * boilerplate-stripped rewrite — removed/changed/unchanged all
+    * populated): the a-side is the shared `augmentedSql` CTE and the
+    * b-side is the ENTIRE [[graft.ops.DedupOps.boilerplateStripOracle]]
+    * text embedded as a nested-WITH CTE subquery — one derivation per
+    * side, zero drift. */
+  def outputDiffBoilerplateOracle(augmentedCte: String, stripSql: String): String =
+    s"""WITH $augmentedCte,
+       |b AS (
+       |$stripSql
+       |),
+       |d AS (
+       |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+       |              WHEN b.doc_id IS NULL THEN 'removed'
+       |              WHEN md5(a.text) IS NOT DISTINCT FROM md5(b.text_clean)
+       |                THEN 'unchanged'
+       |              ELSE 'changed' END AS status
+       |  FROM corpus a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1""".stripMargin
+
   def constraintCheckOracle(table: String = "lineitem",
                             constraints: Seq[(String, String)] = defaultConstraints): String = {
     val aggSelects =

@@ -57,4 +57,18 @@ object StreamingClean {
       sink(TextOps.gopherGate(docs, minTokens, maxTokens, minAvgLen,
         maxAvgLen, minStopRatio, maxDupSegFrac, maxTopBigramFrac), batchId)
     }
+
+  /** Ingest-time landing gate: run the declarative constraint suite
+    * ([[graft.ops.StatsOps.constraintCheck]]) over every arriving
+    * micro-batch and hand the per-constraint verdict rows to `sink` with
+    * the batch id — the admit/reject signal evaluated at the batch
+    * boundary, before the batch is merged into the corpus. Predicates
+    * are frozen at stream start (the batch twin's shared-text strings),
+    * so the streaming and batch gates can never disagree on semantics. */
+  def constraintGateStream(spark: SparkSession, stream: DataFrame,
+                           constraints: Seq[(String, String)])
+                          (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.StatsOps.constraintCheck(batch, constraints), batchId)
+    }
 }

@@ -124,6 +124,50 @@ class Round7ProfileSpec extends SparkSpec {
       .forall(_.getAs[Double]("contrib") == 0.0))
   }
 
+  test("outputDiff: added/removed/changed/unchanged all counted by digest") {
+    val prev = Seq((1L, "same"), (2L, "old text"), (3L, "gone"), (5L, "also same"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "same"), (2L, "NEW text"), (4L, "fresh"), (5L, "also same"))
+      .toDF("doc_id", "text")
+    val d = StatsOps.outputDiff(prev, next, "doc_id", "text", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+    // identical runs: one row, all unchanged
+    val same = StatsOps.outputDiff(prev, prev, "doc_id", "text", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same == Map("unchanged" -> 4L))
+  }
+
+  test("applyCompaction: one file per bin, rows conserved, file count contracts") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc $i text ${"x" * (i % 37).toInt}", (20 + i % 37)))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val nFiles = 29
+    val nBins = LayoutOps.applyCompaction(docs, dir, nFiles = nFiles,
+      targetBytes = 1200L)
+    val binDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bin=")).sortBy(_.getName)
+    assert(binDirs.length == nBins && nBins < nFiles,
+      s"expected $nBins bins (< $nFiles input files), got ${binDirs.length}")
+    // the compaction promise: exactly ONE data file per output bin
+    binDirs.foreach { d0 =>
+      val parts = d0.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d0.getName}: ${parts.length} files")
+    }
+    // lossless: read-back matches the input row-for-row
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200)
+    assert(back.select("doc_id", "text", "n_chars").except(docs).isEmpty)
+    assert(docs.except(back.select("doc_id", "text", "n_chars")).isEmpty)
+    // plan parity: bins on disk match the planner's assignment
+    val plan = LayoutOps.compactionPlan(
+      LayoutOps.fileInventory(docs, nFiles), 1200L)
+    val expected = plan.select("bin").distinct().collect().map(_.getLong(0)).toSet
+    assert(binDirs.map(_.getName.stripPrefix("bin=").toLong).toSet == expected)
+  }
+
   test("dataProfile: all-null column and empty frame degenerate cleanly") {
     val docs = Seq((1L, "x", null: String, null: String, 5L), (2L, "y", null: String, null: String, 6L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

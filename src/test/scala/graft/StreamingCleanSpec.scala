@@ -80,4 +80,36 @@ class StreamingCleanSpec extends SparkSpec {
       query.stop()
     }
   }
+
+  test("constraintGateStream: per-batch verdicts match the batch gate, zero state") {
+    implicit val sq = spark.sqlContext
+    val cs = Seq(
+      "value_in_range" -> "value >= 0 AND value <= 100",
+      "kind_domain" -> "kind IN ('a', 'b')")
+    val got = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, String)]
+    val input = MemoryStream[(Double, String)]
+    val query = StreamingClean.constraintGateStream(
+      spark, input.toDF().toDF("value", "kind"), cs) { (verdicts, id) =>
+      got ++= verdicts.collect().map(r =>
+        (id, r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }.start()
+    try {
+      input.addData((10.0, "a"), (50.0, "b")) // clean batch
+      query.processAllAvailable()
+      input.addData((200.0, "a"), (30.0, "zzz")) // one violation per rule
+      query.processAllAvailable()
+      val byBatch = got.groupBy(_._1)
+      assert(byBatch.size == 2)
+      // batch 0: both constraints pass on 2 rows
+      assert(byBatch(0L).forall(v => v._3 == 2 && v._4 == 0 && v._5 == "pass"))
+      // batch 1: each constraint fails exactly once — the admit/reject
+      // signal flips at the batch boundary, scoped to THAT batch only
+      val b1 = byBatch(1L).map(v => v._2 -> ((v._4, v._5))).toMap
+      assert(b1("value_in_range") == ((1L, "fail")))
+      assert(b1("kind_domain") == ((1L, "fail")))
+      assert(query.lastProgress.stateOperators.isEmpty, "must be state-free")
+    } finally {
+      query.stop()
+    }
+  }
 }
