@@ -357,6 +357,8 @@ object Profile {
       t("constraint_check")(StatsOps.constraintCheck(liAmp).count())
       // l_partkey NOT shifted: keys get factor× hotter — the stress case
       t("skew_report")(SkewOps.skewReport(liAmp, "l_partkey").count())
+      t("quantile_bins")(StatsOps.quantileBins(liAmp).count())
+      t("zscore_normalize")(StatsOps.zscoreNormalize(liAmp).count())
       liAmp.unpersist()
       // drift: same-density copies shifted by 40 days keep the bucket
       // count fixed — cost must be the linear scan + O(buckets) shuffle

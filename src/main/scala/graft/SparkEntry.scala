@@ -313,6 +313,11 @@ object SparkEntry {
     "stats_corr" -> ((s, dir) => StatsOps.statsCorr(Tables.lineitem(s, dir))),
     "median_quantiles" -> ((s, dir) => StatsOps.quantiles(Tables.lineitem(s, dir))),
     "outlier_screen" -> ((s, dir) => StatsOps.outliers(Tables.lineitem(s, dir))),
+    // feature engineering: broadcast-boundary equi-depth binning (the
+    // scale-correct QuantileDiscretizer shape — no global ntile window)
+    // and per-group z-score standardization behind a broadcast join
+    "quantile_bins" -> ((s, dir) => StatsOps.quantileBins(Tables.lineitem(s, dir))),
+    "zscore_normalize" -> ((s, dir) => StatsOps.zscoreNormalize(Tables.lineitem(s, dir))),
     // Deequ-style landing gate: one-pass per-column profile + one-pass
     // declarative constraint verdicts (the admit/reject check a pipeline
     // runs on every landed partition before training reads it)
@@ -679,6 +684,8 @@ object SparkEntry {
     "stats_corr" -> StatsOps.statsCorrOracle,
     "median_quantiles" -> StatsOps.quantilesOracle,
     "outlier_screen" -> StatsOps.outliersOracle(),
+    "quantile_bins" -> StatsOps.quantileBinsOracle(),
+    "zscore_normalize" -> StatsOps.zscoreNormalizeOracle,
     "data_profile" -> StatsOps.dataProfileOracle(),
     "constraint_check" -> StatsOps.constraintCheckOracle(),
     "skew_report" -> SkewOps.skewReportOracle(),

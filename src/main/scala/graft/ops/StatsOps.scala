@@ -205,13 +205,32 @@ object StatsOps {
     */
   def dataProfile(df: DataFrame,
                   numCols: Seq[String] = Seq("doc_id", "n_chars"),
-                  strCols: Seq[String] = Seq("text", "lang", "source")): DataFrame = {
+                  strCols: Seq[String] = Seq("text", "lang", "source")): DataFrame =
+    profileWith(df, numCols, strCols, c => countDistinct(col(c)))
+
+  /** The documented 100 TB swap made real: identical profile shape with
+    * `approx_count_distinct` (HLL++, rsd 2%) in place of the exact
+    * distincts — ONE pass, NO Expand (input is not multiplied), partials
+    * merge associatively, so it streams and shards. Not oracle-checkable
+    * (HLL estimates are engine-specific); spec pins it within tolerance
+    * of [[dataProfile]] and exactly equal on every non-distinct column. */
+  def dataProfileApprox(df: DataFrame,
+                        numCols: Seq[String] = Seq("doc_id", "n_chars"),
+                        strCols: Seq[String] = Seq("text", "lang", "source")): DataFrame =
+    profileWith(df, numCols, strCols, c => approx_count_distinct(col(c), 0.02))
+
+  /** Shared profile builder — the exact and approx variants differ ONLY
+    * in the distinct aggregate, so they can never drift on the other
+    * seven metrics. */
+  private def profileWith(df: DataFrame, numCols: Seq[String],
+                          strCols: Seq[String],
+                          distinctAgg: String => Column): DataFrame = {
     val allCols = numCols ++ strCols
     def cents(c: String) = round(col(c) * 100).cast("long")
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
         allCols.flatMap { c =>
-          Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+          Seq(count(col(c)).as(s"nn_$c"), distinctAgg(c).as(s"nd_$c"))
         } ++
         numCols.flatMap { c =>
           Seq(min(col(c)).cast("double").as(s"mn_$c"),
@@ -439,6 +458,103 @@ object StatsOps {
        |              ELSE 'changed' END AS status
        |  FROM corpus a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1""".stripMargin
+
+  /** Equi-depth BINNING (the feature-engineering discretizer): bin
+    * boundaries are the exact type-7 percentiles of integer-cent prices
+    * — the same bitwise-cross-engine interpolation as [[quantiles]] —
+    * broadcast as a 1-row array, and every row is assigned its bin
+    * MAP-SIDE by counting boundaries below its value. This is the
+    * scale-correct formulation (Spark's own QuantileDiscretizer shape):
+    * a global `ntile` window would serialize the whole table through one
+    * task, which is exactly what this avoids. Ties share a bin, so
+    * counts are near-equal rather than exactly equal — the honest
+    * semantics at 100 TB. Output: per-bin count and value span.
+    *
+    * Cost note: the EXACT percentile aggregate buffers the value
+    * multiset (here: distinct integer cents) on the final reducer — the
+    * price of a bitwise-checkable oracle. At 100 TB swap the boundary
+    * derivation for `approx_percentile` (KLL-sketch, mergeable partials,
+    * same downstream assignment) and accept ε-approximate boundaries;
+    * the assignment pass is unchanged either way.
+    */
+  def quantileBins(lineitem: DataFrame, nBins: Int = 8): DataFrame = {
+    val yc = round(col("l_extendedprice") * 100).cast("long")
+    val ps = (1 until nBins).map(k => k.toDouble / nBins)
+    val bounds = lineitem.select(yc.as("yc"))
+      .agg(expr(s"percentile(yc, array(${ps.mkString(", ")}))").as("bs"))
+    lineitem.select(yc.as("yc"))
+      .crossJoin(broadcast(bounds))
+      .select(col("yc"),
+        expr("aggregate(bs, 0L, (acc, b) -> acc + IF(yc > b, 1L, 0L))").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (min(col("yc")).cast("double") / lit(100.0)).as("min_price"),
+        (max(col("yc")).cast("double") / lit(100.0)).as("max_price"))
+  }
+
+  /** DuckDB twin: quantile_cont over the same integer cents (bitwise
+    * equal to Spark's `percentile`, proven by [[quantiles]]), the same
+    * strict-greater boundary count via list_filter. */
+  def quantileBinsOracle(nBins: Int = 8): String = {
+    val ps = (1 until nBins).map(k => k.toDouble / nBins)
+    s"""WITH cents AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS yc FROM lineitem),
+       |b AS (
+       |  SELECT quantile_cont(yc, [${ps.mkString(", ")}]) AS bs FROM cents),
+       |assigned AS (
+       |  SELECT yc,
+       |    CAST(len(list_filter(bs, x -> yc > x)) AS BIGINT) AS bin
+       |  FROM cents, b)
+       |SELECT bin, count(*) AS n,
+       |  CAST(min(yc) AS DOUBLE) / 100.0 AS min_price,
+       |  CAST(max(yc) AS DOUBLE) / 100.0 AS max_price
+       |FROM assigned GROUP BY 1""".stripMargin
+  }
+
+  /** Per-group z-score NORMALIZATION — the feature transform sibling of
+    * [[outliers]]: group moments from exact integer-cent sums broadcast
+    * back as 1-row-per-group scalars, every row standardized map-side by
+    * the same fixed IEEE sequence on both engines. Two passes over the
+    * fact table by definition (moments, then transform); at 100 TB the
+    * second pass is a map-only stage behind a broadcast join.
+    */
+  def zscoreNormalize(lineitem: DataFrame): DataFrame = {
+    val yc = round(col("l_extendedprice") * 100).cast("long")
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val moments = lineitem
+      .select(col("l_returnflag"), yc.as("yc"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"),
+        sum(col("yc") * col("yc")).as("syy"))
+      .select(col("l_returnflag"),
+        (d("sy") / nd).as("mean_c"),
+        sqrt((d("syy") - d("sy") * d("sy") / nd) / nd).as("sd_c"))
+    lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), yc.as("yc"))
+      .join(broadcast(moments), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        ((col("yc").cast("double") - col("mean_c")) / col("sd_c")).as("z"))
+  }
+
+  val zscoreNormalizeOracle: String =
+    """WITH cents AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      AS mean_c,
+      |    sqrt((CAST(CAST(sum(yc * yc) AS BIGINT) AS DOUBLE)
+      |          - CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
+      |            * CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
+      |            / CAST(count(*) AS DOUBLE))
+      |         / CAST(count(*) AS DOUBLE)) AS sd_c
+      |  FROM cents GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  (CAST(yc AS DOUBLE) - mean_c) / sd_c AS z
+      |FROM cents JOIN m USING (l_returnflag)""".stripMargin
 
   def constraintCheckOracle(table: String = "lineitem",
                             constraints: Seq[(String, String)] = defaultConstraints): String = {

@@ -58,6 +58,51 @@ object StreamingClean {
         maxAvgLen, minStopRatio, maxDupSegFrac, maxTopBigramFrac), batchId)
     }
 
+  /** The frozen REFERENCE histogram for [[driftGateStream]]: fixed-width
+    * bucket probabilities of `value` (the established distribution the
+    * monitor compares every arriving batch against). Bucket-sized
+    * metadata — persist it like the boilerplate index and hand it to the
+    * stream; the reference corpus is never rescanned per batch. */
+  def referenceHistogram(reference: DataFrame, width: Double = 50.0): DataFrame = {
+    val counts = reference
+      .select(floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+    val tot = counts.agg(sum("n_ref").cast("long").as("tot_ref"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (col("n_ref").cast("double") / col("tot_ref").cast("double")).as("p_ref"))
+  }
+
+  /** Streaming DRIFT monitor — the production face of
+    * [[graft.ops.StatsOps.driftCheck]]: each micro-batch is histogrammed
+    * with the SAME width as the frozen reference and every bucket emits
+    * the transcendental-free χ²-style term `(p_b − p_ref)² /
+    * ((p_b + p_ref) / 2)`; a missing side contributes p = 0 (a bucket
+    * only the batch or only the reference populates is maximal drift for
+    * its mass). Σ contrib per batch is the alarm signal. State-free:
+    * batch totals are batch-scoped, the reference is a broadcast-sized
+    * frozen frame. */
+  def driftGateStream(spark: SparkSession, stream: DataFrame,
+                      refHist: DataFrame, width: Double = 50.0)
+                     (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val counts = batch
+        .select(floor(col("value") / lit(width)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      val tot = counts.agg(sum("n_b").cast("long").as("tot_b"))
+      val pB = col("n_b").cast("double") / col("tot_b").cast("double")
+      val out = counts.crossJoin(broadcast(tot))
+        .select(col("bucket"), pB.as("p_b"))
+        .join(broadcast(refHist), Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("p_b"), lit(0.0)).as("p_batch"),
+          coalesce(col("p_ref"), lit(0.0)).as("p_ref"))
+        .withColumn("contrib",
+          (col("p_batch") - col("p_ref")) * (col("p_batch") - col("p_ref"))
+            / ((col("p_batch") + col("p_ref")) / lit(2.0)))
+      sink(out, batchId)
+    }
+
   /** Ingest-time landing gate: run the declarative constraint suite
     * ([[graft.ops.StatsOps.constraintCheck]]) over every arriving
     * micro-batch and hand the per-constraint verdict rows to `sink` with

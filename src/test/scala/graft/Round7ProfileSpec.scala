@@ -168,6 +168,64 @@ class Round7ProfileSpec extends SparkSpec {
     assert(binDirs.map(_.getName.stripPrefix("bin=").toLong).toSet == expected)
   }
 
+  test("dataProfileApprox: HLL++ distincts within tolerance, all else exact") {
+    val docs = (0L until 500L)
+      .map(i => (i, s"t$i", if (i % 5 == 0) null else s"l${i % 7}",
+        s"s${i % 3}", 10L + i % 50))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = StatsOps.dataProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = StatsOps.dataProfileApprox(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // every non-distinct metric is byte-identical (shared builder)
+      Seq(1, 2, 3).foreach(i => assert(a.getLong(i) == e.getLong(i), s"$c col $i"))
+      assert(a.getDouble(4) == e.getDouble(4), s"$c completeness")
+      // HLL++ at rsd 2%: allow 10% slack on small cardinalities
+      val (ed, ad) = (e.getLong(5).toDouble, a.getLong(5).toDouble)
+      assert(math.abs(ad - ed) <= math.max(2.0, 0.1 * ed),
+        s"$c distinct $ad vs $ed")
+    }
+  }
+
+  test("quantileBins: boundary assignment, near-equal depths, span ordering") {
+    // 16 integer prices 1..16 → quartile boundaries at 4.75, 8.5, 12.25
+    val li = (1 to 16).map(i => (i.toLong, i, i.toDouble))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val bins = StatsOps.quantileBins(li, nBins = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(bins.keySet == Set(0L, 1L, 2L, 3L))
+    assert(bins.values.forall(_._1 == 4)) // exact quarters on tie-free data
+    assert(bins(0L)._3 < bins(1L)._2 && bins(1L)._3 < bins(2L)._2 &&
+      bins(2L)._3 < bins(3L)._2) // spans ordered and disjoint
+    // heavy ties: all mass in one value → one bin carries everything
+    val tied = Seq.fill(8)((1L, 1, 5.0)).toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val tb = StatsOps.quantileBins(tied, nBins = 4).collect()
+    assert(tb.length == 1 && tb.head.getLong(1) == 8)
+  }
+
+  test("zscoreNormalize: per-group standardization is exact") {
+    val li = Seq(
+      (1L, 1, "A", 10.0), (2L, 1, "A", 20.0), (3L, 1, "A", 30.0),
+      (4L, 1, "R", 5.0), (5L, 1, "R", 15.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    val z = StatsOps.zscoreNormalize(li).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // group A: mean 20, pop σ = sqrt(200/3)·... in cents: σ_c = 816.49...
+    val sdA = math.sqrt(((1000.0 * 1000 + 2000.0 * 2000 + 3000.0 * 3000) -
+      6000.0 * 6000 / 3.0) / 3.0)
+    assert(math.abs(z(1L) - (1000.0 - 2000.0) / sdA) < 1e-12)
+    assert(z(2L) == 0.0)
+    assert(math.abs(z(3L) - (3000.0 - 2000.0) / sdA) < 1e-12)
+    // group R: mean 10, σ_c = 500 → z = ∓1 exactly
+    assert(z(4L) == -1.0 && z(5L) == 1.0)
+    // standardized: per-group mean 0 (exact sums of symmetric values)
+    assert(math.abs(z(1L) + z(2L) + z(3L)) < 1e-12)
+  }
+
   test("dataProfile: all-null column and empty frame degenerate cleanly") {
     val docs = Seq((1L, "x", null: String, null: String, 5L), (2L, "y", null: String, null: String, 6L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -112,4 +112,32 @@ class StreamingCleanSpec extends SparkSpec {
       query.stop()
     }
   }
+
+  test("driftGateStream: zero drift on matching batch, maximal on disjoint buckets") {
+    implicit val sq = spark.sqlContext
+    val ref = Seq(10.0, 10.0, 60.0, 60.0).toDF("value")
+    val refHist = StreamingClean.referenceHistogram(ref).persist()
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val input = MemoryStream[Double]
+    val query = StreamingClean.driftGateStream(
+      spark, input.toDF().toDF("value"), refHist) { (drift, id) =>
+      got ++= drift.collect().map(r =>
+        (id, r.getLong(0), r.getAs[Double]("contrib")))
+    }.start()
+    try {
+      input.addData(10.0, 60.0) // same distribution as the reference
+      query.processAllAvailable()
+      assert(got.filter(_._1 == 0L).forall(_._3 == 0.0))
+      input.addData(110.0, 110.0, 10.0, 10.0) // half the mass moved to bucket 2
+      query.processAllAvailable()
+      val b1 = got.filter(_._1 == 1L).map(v => v._2 -> v._3).toMap
+      assert(b1(0L) == 0.0)       // matching mass
+      assert(b1(1L) == 1.0)       // reference-only bucket: (0-.5)^2/.25
+      assert(b1(2L) == 1.0)       // batch-only bucket: (.5-0)^2/.25
+      assert(query.lastProgress.stateOperators.isEmpty, "must be state-free")
+    } finally {
+      query.stop()
+      refHist.unpersist()
+    }
+  }
 }
