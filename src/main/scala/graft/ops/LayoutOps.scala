@@ -492,14 +492,22 @@ object LayoutOps {
     * fully distributed. */
   def compactionPlan(files: DataFrame, targetBytes: Long = 128 * 1024): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("size_bytes").desc, col("file_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("size_bytes").desc, col("file_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
     files
       .select(col("file_id"), col("size_bytes"),
         coalesce(sum(col("size_bytes")).over(w), lit(0L)).as("cum_before"))
       .select(col("file_id"), col("size_bytes"),
-        expr(s"cum_before div ${targetBytes}L").cast("long").as("bin"))
+        expr(s"cum_before div ${targetBytes}L").cast("long").as("raw_bin"))
+      // dense renumber: a file >= targetBytes advances the quota counter
+      // by more than one, leaving gaps that would overstate the output
+      // file count and create empty shuffle partitions in the rewrite
+      // (reviewer-caught); dense_rank over the same ordered metadata
+      // window closes them identically in both engines
+      .select(col("file_id"), col("size_bytes"),
+        (org.apache.spark.sql.functions.dense_rank()
+          .over(W.orderBy(col("raw_bin"))) - 1).cast("long").as("bin"))
   }
 
   /** EXECUTE a compaction plan end-to-end: re-write `documents` so each
@@ -514,12 +522,16 @@ object LayoutOps {
   def applyCompaction(documents: DataFrame, path: String,
                       nFiles: Int = 97, targetBytes: Long = 128 * 1024): Long = {
     val plan = compactionPlan(fileInventory(documents, nFiles), targetBytes)
-    val nBins = plan.agg(max("bin")).head.getLong(0) + 1
+    // NULL max on an empty inventory (empty landed partition) must plan
+    // zero bins, not NPE (reviewer-caught); bins are dense so max+1 IS
+    // the output file count
+    val maxBin = plan.agg(max("bin")).head
+    val nBins = if (maxBin.isNullAt(0)) 0L else maxBin.getLong(0) + 1
     documents
       .withColumn("file_id", pmod(col("doc_id"), lit(nFiles)).cast("long"))
       .join(broadcast(plan.select("file_id", "bin")), "file_id")
       .drop("file_id")
-      .repartition(nBins.toInt, col("bin"))
+      .repartition(math.max(1L, nBins).toInt, col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(path)
     nBins
   }
@@ -542,6 +554,7 @@ object LayoutOps {
        |      AS cum_before
        |  FROM inv)
        |SELECT file_id, size_bytes,
-       |  cum_before // $targetBytes AS bin
+       |  CAST(dense_rank() OVER (ORDER BY cum_before // $targetBytes) - 1
+       |    AS BIGINT) AS bin
        |FROM w""".stripMargin
 }

@@ -373,8 +373,11 @@ object StatsOps {
       sum(lit(1L) - col("is_a")).as("n_b"))
     val totals = counts.agg(
       sum("n_a").cast("long").as("tot_a"), sum("n_b").cast("long").as("tot_b"))
-    val pA = col("n_a").cast("double") / col("tot_a").cast("double")
-    val pB = col("n_b").cast("double") / col("tot_b").cast("double")
+    // nullif: an empty split side (all events at one instant, or an
+    // all-side-a landed partition) yields NULL p/contrib — defined
+    // output, not an ANSI divide-by-zero (reviewer-caught)
+    val pA = col("n_a").cast("double") / nullif(col("tot_a").cast("double"), lit(0.0))
+    val pB = col("n_b").cast("double") / nullif(col("tot_b").cast("double"), lit(0.0))
     counts.crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
@@ -402,14 +405,14 @@ object StatsOps {
        |  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
        |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM counts)
        |SELECT bucket, n_a, n_b,
-       |  CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
-       |  CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
-       |  (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
-       |     - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
-       |  * (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
-       |     - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
-       |  / ((CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
-       |      + CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) / 2.0) AS contrib
+       |  CAST(n_a AS DOUBLE) / NULLIF(CAST(tot_a AS DOUBLE), 0.0) AS p_a,
+       |  CAST(n_b AS DOUBLE) / NULLIF(CAST(tot_b AS DOUBLE), 0.0) AS p_b,
+       |  (CAST(n_a AS DOUBLE) / NULLIF(CAST(tot_a AS DOUBLE), 0.0)
+       |     - CAST(n_b AS DOUBLE) / NULLIF(CAST(tot_b AS DOUBLE), 0.0))
+       |  * (CAST(n_a AS DOUBLE) / NULLIF(CAST(tot_a AS DOUBLE), 0.0)
+       |     - CAST(n_b AS DOUBLE) / NULLIF(CAST(tot_b AS DOUBLE), 0.0))
+       |  / ((CAST(n_a AS DOUBLE) / NULLIF(CAST(tot_a AS DOUBLE), 0.0)
+       |      + CAST(n_b AS DOUBLE) / NULLIF(CAST(tot_b AS DOUBLE), 0.0)) / 2.0) AS contrib
        |FROM counts, tot""".stripMargin
 
   /** Release-audit DIFF between two pipeline outputs keyed on `key`:
@@ -418,8 +421,9 @@ object StatsOps {
     * release gate reads before promoting a corpus version.
     *
     * Scale shape: values are compared by md5 DIGEST computed map-side
-    * BEFORE the join, so the key-partitioned full-outer sort-merge join
-    * shuffles (key, 32-byte digest) — never the document text. The
+    * BEFORE the join — `unhex(md5(...))`, 16 raw bytes, not the
+    * 32-char hex string — so the key-partitioned full-outer sort-merge
+    * join shuffles (key, 16-byte binary) and never the document text. The
     * status classification and count are then one tiny aggregate.
     * Digest equality is exact for change DETECTION (no within-bucket
     * verify needed: a release audit counts differences, it does not
@@ -428,8 +432,10 @@ object StatsOps {
     */
   def outputDiff(a: DataFrame, b: DataFrame, key: String,
                  valA: String, valB: String): DataFrame = {
-    val left = a.select(col(key).as("k"), md5(col(valA)).as("da"), lit(1).as("in_a"))
-    val right = b.select(col(key).as("k"), md5(col(valB)).as("db"), lit(1).as("in_b"))
+    val left = a.select(col(key).as("k"), unhex(md5(col(valA))).as("da"),
+      lit(1).as("in_a"))
+    val right = b.select(col(key).as("k"), unhex(md5(col(valB))).as("db"),
+      lit(1).as("in_b"))
     left.join(right, Seq("k"), "full_outer")
       .select(
         when(col("in_a").isNull, "added")
@@ -512,21 +518,34 @@ object StatsOps {
   }
 
   /** Per-group z-score NORMALIZATION — the feature transform sibling of
-    * [[outliers]]: group moments from exact integer-cent sums broadcast
-    * back as 1-row-per-group scalars, every row standardized map-side by
-    * the same fixed IEEE sequence on both engines. Two passes over the
-    * fact table by definition (moments, then transform); at 100 TB the
-    * second pass is a map-only stage behind a broadcast join.
+    * [[outliers]]: group moments broadcast back as 1-row-per-group
+    * scalars, every row standardized map-side by the same fixed IEEE
+    * sequence on both engines. Two passes over the fact table by
+    * definition (moments, then transform); at 100 TB the second pass is
+    * a map-only stage behind a broadcast join.
+    *
+    * Unlike [[statsCorr]]/[[outliers]] (which keep int64 sums and
+    * document the ~1e5-rows-per-group Σy² bound), this transform SHIPS
+    * the documented production swap: Σy² accumulates as DECIMAL(38,0) —
+    * still exact and order-independent, headroom to 1e38 (≈1e12 rows of
+    * max-price cents²), reviewer-caught: the int64 sum was at 80% of
+    * Long.Max at sf0.1 already and overflows at the 10× decade check.
+    * Both engines convert the same exact integer to double with one
+    * correctly-rounded op (Spark Decimal, DuckDB HUGEINT), so the
+    * z-scores still hash-match. sd_c = 0 (constant or single-row group)
+    * yields z = NULL via a nullif guard — defined, never an ANSI
+    * divide-by-zero.
     */
   def zscoreNormalize(lineitem: DataFrame): DataFrame = {
     val yc = round(col("l_extendedprice") * 100).cast("long")
+    val ycDec = col("yc").cast("decimal(19,0)")
     val nd = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     val moments = lineitem
       .select(col("l_returnflag"), yc.as("yc"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"),
-        sum(col("yc") * col("yc")).as("syy"))
+        sum((ycDec * ycDec).cast("decimal(38,0)")).as("syy"))
       .select(col("l_returnflag"),
         (d("sy") / nd).as("mean_c"),
         sqrt((d("syy") - d("sy") * d("sy") / nd) / nd).as("sd_c"))
@@ -534,9 +553,13 @@ object StatsOps {
         col("l_returnflag"), yc.as("yc"))
       .join(broadcast(moments), "l_returnflag")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        ((col("yc").cast("double") - col("mean_c")) / col("sd_c")).as("z"))
+        ((col("yc").cast("double") - col("mean_c"))
+          / nullif(col("sd_c"), lit(0.0))).as("z"))
   }
 
+  /** DuckDB sums BIGINT as HUGEINT natively (exact 128-bit — the same
+    * headroom as the Spark side's DECIMAL(38,0)); both convert the
+    * identical exact integer to double in one correctly-rounded op. */
   val zscoreNormalizeOracle: String =
     """WITH cents AS (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
@@ -546,14 +569,14 @@ object StatsOps {
       |  SELECT l_returnflag,
       |    CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
       |      AS mean_c,
-      |    sqrt((CAST(CAST(sum(yc * yc) AS BIGINT) AS DOUBLE)
+      |    sqrt((CAST(sum(yc * yc) AS DOUBLE)
       |          - CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
       |            * CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
       |            / CAST(count(*) AS DOUBLE))
       |         / CAST(count(*) AS DOUBLE)) AS sd_c
       |  FROM cents GROUP BY 1)
       |SELECT l_orderkey, l_linenumber, l_returnflag,
-      |  (CAST(yc AS DOUBLE) - mean_c) / sd_c AS z
+      |  (CAST(yc AS DOUBLE) - mean_c) / NULLIF(sd_c, 0.0) AS z
       |FROM cents JOIN m USING (l_returnflag)""".stripMargin
 
   def constraintCheckOracle(table: String = "lineitem",

@@ -75,28 +75,28 @@ object StreamingClean {
 
   /** Streaming DRIFT monitor — the production face of
     * [[graft.ops.StatsOps.driftCheck]]: each micro-batch is histogrammed
-    * with the SAME width as the frozen reference and every bucket emits
-    * the transcendental-free χ²-style term `(p_b − p_ref)² /
+    * by [[referenceHistogram]] itself (one derivation, the batch and
+    * reference bucketing can never drift) and every bucket emits the
+    * transcendental-free χ²-style term `(p_b − p_ref)² /
     * ((p_b + p_ref) / 2)`; a missing side contributes p = 0 (a bucket
     * only the batch or only the reference populates is maximal drift for
     * its mass). Σ contrib per batch is the alarm signal. State-free:
-    * batch totals are batch-scoped, the reference is a broadcast-sized
-    * frozen frame. */
+    * batch totals are batch-scoped, the reference a bucket-sized frozen
+    * frame. The two sides meet by UNION + one bucket-keyed aggregate —
+    * not a full-outer join, which Spark cannot broadcast (no full-outer
+    * BroadcastHashJoin, reviewer-caught): both inputs are bucket-sized
+    * histograms, so the union shuffle is O(buckets) metadata. */
   def driftGateStream(spark: SparkSession, stream: DataFrame,
                       refHist: DataFrame, width: Double = 50.0)
                      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val counts = batch
-        .select(floor(col("value") / lit(width)).cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_b"))
-      val tot = counts.agg(sum("n_b").cast("long").as("tot_b"))
-      val pB = col("n_b").cast("double") / col("tot_b").cast("double")
-      val out = counts.crossJoin(broadcast(tot))
-        .select(col("bucket"), pB.as("p_b"))
-        .join(broadcast(refHist), Seq("bucket"), "full_outer")
-        .select(col("bucket"),
-          coalesce(col("p_b"), lit(0.0)).as("p_batch"),
-          coalesce(col("p_ref"), lit(0.0)).as("p_ref"))
+      val batchHist = referenceHistogram(batch, width)
+        .select(col("bucket"), col("p_ref").as("p_b"), lit(0.0).as("p_r"))
+      val out = batchHist
+        .unionAll(refHist.select(col("bucket"), lit(0.0).as("p_b"),
+          col("p_ref").as("p_r")))
+        .groupBy("bucket")
+        .agg(sum("p_b").as("p_batch"), sum("p_r").as("p_ref"))
         .withColumn("contrib",
           (col("p_batch") - col("p_ref")) * (col("p_batch") - col("p_ref"))
             / ((col("p_batch") + col("p_ref")) / lit(2.0)))

@@ -128,4 +128,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(StatsOps.statsCorr(emptyLi).isEmpty)
     assert(StatsOps.quantiles(emptyLi).isEmpty)
   }
+
+  test("landing-gate family on empty input degrades cleanly, never throws") {
+    // profile emits one defined row per column (n_rows=0, NULL ratios);
+    // constraints pass vacuously — both asserted in Round7ProfileSpec;
+    // here: the remaining members of the family
+    val emptyLi = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_returnflag", StringType),
+        StructField("l_extendedprice", DoubleType))))
+    assert(StatsOps.zscoreNormalize(emptyLi).isEmpty)
+    assert(StatsOps.quantileBins(emptyLi).isEmpty)
+    val emptyTsVal = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("ts", LongType), StructField("value", DoubleType))))
+    assert(StatsOps.driftCheck(emptyTsVal).isEmpty)
+    assert(StatsOps.outputDiff(emptyDocs, emptyDocs, "doc_id", "text", "text").isEmpty)
+  }
 }

@@ -94,6 +94,12 @@ class Round7ProfileSpec extends SparkSpec {
     assert(bins.distinct == (0L to bins.max))
     // empty inventory plans to empty, never throws
     assert(LayoutOps.compactionPlan(files.where(lit(false))).isEmpty)
+    // oversized file (>= target) advances the quota by >1: bins must
+    // stay DENSE (reviewer-caught gap: raw quota bins were {0, 2})
+    val over = Seq((1L, 250L), (2L, 10L)).toDF("file_id", "size_bytes")
+    val ob = LayoutOps.compactionPlan(over, targetBytes = 100L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ob == Map(1L -> 0L, 2L -> 1L))
     // empty skew input: one row, NULL summary stats, no ANSI div error
     val er = SkewOps.skewReport(
       Seq.empty[(Long, String)].toDF("event_id", "event_type"), "event_type")
@@ -122,6 +128,12 @@ class Round7ProfileSpec extends SparkSpec {
       .map { case (us, v) => (us * 1000L, v) }.toDF("ts", "value")
     assert(StatsOps.driftCheck(same).collect()
       .forall(_.getAs[Double]("contrib") == 0.0))
+    // degenerate: all events at one instant → side b empty → NULL p_b
+    // and contrib via the tot guard, not an ANSI divide-by-zero
+    val instant = Seq((1000L, 10.0), (1000L, 60.0)).toDF("ts", "value")
+    val ir = StatsOps.driftCheck(instant).collect()
+    assert(ir.length == 2 && ir.forall(r =>
+      r.isNullAt(r.fieldIndex("p_b")) && r.isNullAt(r.fieldIndex("contrib"))))
   }
 
   test("outputDiff: added/removed/changed/unchanged all counted by digest") {
@@ -166,6 +178,9 @@ class Round7ProfileSpec extends SparkSpec {
       LayoutOps.fileInventory(docs, nFiles), 1200L)
     val expected = plan.select("bin").distinct().collect().map(_.getLong(0)).toSet
     assert(binDirs.map(_.getName.stripPrefix("bin=").toLong).toSet == expected)
+    // empty landed partition: plans zero bins, writes nothing, no NPE
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_compact_e").toString
+    assert(LayoutOps.applyCompaction(docs.where(lit(false)), emptyDir) == 0L)
   }
 
   test("dataProfileApprox: HLL++ distincts within tolerance, all else exact") {
@@ -224,6 +239,33 @@ class Round7ProfileSpec extends SparkSpec {
     assert(z(4L) == -1.0 && z(5L) == 1.0)
     // standardized: per-group mean 0 (exact sums of symmetric values)
     assert(math.abs(z(1L) + z(2L) + z(3L)) < 1e-12)
+    // zero-variance group (single row): z is NULL via the sd guard,
+    // not an ANSI divide-by-zero (reviewer-caught)
+    val single = Seq((9L, 1, "Z", 42.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    val zr = StatsOps.zscoreNormalize(single).collect()
+    assert(zr.length == 1 && zr.head.isNullAt(3))
+  }
+
+  test("zscoreNormalize: decimal moment sums survive the int64 Σy² overflow scale") {
+    // 2000 rows at max-ish price: Σ(yc²) ≈ 2e3 · 1e13 = 2e16 per copy;
+    // amplified 600× in-row via large prices it exceeds Long.Max if
+    // summed as int64 — the decimal(38,0) path must stay exact/finite
+    val big = (0 until 2000).map(i => (i.toLong, 1, "A", 99999999.99))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    // Σ yc² = 2000 · (9999999999)² ≈ 2e23 >> Long.Max ≈ 9.2e18
+    val z = StatsOps.zscoreNormalize(big)
+    val rows = z.collect()
+    assert(rows.length == 2000)
+    // all-equal prices: σ = 0 → NULL z everywhere, but NO overflow error
+    assert(rows.forall(_.isNullAt(3)))
+    // and a non-degenerate big-price group yields finite z
+    val big2 = (big.collect().map(r => (r.getLong(0), 1, "A",
+      if (r.getLong(0) % 2 == 0) 99999999.99 else 99999990.0)))
+      .toSeq.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    val z2 = StatsOps.zscoreNormalize(big2).collect()
+    assert(z2.forall(r => !r.isNullAt(3) && !r.getDouble(3).isNaN
+      && !r.getDouble(3).isInfinite))
   }
 
   test("dataProfile: all-null column and empty frame degenerate cleanly") {
