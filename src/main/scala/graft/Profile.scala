@@ -358,7 +358,13 @@ object Profile {
       // l_partkey NOT shifted: keys get factor× hotter — the stress case
       t("skew_report")(SkewOps.skewReport(liAmp, "l_partkey").count())
       t("quantile_bins")(StatsOps.quantileBins(liAmp).count())
-      t("zscore_normalize")(StatsOps.zscoreNormalize(liAmp).count())
+      // the abs-guard filter references z, so count() cannot column-prune
+      // the standardization arithmetic (and with it the Σy² moment sums
+      // whose overflow-safety this check exists to exercise); NULL-z rows
+      // (σ=0 groups) drop out of the count, which is fine for a timing
+      t("zscore_normalize")(StatsOps.zscoreNormalize(liAmp)
+        .filter(abs(col("z")) >= 0.0).count())
+      t("constraint_route")(StatsOps.constraintRoute(liAmp).count())
       liAmp.unpersist()
       // drift: same-density copies shifted by 40 days keep the bucket
       // count fixed — cost must be the linear scan + O(buckets) shuffle

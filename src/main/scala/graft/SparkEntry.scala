@@ -323,6 +323,9 @@ object SparkEntry {
     // runs on every landed partition before training reads it)
     "data_profile" -> ((s, dir) => StatsOps.dataProfile(D(s, dir))),
     "constraint_check" -> ((s, dir) => StatsOps.constraintCheck(Tables.lineitem(s, dir))),
+    // the actionable half: route violating rows to quarantine with the
+    // list of constraints each failed (map-side, zero shuffles)
+    "constraint_route" -> ((s, dir) => StatsOps.constraintRoute(Tables.lineitem(s, dir))),
     // join-key skew diagnostic: the measurement that sizes salted_join's
     // salt factor (and decides whether salting is needed at all)
     "skew_report" -> ((s, dir) => SkewOps.skewReport(Tables.lineitem(s, dir), "l_partkey")),
@@ -688,6 +691,7 @@ object SparkEntry {
     "zscore_normalize" -> StatsOps.zscoreNormalizeOracle,
     "data_profile" -> StatsOps.dataProfileOracle(),
     "constraint_check" -> StatsOps.constraintCheckOracle(),
+    "constraint_route" -> StatsOps.constraintRouteOracle(),
     "skew_report" -> SkewOps.skewReportOracle(),
     "drift_check" -> StatsOps.driftCheckOracle(),
     "output_diff" -> StatsOps.outputDiffBoilerplateOracle(

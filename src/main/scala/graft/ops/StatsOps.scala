@@ -579,6 +579,45 @@ object StatsOps {
       |  (CAST(yc AS DOUBLE) - mean_c) / NULLIF(sd_c, 0.0) AS z
       |FROM cents JOIN m USING (l_returnflag)""".stripMargin
 
+  /** Quarantine ROUTER — the actionable half of [[constraintCheck]]:
+    * instead of counting violations, ROUTE the violating rows out of the
+    * landing path, each carrying the comma-joined list of the
+    * constraints it failed (the triage label the quarantine reviewer
+    * reads). A predicate evaluating to NULL routes the row (same
+    * conservative semantics as the counter: un-evaluable ≠ clean), via
+    * `IS NOT TRUE` on both engines. Entirely MAP-SIDE — per-row
+    * predicate evaluation and string assembly, zero shuffles; the clean
+    * complement is `df.except`-free: just the same filter negated.
+    */
+  val routeConstraints: Seq[(String, String)] = Seq(
+    "quantity_low" -> "l_quantity <= 30",
+    "discount_low" -> "l_discount <= 0.05")
+
+  def constraintRoute(df: DataFrame,
+                      constraints: Seq[(String, String)] = routeConstraints): DataFrame = {
+    val reasons = array(constraints.map { case (name, cond) =>
+      when(expr(s"($cond) IS NOT TRUE"), name)
+    }: _*)
+    // concat_ws drops NULL elements — only failed constraint names remain
+    df.withColumn("violations", concat_ws(",", reasons))
+      .filter(col("violations") =!= "")
+      .select(col("l_orderkey"), col("l_linenumber"), col("violations"))
+  }
+
+  def constraintRouteOracle(table: String = "lineitem",
+                            constraints: Seq[(String, String)] = routeConstraints): String = {
+    val cases = constraints.map { case (name, cond) =>
+      s"CASE WHEN ($cond) IS NOT TRUE THEN '$name' END"
+    }.mkString(", ")
+    s"""WITH flagged AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    array_to_string(list_filter([$cases], x -> x IS NOT NULL), ',')
+       |      AS violations
+       |  FROM $table)
+       |SELECT l_orderkey, l_linenumber, violations
+       |FROM flagged WHERE violations <> ''""".stripMargin
+  }
+
   def constraintCheckOracle(table: String = "lineitem",
                             constraints: Seq[(String, String)] = defaultConstraints): String = {
     val aggSelects =

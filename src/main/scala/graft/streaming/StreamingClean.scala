@@ -103,6 +103,19 @@ object StreamingClean {
       sink(out, batchId)
     }
 
+  /** Per-batch PROFILE monitor: the streaming face of
+    * [[graft.ops.StatsOps.dataProfileApprox]] — every arriving
+    * micro-batch emits its per-column completeness/distinct/moment rows
+    * to `sink` (the time series an ingest dashboard plots; the HLL
+    * variant because a stream profile can't afford the exact-distinct
+    * Expand). State-free: each batch profiles itself. */
+  def profileStream(spark: SparkSession, stream: DataFrame,
+                    numCols: Seq[String], strCols: Seq[String])
+                   (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.StatsOps.dataProfileApprox(batch, numCols, strCols), batchId)
+    }
+
   /** Ingest-time landing gate: run the declarative constraint suite
     * ([[graft.ops.StatsOps.constraintCheck]]) over every arriving
     * micro-batch and hand the per-constraint verdict rows to `sink` with

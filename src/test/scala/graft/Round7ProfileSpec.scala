@@ -107,6 +107,23 @@ class Round7ProfileSpec extends SparkSpec {
     assert(er.getAs[Long]("n_keys") == 0 && er.isNullAt(5))
   }
 
+  test("constraintRoute: violators quarantined with joined reasons, NULL routes") {
+    val rows = Seq[(Long, Integer, java.lang.Double, java.lang.Double)](
+      (1L, 1, 10.0, 0.02),   // clean
+      (2L, 1, 40.0, 0.02),   // quantity only
+      (3L, 1, 40.0, 0.08),   // both
+      (4L, 1, null, 0.02))   // NULL predicate -> routed
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    val out = StatsOps.constraintRoute(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(
+      2L -> "quantity_low",
+      3L -> "quantity_low,discount_low",
+      4L -> "quantity_low"))
+    // the clean complement is the negated filter: row 1 passes
+    assert(!out.contains(1L))
+  }
+
   test("driftCheck: time-split histogram divergence, exact by hand") {
     // ts in epoch NANOS (Tables.events canonical); mid lands at 52 µs
     val early = Seq((1L, 10.0), (2L, 10.0), (3L, 60.0), (4L, 60.0))

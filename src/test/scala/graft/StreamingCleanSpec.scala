@@ -140,4 +140,29 @@ class StreamingCleanSpec extends SparkSpec {
       refHist.unpersist()
     }
   }
+
+  test("profileStream: per-batch profile rows, batch-scoped counts, zero state") {
+    implicit val sq = spark.sqlContext
+    val got = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingClean.profileStream(
+      spark, input.toDF().toDF("doc_id", "text"),
+      numCols = Seq("doc_id"), strCols = Seq("text")) { (profile, id) =>
+      got ++= profile.collect().map(r =>
+        (id, r.getString(0), r.getLong(1), r.getLong(2)))
+    }.start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, null))
+      query.processAllAvailable()
+      input.addData((4L, "d"))
+      query.processAllAvailable()
+      val b0 = got.filter(_._1 == 0L).map(v => v._2 -> ((v._3, v._4))).toMap
+      assert(b0 == Map("doc_id" -> ((3L, 3L)), "text" -> ((3L, 2L))))
+      val b1 = got.filter(_._1 == 1L).map(v => v._2 -> ((v._3, v._4))).toMap
+      assert(b1 == Map("doc_id" -> ((1L, 1L)), "text" -> ((1L, 1L))))
+      assert(query.lastProgress.stateOperators.isEmpty, "must be state-free")
+    } finally {
+      query.stop()
+    }
+  }
 }
