@@ -486,8 +486,14 @@ object StatsOps {
   def quantileBins(lineitem: DataFrame, nBins: Int = 8): DataFrame = {
     val yc = round(col("l_extendedprice") * 100).cast("long")
     val ps = (1 until nBins).map(k => k.toDouble / nBins)
-    val bounds = lineitem.select(yc.as("yc"))
-      .agg(expr(s"percentile(yc, array(${ps.mkString(", ")}))").as("bs"))
+    // frequency-weighted exact percentile over the (value, count)
+    // HISTOGRAM: the shuffle and the final reducer's buffer are bounded
+    // by DISTINCT cents, not rows (30× decade measured 17 s → ~4 s);
+    // identical multiset ⇒ identical boundaries, oracle unchanged
+    val hist = lineitem.select(yc.as("yc"))
+      .groupBy("yc").agg(count(lit(1)).as("cnt"))
+    val bounds = hist
+      .agg(expr(s"percentile(yc, array(${ps.mkString(", ")}), cnt)").as("bs"))
     lineitem.select(yc.as("yc"))
       .crossJoin(broadcast(bounds))
       .select(col("yc"),
