@@ -521,15 +521,27 @@ object LayoutOps {
     * count so callers can assert the file-count contraction. */
   def applyCompaction(documents: DataFrame, path: String,
                       nFiles: Int = 97, targetBytes: Long = 128 * 1024): Long = {
-    val plan = compactionPlan(fileInventory(documents, nFiles), targetBytes)
-    // NULL max on an empty inventory (empty landed partition) must plan
-    // zero bins, not NPE (reviewer-caught); bins are dense so max+1 IS
-    // the output file count
-    val maxBin = plan.agg(max("bin")).head
-    val nBins = if (maxBin.isNullAt(0)) 0L else maxBin.getLong(0) + 1
+    // collect the plan ONCE — nFiles metadata rows (the documented
+    // bounded-collect class). Deriving nBins with a separate .agg and
+    // then joining the un-cached plan would run the full inventory scan
+    // twice (review-2); the collected rows also seed the broadcast side
+    // locally, so the rewrite job scans `documents` exactly once. An
+    // empty collected plan (empty landed partition) is zero bins, not an
+    // NPE; bins are dense so max+1 IS the output file count.
+    val spark = documents.sparkSession
+    val planRows = compactionPlan(fileInventory(documents, nFiles), targetBytes)
+      .select("file_id", "bin").collect()
+    val nBins = if (planRows.isEmpty) 0L else planRows.map(_.getLong(1)).max + 1
+    val planLocal = spark.createDataFrame(
+      java.util.Arrays.asList(planRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType))))
     documents
       .withColumn("file_id", pmod(col("doc_id"), lit(nFiles)).cast("long"))
-      .join(broadcast(plan.select("file_id", "bin")), "file_id")
+      .join(broadcast(planLocal), "file_id")
       .drop("file_id")
       .repartition(math.max(1L, nBins).toInt, col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(path)

@@ -382,8 +382,14 @@ object StatsOps {
       .select(col("bucket"), col("n_a").cast("long").as("n_a"),
         col("n_b").cast("long").as("n_b"),
         pA.as("p_a"), pB.as("p_b"),
-        ((pA - pB) * (pA - pB) / ((pA + pB) / lit(2.0))).as("contrib"))
+        chiSquareContrib(pA, pB).as("contrib"))
   }
+
+  /** The ONE definition of the drift term, shared by [[driftCheck]] and
+    * the streaming monitor (`StreamingClean.driftGateStream`) — the
+    * batch and streaming gates cannot diverge on the metric. */
+  def chiSquareContrib(pA: Column, pB: Column): Column =
+    (pA - pB) * (pA - pB) / ((pA + pB) / lit(2.0))
 
   /** Same split/bucket/term arithmetic in DuckDB. epoch_us is the exact
     * integer microsecond form on both engines; integer midpoint via `//`
@@ -457,13 +463,18 @@ object StatsOps {
        |$stripSql
        |),
        |d AS (
-       |  SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
-       |              WHEN b.doc_id IS NULL THEN 'removed'
+       |  SELECT CASE WHEN in_a IS NULL THEN 'added'
+       |              WHEN in_b IS NULL THEN 'removed'
        |              WHEN md5(a.text) IS NOT DISTINCT FROM md5(b.text_clean)
        |                THEN 'unchanged'
        |              ELSE 'changed' END AS status
-       |  FROM corpus a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |  FROM (SELECT doc_id, text, 1 AS in_a FROM corpus) a
+       |  FULL OUTER JOIN (SELECT *, 1 AS in_b FROM b) b
+       |    ON a.doc_id = b.doc_id)
        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1""".stripMargin
+  // ^ presence markers (in_a/in_b), NOT key nullness: a NULL-keyed a-side
+  //   row is unmatched (NULL keys never join) and must count 'removed' on
+  //   both engines — key-null CASE branches would call it 'added' (review-2)
 
   /** Equi-depth BINNING (the feature-engineering discretizer): bin
     * boundaries are the exact type-7 percentiles of integer-cent prices
@@ -550,11 +561,18 @@ object StatsOps {
     val moments = lineitem
       .select(col("l_returnflag"), yc.as("yc"))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"),
+      // BOTH moments decimal: Σy as int64 overflows at ~1e9 max-price
+      // rows, well inside the headroom Σy² was widened for (review-2)
+      .agg(count(lit(1)).as("n"), sum(ycDec).as("sy"),
         sum((ycDec * ycDec).cast("decimal(38,0)")).as("syy"))
       .select(col("l_returnflag"),
         (d("sy") / nd).as("mean_c"),
-        sqrt((d("syy") - d("sy") * d("sy") / nd) / nd).as("sd_c"))
+        // greatest(·, 0): catastrophic cancellation on near-constant
+        // big-cent groups can round the radicand to −ulp; sqrt would be
+        // NaN here but an ERROR in DuckDB — clamp on both engines, the
+        // σ=0 nullif then yields NULL z (review-2)
+        sqrt(greatest((d("syy") - d("sy") * d("sy") / nd) / nd, lit(0.0)))
+          .as("sd_c"))
     lineitem.select(col("l_orderkey"), col("l_linenumber"),
         col("l_returnflag"), yc.as("yc"))
       .join(broadcast(moments), "l_returnflag")
@@ -563,9 +581,13 @@ object StatsOps {
           / nullif(col("sd_c"), lit(0.0))).as("z"))
   }
 
-  /** DuckDB sums BIGINT as HUGEINT natively (exact 128-bit — the same
-    * headroom as the Spark side's DECIMAL(38,0)); both convert the
-    * identical exact integer to double in one correctly-rounded op. */
+  /** DuckDB mirror with the SAME extended-domain hardening: the per-row
+    * product is computed as HUGEINT (a bare `yc * yc` BIGINT multiply
+    * raises a DuckDB overflow at cents > ~3e9 — the sum()'s HUGEINT
+    * promotion happens AFTER the product, review-2), both sums convert
+    * HUGEINT → DOUBLE directly (the same correctly-rounded conversion of
+    * the same exact integer as Spark's DECIMAL path), and the radicand
+    * carries the same greatest(·, 0) clamp. */
   val zscoreNormalizeOracle: String =
     """WITH cents AS (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
@@ -573,13 +595,14 @@ object StatsOps {
       |  FROM lineitem),
       |m AS (
       |  SELECT l_returnflag,
-      |    CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    CAST(sum(yc) AS DOUBLE) / CAST(count(*) AS DOUBLE)
       |      AS mean_c,
-      |    sqrt((CAST(sum(yc * yc) AS DOUBLE)
-      |          - CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
-      |            * CAST(CAST(sum(yc) AS BIGINT) AS DOUBLE)
+      |    sqrt(greatest(
+      |      (CAST(sum(CAST(yc AS HUGEINT) * yc) AS DOUBLE)
+      |          - CAST(sum(yc) AS DOUBLE)
+      |            * CAST(sum(yc) AS DOUBLE)
       |            / CAST(count(*) AS DOUBLE))
-      |         / CAST(count(*) AS DOUBLE)) AS sd_c
+      |         / CAST(count(*) AS DOUBLE), 0.0)) AS sd_c
       |  FROM cents GROUP BY 1)
       |SELECT l_orderkey, l_linenumber, l_returnflag,
       |  (CAST(yc AS DOUBLE) - mean_c) / NULLIF(sd_c, 0.0) AS z

@@ -62,7 +62,12 @@ object StreamingClean {
     * bucket probabilities of `value` (the established distribution the
     * monitor compares every arriving batch against). Bucket-sized
     * metadata — persist it like the boilerplate index and hand it to the
-    * stream; the reference corpus is never rescanned per batch. */
+    * stream; the reference corpus is never rescanned per batch. The
+    * `width` column rides WITH the histogram so the stream re-buckets
+    * every batch on the same grid by construction — a caller cannot
+    * compare histograms with mismatched widths (review-2). NULL values
+    * form their own bucket: an all-NULL batch alarming against a
+    * NULL-free reference is a real anomaly, not a false positive. */
   def referenceHistogram(reference: DataFrame, width: Double = 50.0): DataFrame = {
     val counts = reference
       .select(floor(col("value") / lit(width)).cast("long").as("bucket"))
@@ -70,7 +75,8 @@ object StreamingClean {
     val tot = counts.agg(sum("n_ref").cast("long").as("tot_ref"))
     counts.crossJoin(broadcast(tot))
       .select(col("bucket"),
-        (col("n_ref").cast("double") / col("tot_ref").cast("double")).as("p_ref"))
+        (col("n_ref").cast("double") / col("tot_ref").cast("double")).as("p_ref"),
+        lit(width).as("width"))
   }
 
   /** Streaming DRIFT monitor — the production face of
@@ -85,23 +91,31 @@ object StreamingClean {
     * frame. The two sides meet by UNION + one bucket-keyed aggregate —
     * not a full-outer join, which Spark cannot broadcast (no full-outer
     * BroadcastHashJoin, reviewer-caught): both inputs are bucket-sized
-    * histograms, so the union shuffle is O(buckets) metadata. */
+    * histograms, so the union shuffle is O(buckets) metadata. The bucket
+    * width is read off the histogram itself (one frozen value, collected
+    * once at stream start), and the contrib term is
+    * [[graft.ops.StatsOps.chiSquareContrib]] — batch and streaming gates
+    * share one grid and one formula by construction. An EMPTY batch (or
+    * a trigger tail with no rows) emits ZERO rows: no data is not drift
+    * (review-2). */
   def driftGateStream(spark: SparkSession, stream: DataFrame,
-                      refHist: DataFrame, width: Double = 50.0)
-                     (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+                      refHist: DataFrame)
+                     (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val width = refHist.select("width").head.getDouble(0)
+    val ref = refHist.select(col("bucket"), lit(0.0).as("p_b"),
+      col("p_ref").as("p_r"))
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val batchHist = referenceHistogram(batch, width)
         .select(col("bucket"), col("p_ref").as("p_b"), lit(0.0).as("p_r"))
-      val out = batchHist
-        .unionAll(refHist.select(col("bucket"), lit(0.0).as("p_b"),
-          col("p_ref").as("p_r")))
+      val joined = batchHist.unionAll(ref)
         .groupBy("bucket")
         .agg(sum("p_b").as("p_batch"), sum("p_r").as("p_ref"))
         .withColumn("contrib",
-          (col("p_batch") - col("p_ref")) * (col("p_batch") - col("p_ref"))
-            / ((col("p_batch") + col("p_ref")) / lit(2.0)))
+          graft.ops.StatsOps.chiSquareContrib(col("p_batch"), col("p_ref")))
+      val out = if (batch.isEmpty) joined.where(lit(false)) else joined
       sink(out, batchId)
     }
+  }
 
   /** Per-batch PROFILE monitor: the streaming face of
     * [[graft.ops.StatsOps.dataProfileApprox]] — every arriving
