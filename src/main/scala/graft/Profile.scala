@@ -357,6 +357,15 @@ object Profile {
       t("constraint_check")(StatsOps.constraintCheck(liAmp).count())
       // l_partkey NOT shifted: keys get factor× hotter — the stress case
       t("skew_report")(SkewOps.skewReport(liAmp, "l_partkey").count())
+      // regime line: show which boundary derivation the selector engages
+      // at this scale (raw_exact at 1×, hist_exact once rows exceed the
+      // raw reducer bound — the cutover the decade ladder exists to prove)
+      val selRow = liAmp.select(round(col("l_extendedprice") * 100)
+          .cast("long").as("yc"))
+        .agg(count(lit(1)).as("n"), approx_count_distinct(col("yc"), 0.05).as("nd"))
+        .head()
+      println(s"[profile] quantile_bins regime=${StatsOps.binRegime(selRow.getLong(0), selRow.getLong(1))} " +
+        s"rows=${selRow.getLong(0)} distinct_est=${selRow.getLong(1)}")
       t("quantile_bins")(StatsOps.quantileBins(liAmp).count())
       // the abs-guard filter references z, so count() cannot column-prune
       // the standardization arithmetic (and with it the Σy² moment sums

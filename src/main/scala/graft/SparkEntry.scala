@@ -322,6 +322,14 @@ object SparkEntry {
     // declarative constraint verdicts (the admit/reject check a pipeline
     // runs on every landed partition before training reads it)
     "data_profile" -> ((s, dir) => StatsOps.dataProfile(D(s, dir))),
+    // The PRODUCTION profile variant — approx_count_distinct (HLL++) in
+    // place of the exact distincts, ONE pass, NO Expand: the form a
+    // 100 TB deployment actually runs. No oracle entry by design
+    // (sketch estimates are engine-specific — the approx_users
+    // precedent), so the driver records the weaker rows-only check;
+    // the spec pins it within rsd tolerance of data_profile and exactly
+    // equal on every non-distinct column (VERDICT r7 item 4).
+    "data_profile_approx" -> ((s, dir) => StatsOps.dataProfileApprox(D(s, dir))),
     "constraint_check" -> ((s, dir) => StatsOps.constraintCheck(Tables.lineitem(s, dir))),
     // the actionable half: route violating rows to quarantine with the
     // list of constraints each failed (map-side, zero shuffles)
@@ -332,9 +340,17 @@ object SparkEntry {
     // landing gate part 3: time-split distribution drift (χ²-style,
     // transcendental-free so both engines agree bitwise)
     "drift_check" -> ((s, dir) => StatsOps.driftCheck(E(s, dir))),
+    // equi-depth twin: bucket grid from the pooled distribution's exact
+    // quantiles (the quantile_bins boundary machinery) — equal statistical
+    // power per bucket on heavy-tailed domains (VERDICT r7 item 6)
+    "drift_check_quantile" -> ((s, dir) => StatsOps.driftCheckQuantile(E(s, dir))),
     // release audit: what did the boilerplate-strip stage do to the
     // dup-injected corpus? (digest-compare map-side — text never
-    // shuffles; removed/changed/unchanged all populated)
+    // shuffles). Statuses reflect what the strip actually did at the
+    // registered SF: changed + unchanged; 'removed' appears only when a
+    // document is 100% boilerplate, which this corpus pair doesn't
+    // produce at sf0.01 (ADVICE r7 — comment matched to the recorded
+    // output, and the spec exercises all four statuses on fixtures).
     "output_diff" -> ((s, dir) => {
       val corpus = DedupOps.augmented(D(s, dir))
       StatsOps.outputDiff(corpus, DedupOps.boilerplateStrip(corpus),
@@ -694,6 +710,7 @@ object SparkEntry {
     "constraint_route" -> StatsOps.constraintRouteOracle(),
     "skew_report" -> SkewOps.skewReportOracle(),
     "drift_check" -> StatsOps.driftCheckOracle(),
+    "drift_check_quantile" -> StatsOps.driftCheckQuantileOracle(),
     "output_diff" -> StatsOps.outputDiffBoilerplateOracle(
       DedupOps.augmentedSql, DedupOps.boilerplateStripOracle()),
     "simhash_shingles" -> DedupOps.simhashShinglesOracle,

@@ -50,11 +50,17 @@ object SkewOps {
     * int64s, so the row hash-matches DuckDB.
     */
   def skewReport(df: DataFrame, key: String): DataFrame = {
-    val mean = col("n_rows").cast("double") / col("n_keys").cast("double")
+    // nullif: on an EMPTY frame n_keys = 0 and the coalesced n_rows = 0 —
+    // the double 0/0 would be NaN, not NULL; nullif keeps the degenerate
+    // summary stats NULL (mean/skew/salt undefined) while BOTH counters
+    // read 0 (ADVICE r7: a consumer reading n_rows as a count NPE'd on
+    // the asymmetric NULL).
+    val mean = col("n_rows").cast("double") /
+      nullif(col("n_keys").cast("double"), lit(0.0))
     df.groupBy(col(key)).agg(count(lit(1)).as("per_key"))
       .agg(
         count(lit(1)).as("n_keys"),
-        sum("per_key").cast("long").as("n_rows"),
+        coalesce(sum("per_key"), lit(0L)).cast("long").as("n_rows"),
         min("per_key").as("min_per_key"),
         max("per_key").as("max_per_key"))
       .select(
@@ -72,18 +78,21 @@ object SkewOps {
     s"""WITH per AS (
        |  SELECT $key, count(*) AS per_key FROM $table GROUP BY 1),
        |a AS (
-       |  SELECT count(*) AS n_keys, CAST(sum(per_key) AS BIGINT) AS n_rows,
+       |  SELECT count(*) AS n_keys,
+       |    CAST(COALESCE(sum(per_key), 0) AS BIGINT) AS n_rows,
        |    min(per_key) AS min_per_key, max(per_key) AS max_per_key
        |  FROM per)
        |SELECT '$key' AS key_col,
        |  CAST(n_keys AS BIGINT) AS n_keys, n_rows,
        |  CAST(min_per_key AS BIGINT) AS min_per_key,
        |  CAST(max_per_key AS BIGINT) AS max_per_key,
-       |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_per_key,
+       |  CAST(n_rows AS DOUBLE) / NULLIF(CAST(n_keys AS DOUBLE), 0.0)
+       |    AS mean_per_key,
        |  CAST(max_per_key AS DOUBLE)
-       |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_factor,
+       |    / (CAST(n_rows AS DOUBLE) / NULLIF(CAST(n_keys AS DOUBLE), 0.0))
+       |    AS skew_factor,
        |  CAST(ceil(CAST(max_per_key AS DOUBLE)
-       |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))) AS BIGINT)
-       |    AS recommended_salt
+       |    / (CAST(n_rows AS DOUBLE) / NULLIF(CAST(n_keys AS DOUBLE), 0.0)))
+       |    AS BIGINT) AS recommended_salt
        |FROM a""".stripMargin
 }

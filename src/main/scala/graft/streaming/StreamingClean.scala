@@ -101,12 +101,88 @@ object StreamingClean {
   def driftGateStream(spark: SparkSession, stream: DataFrame,
                       refHist: DataFrame)
                      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    val width = refHist.select("width").head.getDouble(0)
+    // headOption, not head: an EMPTY reference histogram (empty or
+    // all-filtered reference corpus) is a caller error — fail fast with
+    // a descriptive message instead of a bare NoSuchElementException
+    // surfacing from deep inside stream setup (ADVICE r7).
+    val width = refHist.select("width").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "driftGateStream: reference histogram is empty — derive it from a " +
+          "non-empty reference corpus (referenceHistogram) before starting " +
+          "the monitor"))
+      .getDouble(0)
     val ref = refHist.select(col("bucket"), lit(0.0).as("p_b"),
       col("p_ref").as("p_r"))
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val batchHist = referenceHistogram(batch, width)
         .select(col("bucket"), col("p_ref").as("p_b"), lit(0.0).as("p_r"))
+      val joined = batchHist.unionAll(ref)
+        .groupBy("bucket")
+        .agg(sum("p_b").as("p_batch"), sum("p_r").as("p_ref"))
+        .withColumn("contrib",
+          graft.ops.StatsOps.chiSquareContrib(col("p_batch"), col("p_ref")))
+      val out = if (batch.isEmpty) joined.where(lit(false)) else joined
+      sink(out, batchId)
+    }
+  }
+
+  /** EQUI-DEPTH reference histogram for [[driftGateQuantileStream]] —
+    * the quantile-grid twin of [[referenceHistogram]] (VERDICT r7 item
+    * 6): bucket boundaries are the exact quantiles of the reference
+    * corpus's integer cents ([[graft.ops.StatsOps.histExactBoundaries]]
+    * — the SAME derivation [[graft.ops.StatsOps.quantileBins]] and
+    * [[graft.ops.StatsOps.driftCheckQuantile]] use), so every bucket
+    * holds ~1/nBins of the reference mass and a heavy tail can't hide
+    * inside one fat fixed-width bucket. The boundary array `bs` rides
+    * WITH the histogram (the `width` convention): the stream re-buckets
+    * every batch on the frozen reference grid by construction. */
+  def referenceHistogramQuantile(reference: DataFrame, nBins: Int = 8): DataFrame = {
+    val cents = reference
+      .select(round(col("value") * 100).cast("long").as("vc"))
+    val bounds = graft.ops.StatsOps.histExactBoundaries(cents, "vc", nBins)
+    val counts = cents.crossJoin(broadcast(bounds))
+      .select(expr("aggregate(bs, 0L, (acc, b) -> acc + IF(vc > b, 1L, 0L))")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+    val tot = counts.agg(sum("n_ref").cast("long").as("tot_ref"))
+    counts.crossJoin(broadcast(tot)).crossJoin(broadcast(bounds))
+      .select(col("bucket"),
+        (col("n_ref").cast("double") / col("tot_ref").cast("double")).as("p_ref"),
+        col("bs"))
+  }
+
+  /** Streaming drift monitor on the EQUI-DEPTH grid — the production
+    * face of [[graft.ops.StatsOps.driftCheckQuantile]], with the exact
+    * state-free shape of [[driftGateStream]]: the frozen reference
+    * boundary array is collected ONCE at stream start (1-row metadata —
+    * fail-fast if the reference histogram is empty), every batch is
+    * cent-quantized and bucketed against it map-side, and the two
+    * bucket-sized histograms meet by UNION + one bucket-keyed aggregate
+    * emitting [[graft.ops.StatsOps.chiSquareContrib]] per bucket. An
+    * empty batch emits zero rows (no data is not drift). */
+  def driftGateQuantileStream(spark: SparkSession, stream: DataFrame,
+                              refHist: DataFrame)
+                             (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val bs = refHist.select("bs").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "driftGateQuantileStream: reference histogram is empty — derive it " +
+          "from a non-empty reference corpus (referenceHistogramQuantile) " +
+          "before starting the monitor"))
+      .getSeq[Double](0)
+    val bsLit = array(bs.map(lit(_)): _*)
+    val ref = refHist.select(col("bucket"), lit(0.0).as("p_b"),
+      col("p_ref").as("p_r"))
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val counts = batch
+        .select(round(col("value") * 100).cast("long").as("vc"))
+        .select(aggregate(bsLit, lit(0L), (acc, b) =>
+          acc + when(col("vc") > b, lit(1L)).otherwise(lit(0L))).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      val tot = counts.agg(sum("n_b").cast("long").as("tot_b"))
+      val batchHist = counts.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          (col("n_b").cast("double") / col("tot_b").cast("double")).as("p_b"),
+          lit(0.0).as("p_r"))
       val joined = batchHist.unionAll(ref)
         .groupBy("bucket")
         .agg(sum("p_b").as("p_batch"), sum("p_r").as("p_ref"))

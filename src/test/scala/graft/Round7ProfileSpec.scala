@@ -100,11 +100,14 @@ class Round7ProfileSpec extends SparkSpec {
     val ob = LayoutOps.compactionPlan(over, targetBytes = 100L).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(ob == Map(1L -> 0L, 2L -> 1L))
-    // empty skew input: one row, NULL summary stats, no ANSI div error
+    // empty skew input: one row, BOTH counters read 0 (a consumer can
+    // read n_rows as a count — ADVICE r7), derived stats NULL (not NaN),
+    // no ANSI div error
     val er = SkewOps.skewReport(
       Seq.empty[(Long, String)].toDF("event_id", "event_type"), "event_type")
       .collect().head
-    assert(er.getAs[Long]("n_keys") == 0 && er.isNullAt(5))
+    assert(er.getAs[Long]("n_keys") == 0 && er.getAs[Long]("n_rows") == 0)
+    assert(er.isNullAt(5) && er.isNullAt(6) && er.isNullAt(7))
   }
 
   test("constraintRoute: violators quarantined with joined reasons, NULL routes") {

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.StatsOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions, part 1: the regime-selecting [[StatsOps.quantileBins]]
+  * (VERDICT r7 item 1). The selector itself is a pure function pinned
+  * exactly; the two EXACT regimes are pinned bitwise-identical (same
+  * multiset ⇒ same type-7 boundaries, regardless of whether they derive
+  * raw or frequency-weighted); the APPROX regime is pinned within the
+  * documented rank-ε of exact on a near-unique synthetic domain — the
+  * regime that exists precisely for domains where the exact reducer
+  * buffer would be unbounded.
+  */
+class Round8AdditionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binRegime: row/distinct thresholds select raw -> hist -> approx") {
+    assert(StatsOps.binRegime(1000L, 1000L) == "raw_exact")
+    assert(StatsOps.binRegime(4000000L, 999L) == "raw_exact") // bound inclusive
+    assert(StatsOps.binRegime(4000001L, 999L) == "hist_exact")
+    assert(StatsOps.binRegime(4000001L, 16000000L) == "hist_exact")
+    assert(StatsOps.binRegime(4000001L, 16000001L) == "approx")
+    // the knobs the spec + decade harness force regimes with
+    assert(StatsOps.binRegime(10L, 10L, rawMaxRows = 0L) == "hist_exact")
+    assert(StatsOps.binRegime(10L, 10L, rawMaxRows = 0L,
+      histMaxDistinct = 0L) == "approx")
+  }
+
+  test("quantileBins: raw and hist exact regimes are bitwise-identical") {
+    // mixed-tie domain: some near-unique cents, some heavy ties
+    val li = ((1 to 5000).map(i => ((i * 37) % 1000 + i).toDouble / 100.0)
+      ++ Seq.fill(500)(7.77)).toDF("l_extendedprice")
+    def keyed(rows: Array[Row]): Seq[(Long, Long, Double, Double)] =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val raw = keyed(StatsOps.quantileBins(li).collect()) // 5500 rows -> raw_exact
+    val hist = keyed(StatsOps.quantileBins(li, rawMaxRows = 0L).collect())
+    assert(raw == hist)
+    assert(raw.map(_._2).sum == 5500L)
+  }
+
+  test("quantileBins: approx regime agrees with exact within rank-ε on a near-unique domain") {
+    val n = 40000
+    // near-unique cents 1..40000 — the domain where the exact histogram
+    // cannot compress and a 100 TB run would engage the sketch
+    val li = (1 to n).map(i => i.toDouble / 100.0).toDF("l_extendedprice")
+    def counts(rows: Array[Row]): Map[Long, Long] =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = counts(StatsOps.quantileBins(li).collect())
+    val approx = counts(StatsOps.quantileBins(li, rawMaxRows = 0L,
+      histMaxDistinct = 0L).collect())
+    assert(exact.keySet == approx.keySet) // all 8 bins populated in both
+    assert(approx.values.sum == n.toLong) // assignment is total either way
+    // approx_percentile(accuracy=10000) bounds each boundary's rank error
+    // by n/accuracy (= 4 here); a bin's population moves by at most its
+    // two boundary errors (+slack for interpolation-vs-actual-value)
+    val tol = 2L * (n / 10000) + 2
+    exact.foreach { case (bin, cnt) =>
+      assert(math.abs(cnt - approx(bin)) <= tol,
+        s"bin $bin: exact=$cnt approx=${approx(bin)} tol=$tol")
+    }
+  }
+
+  test("driftCheckQuantile: equi-depth grid from pooled quantiles, exact by hand") {
+    // ts in epoch NANOS; mid at 52 µs. Pooled cents 100..800 → type-7
+    // quartile boundaries 275 / 450 / 625; early holds buckets 0-1,
+    // late holds buckets 2-3, each bucket exactly 2 rows of one side.
+    val early = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+    val late = Seq((101L, 5.0), (102L, 6.0), (103L, 7.0), (104L, 8.0))
+    val ev = (early ++ late).map { case (us, v) => (us * 1000L, v) }
+      .toDF("ts", "value")
+    val out = StatsOps.driftCheckQuantile(ev, nBins = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L)) // equi-depth: all populated
+    Seq(0L, 1L).foreach { b =>
+      assert(out(b).getAs[Long]("n_a") == 2 && out(b).getAs[Long]("n_b") == 0)
+    }
+    Seq(2L, 3L).foreach { b =>
+      assert(out(b).getAs[Long]("n_a") == 0 && out(b).getAs[Long]("n_b") == 2)
+    }
+    // every bucket: (.5−0)²/((.5+0)/2) = 1.0 — total drift, equal power
+    out.values.foreach(r =>
+      assert(math.abs(r.getAs[Double]("contrib") - 1.0) < 1e-12))
+    // identical halves ⇒ zero drift on the same grid
+    val same = (early ++ early.map { case (us, v) => (us + 100L, v) })
+      .map { case (us, v) => (us * 1000L, v) }.toDF("ts", "value")
+    assert(StatsOps.driftCheckQuantile(same, nBins = 4).collect()
+      .forall(_.getAs[Double]("contrib") == 0.0))
+    // the heavy-tail case fixed-width goes blind to: 7 clustered values
+    // + 1 far outlier. width=50 puts the whole cluster in ONE bucket, so
+    // a within-cluster shift is invisible; the quantile grid resolves it.
+    val clusterEarly = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 2.0))
+    val clusterLate = Seq((101L, 2.0), (102L, 2.0), (103L, 2.0), (104L, 900.0))
+    val tail = (clusterEarly ++ clusterLate).map { case (us, v) => (us * 1000L, v) }
+      .toDF("ts", "value")
+    val fixed = StatsOps.driftCheck(tail, width = 50.0).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("contrib")))
+    val quant = StatsOps.driftCheckQuantile(tail, nBins = 4).collect()
+      .filter(r => !r.isNullAt(r.fieldIndex("contrib")))
+    def totalDrift(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(_.getAs[Double]("contrib")).sum
+    assert(totalDrift(quant) > totalDrift(fixed),
+      s"quantile grid must out-resolve fixed-width on the clustered tail: " +
+        s"${totalDrift(quant)} vs ${totalDrift(fixed)}")
+  }
+}

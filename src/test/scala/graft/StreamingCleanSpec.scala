@@ -141,6 +141,55 @@ class StreamingCleanSpec extends SparkSpec {
     }
   }
 
+  test("driftGateQuantileStream: frozen quantile grid, batch parity with the fixed-width gate's shape") {
+    implicit val sq = spark.sqlContext
+    // reference cents [100,300,500,700] → type-7 quartile boundaries
+    // 250 / 400 / 550 → one reference value per bucket, p_ref = .25 each
+    val ref = Seq(1.0, 3.0, 5.0, 7.0).toDF("value")
+    val refHist = StreamingClean.referenceHistogramQuantile(ref, nBins = 4).persist()
+    assert(refHist.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(0L -> 0.25, 1L -> 0.25, 2L -> 0.25, 3L -> 0.25))
+    val got = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val input = MemoryStream[Double]
+    val query = StreamingClean.driftGateQuantileStream(
+      spark, input.toDF().toDF("value"), refHist) { (drift, id) =>
+      got ++= drift.collect().map(r =>
+        (id, r.getLong(0), r.getAs[Double]("contrib")))
+    }.start()
+    try {
+      input.addData(1.0, 3.0, 5.0, 7.0) // the reference distribution
+      query.processAllAvailable()
+      assert(got.filter(_._1 == 0L).forall(_._3 == 0.0))
+      input.addData(8.0, 8.0) // all mass lands in the top quartile
+      query.processAllAvailable()
+      val b1 = got.filter(_._1 == 1L).map(v => v._2 -> v._3).toMap
+      Seq(0L, 1L, 2L).foreach(b => assert(b1(b) == 0.5)) // (0−.25)²/.125
+      assert(b1(3L) == 0.9)                              // (1−.25)²/.625
+      assert(query.lastProgress.stateOperators.isEmpty, "must be state-free")
+    } finally {
+      query.stop()
+      refHist.unpersist()
+    }
+    // empty reference fails fast with a descriptive error, not NoSuchElement
+    val err = intercept[IllegalArgumentException] {
+      StreamingClean.driftGateQuantileStream(spark,
+        spark.readStream.format("rate").load().selectExpr("CAST(value AS DOUBLE) AS value"),
+        StreamingClean.referenceHistogramQuantile(
+          Seq.empty[Double].toDF("value"), nBins = 4)) { (_, _) => () }
+    }
+    assert(err.getMessage.contains("reference histogram is empty"))
+  }
+
+  test("driftGateStream: empty reference histogram fails fast (ADVICE r7)") {
+    implicit val sq = spark.sqlContext
+    val err = intercept[IllegalArgumentException] {
+      StreamingClean.driftGateStream(spark,
+        spark.readStream.format("rate").load().selectExpr("CAST(value AS DOUBLE) AS value"),
+        StreamingClean.referenceHistogram(Seq.empty[Double].toDF("value"))) { (_, _) => () }
+    }
+    assert(err.getMessage.contains("reference histogram is empty"))
+  }
+
   test("profileStream: per-batch profile rows, batch-scoped counts, zero state") {
     implicit val sq = spark.sqlContext
     val got = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
