@@ -257,6 +257,17 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) => MultimodalOps.features(s, D(s, dir))),
     "multimodal_frames" -> ((s, dir) => MultimodalOps.sampleFrames(MultimodalOps.pack(D(s, dir)))),
     "multimodal_resize" -> ((s, dir) => MultimodalOps.resizeStub(s, MultimodalOps.pack(D(s, dir))).toDF()),
+    // the REAL binaryFile ingest edge: write the fixture media tree
+    // (payload bytes derived from documents, dup copies planted), read
+    // it back through spark.read.format("binaryFile"), emit the
+    // content-addressed manifest with digest dedup — the oracle
+    // reconstructs the whole write→ingest loop from the documents table,
+    // so any byte lost in the round trip breaks the digest column
+    "multimodal_manifest" -> ((s, dir) => {
+      val fix = MultimodalOps.fixtureDir(dir)
+      MultimodalOps.writeFixtureTree(D(s, dir), fix)
+      MultimodalOps.ingestManifest(s, fix)
+    }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
@@ -677,6 +688,7 @@ object SparkEntry {
     "multimodal_features" -> MultimodalOps.featuresOracle,
     "multimodal_frames" -> MultimodalOps.sampleFramesOracle,
     "multimodal_resize" -> MultimodalOps.resizeOracle,
+    "multimodal_manifest" -> MultimodalOps.ingestManifestOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",

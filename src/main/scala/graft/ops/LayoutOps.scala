@@ -548,6 +548,42 @@ object LayoutOps {
     nBins
   }
 
+  /** ONE-CALL table OPTIMIZE (VERDICT r7 item 5): compact small files
+    * AND re-cluster on the curve key in a SINGLE rewrite — the
+    * maintenance pass a lakehouse runs as `OPTIMIZE t ZORDER BY (...)`.
+    * Composition of the engine's three layout tools:
+    *
+    *  - [[compactionPlan]] supplies the SIZING: its dense quota-fill bin
+    *    count over the file inventory is the output file count that
+    *    lands each rewritten file near `targetBytes`;
+    *  - the rewrite itself is [[writeClustered]] at that file count —
+    *    range-repartition + in-partition sort on the curve key;
+    *  - [[applyCompaction]]'s per-bin assignment is deliberately
+    *    REPLACED by curve-range assignment: once every row is being
+    *    rewritten anyway, binning by ORIGINAL file wastes the rewrite —
+    *    assigning by curve range buys the zone-map skip payoff for the
+    *    same write cost. (applyCompaction remains the right tool when
+    *    rows must NOT be reordered — e.g. an append-ordered changelog.)
+    *
+    * One distributed pass over the data (the plan input is file
+    * metadata); returns the output file count so callers can assert the
+    * contraction. The read-side proof ([[graft.LayoutOpsSpec]]) re-runs
+    * the zone-map skip measurement on the optimized tree: fewer files
+    * AND ≥ the unoptimized clustered skip rate, with lossless
+    * pruned-scan parity.
+    */
+  def optimizeTable(df: DataFrame, inventory: DataFrame, path: String,
+                    curveCol: String, targetBytes: Long = 128 * 1024): Long = {
+    // one metadata-sized aggregate off the plan (bins are dense, so
+    // max+1 IS the output file count); empty table ⇒ zero bins but one
+    // (empty) output partition, mirroring applyCompaction
+    val maxBin = compactionPlan(inventory, targetBytes)
+      .agg(max("bin")).head()
+    val nBins = if (maxBin.isNullAt(0)) 0L else maxBin.getLong(0) + 1
+    writeClustered(df, path, curveCol, math.max(1L, nBins).toInt)
+    nBins
+  }
+
   /** Same inventory + quota-fill window in DuckDB. Both sides use EXACT
     * integer division (Spark `div`, DuckDB `//`) — not double division,
     * whose correctly-rounded quotient can land ON the next integer when

@@ -204,6 +204,70 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("optimizeTable: one rewrite compacts the file count AND keeps the clustered skip rate (VERDICT r7 item 5)") {
+    import spark.implicits._
+    val rows = (0L until 8192L).map { i =>
+      val x = (i * 2654435761L) % 256
+      val y = (i * 40503L) % 256
+      (i, x, y)
+    }.toDF("id", "kx", "ky")
+    val keyed = LayoutOps.withHilbert(rows, col("kx"), col("ky"), bits = 8)
+    // inventory: 32 equal small files; quota 4 files' worth per bin ⇒ the
+    // plan's dense bin count is 8 — the sizing optimizeTable must adopt
+    val inventory = (0L until 32L).map(f => (f, 1000L)).toDF("file_id", "size_bytes")
+    val dir = java.nio.file.Files.createTempDirectory("graft_optimize").toString
+    try {
+      // fragmented control: the same rows scattered over 32 random files
+      rows.repartition(32).write.mode("overwrite").parquet(s"$dir/plain")
+      val nOut = LayoutOps.optimizeTable(keyed, inventory, s"$dir/opt",
+        "hilbert", targetBytes = 4000L)
+      assert(nOut == 8L)
+      // file-count CONTRACTION on disk: exactly the plan's bin count
+      def partFiles(p: String): Int =
+        new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+      assert(partFiles(s"$dir/opt") == 8 && partFiles(s"$dir/plain") == 32)
+      // read-side proof re-run on the OPTIMIZED tree (same zone-map rule
+      // as the writeClustered payoff spec above)
+      val (xLo, xHi, yLo, yHi) = (64L, 95L, 128L, 159L)
+      def stats(path: String) = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("kx").as("x0"), max("kx").as("x1"),
+          min("ky").as("y0"), max("ky").as("y1"))
+        .collect()
+      def overlaps(r: org.apache.spark.sql.Row): Boolean =
+        r.getLong(2) >= xLo && r.getLong(1) <= xHi &&
+          r.getLong(4) >= yLo && r.getLong(3) <= yHi
+      val st = stats(s"$dir/opt")
+      val touched = st.count(overlaps)
+      assert(st.length == 8)
+      // ≥ the clustered 32-file skip RATE (≤8/32 = ≤25%): ≤2 of 8 files
+      assert(touched <= 2, s"optimized scan should skip ≥75%, touched $touched/8")
+      // control skips nothing — the contraction didn't do the work alone
+      val pl = stats(s"$dir/plain")
+      assert(pl.count(overlaps) == 32)
+      // lossless: reading only intersecting files = the full filtered scan
+      val boxPred = col("kx").between(xLo, xHi) && col("ky").between(yLo, yHi)
+      val full = spark.read.parquet(s"$dir/opt").filter(boxPred)
+        .select("id").as[Long].collect().toSet
+      val keep = st.filter(overlaps).map(_.getString(0).stripPrefix("file:")).toSeq
+      val pruned = spark.read.parquet(keep: _*).filter(boxPred)
+        .select("id").as[Long].collect().toSet
+      assert(pruned == full && full.nonEmpty,
+        s"pruned scan must be exact: ${pruned.size} vs ${full.size}")
+      // empty table: zero bins reported, single empty output partition
+      val emptyInv = Seq.empty[(Long, Long)].toDF("file_id", "size_bytes")
+      assert(LayoutOps.optimizeTable(keyed.limit(0), emptyInv,
+        s"$dir/empty", "hilbert") == 0L)
+      assert(spark.read.parquet(s"$dir/empty").isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   /** Plain-JVM Skilling reference (AIP Conf. Proc. 707, 2004) — the
     * independent implementation [[LayoutOps.withHilbertN]] is checked
     * against, and the property harness for arbitrary d. */

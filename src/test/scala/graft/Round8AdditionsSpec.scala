@@ -105,4 +105,83 @@ class Round8AdditionsSpec extends SparkSpec {
       s"quantile grid must out-resolve fixed-width on the clustered tail: " +
         s"${totalDrift(quant)} vs ${totalDrift(fixed)}")
   }
+
+  test("binaryFile ingest: arbitrary bytes round-trip exactly through the source") {
+    import graft.ops.MultimodalOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_binroundtrip")
+    try {
+      // all 256 byte values + an empty file — nothing text-safe about it
+      val full = (0 until 256).map(_.toByte).toArray
+      val rev = full.reverse
+      java.nio.file.Files.write(dir.resolve("doc_0.img"), full)
+      java.nio.file.Files.write(dir.resolve("doc_1.aud"), rev)
+      java.nio.file.Files.write(dir.resolve("doc_2.vid"), Array.empty[Byte])
+      val read = spark.read.format("binaryFile").load(dir.toString)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("f"), col("content"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(java.util.Arrays.equals(read("doc_0.img"), full))
+      assert(java.util.Arrays.equals(read("doc_1.aud"), rev))
+      // PINNED source semantics: Spark's file-partition planner skips
+      // zero-length files, so an empty payload is INVISIBLE to binaryFile
+      // ingest — which is why writeFixtureTree refuses to write empties
+      // (the manifest and its oracle would silently disagree otherwise)
+      assert(!read.contains("doc_2.vid"))
+      // manifest over the same tree: digests of the exact bytes, distinct
+      val man = MultimodalOps.ingestManifest(spark, dir.toString).collect()
+        .map(r => r.getAs[String]("file_name") -> r.getAs[String]("digest")).toMap
+      def md5hex(b: Array[Byte]): String =
+        java.security.MessageDigest.getInstance("MD5").digest(b)
+          .map(x => f"${x & 0xff}%02x").mkString
+      assert(man == Map(
+        "doc_0.img" -> md5hex(full), "doc_1.aud" -> md5hex(rev)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("writeFixtureTree + ingestManifest: planted dups collapse by digest, tree rebuilds clean") {
+    import graft.ops.MultimodalOps
+    val docs = Seq(
+      (0L, "alpha bravo"), (1L, "charlie"), (2L, "delta echo fox"),
+      (3L, "golf"), (8L, "hotel india"), (9L, "charlie")) // 9 duplicates 1's text
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmtree").toString
+    try {
+      // stale file from a "previous run" must be swept, non-fixture kept
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "doc_999.img"),
+        "stale".getBytes)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "README.keep"),
+        "not a fixture".getBytes)
+      MultimodalOps.writeFixtureTree(docs, dir, maxDocId = 256L, dupEvery = 8L)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "doc_999.img")))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "README.keep")))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "README.keep"))
+      val man = MultimodalOps.ingestManifest(spark, dir).collect()
+      // 6 docs + dup copies of 0 and 8 = 8 manifest rows
+      assert(man.length == 8)
+      val byName = man.map(r => r.getAs[String]("file_name") -> r).toMap
+      // modality from extension: 0→image, 1→audio, 2→video
+      assert(byName("doc_0.img").getAs[String]("modality") == "image")
+      assert(byName("doc_1.aud").getAs[String]("modality") == "audio")
+      assert(byName("doc_2.vid").getAs[String]("modality") == "video")
+      // planted dup collapses: dup_8 shares digest with doc_8; doc_ wins
+      assert(byName("dup_8.vid").getAs[String]("digest")
+        == byName("doc_8.vid").getAs[String]("digest"))
+      assert(byName("doc_8.vid").getAs[Boolean]("is_canonical"))
+      assert(!byName("dup_8.vid").getAs[Boolean]("is_canonical"))
+      assert(byName("dup_8.vid").getAs[String]("canonical") == "doc_8.vid")
+      // CONTENT dup across different docs collapses too (9 copies 1)
+      assert(byName("doc_9.img").getAs[String]("digest")
+        == byName("doc_1.aud").getAs[String]("digest"))
+      assert(!byName("doc_9.img").getAs[Boolean]("is_canonical"))
+      // survivors = one per distinct payload
+      assert(man.count(_.getAs[Boolean]("is_canonical")) == 5)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
 }
