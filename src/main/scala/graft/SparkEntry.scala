@@ -143,11 +143,21 @@ object SparkEntry {
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
     "hashed_tf" -> ((s, dir) => SemanticOps.hashedTf(D(s, dir))),
     // ---- relational analytics surface ----
-    "zorder_layout" -> ((s, dir) => LayoutOps.zorderLayout(Tables.lineitem(s, dir))),
+    // The `where` guards on the four curve layouts are semantic no-ops
+    // (curve indices of valid coordinates are never negative) that force
+    // the curve arithmetic under Bench's count(): without them Catalyst
+    // column-prunes morton/hilbert and the bench times a bare scan — a
+    // gap found in round 8 when the 100× ladder forced evaluation and
+    // exposed the (since-fixed) CollapseProject blowup Bench never saw.
+    "zorder_layout" -> ((s, dir) => LayoutOps.zorderLayout(Tables.lineitem(s, dir))
+      .where(col("morton") >= 0L)),
     // liquid-clustering counterpart: Hilbert curve, no diagonal jumps
-    "hilbert_layout" -> ((s, dir) => LayoutOps.hilbertLayout(Tables.lineitem(s, dir))),
-    "zorder3_layout" -> ((s, dir) => LayoutOps.zorder3Layout(Tables.lineitem(s, dir))),
-    "hilbert3_layout" -> ((s, dir) => LayoutOps.hilbert3Layout(Tables.lineitem(s, dir))),
+    "hilbert_layout" -> ((s, dir) => LayoutOps.hilbertLayout(Tables.lineitem(s, dir))
+      .where(col("hilbert") >= 0L)),
+    "zorder3_layout" -> ((s, dir) => LayoutOps.zorder3Layout(Tables.lineitem(s, dir))
+      .where(col("morton") >= 0L)),
+    "hilbert3_layout" -> ((s, dir) => LayoutOps.hilbert3Layout(Tables.lineitem(s, dir))
+      .where(col("hilbert") >= 0L)),
     // small-file compaction plan: quota-fill bin packing over the file
     // inventory (layout hygiene's other half — file COUNT, not row order)
     "compaction_plan" -> ((s, dir) =>

@@ -37,21 +37,6 @@ object LayoutOps {
     * bit i of `b` at 2i+1. Disjoint targets, so the OR-accumulation is
     * a plain sum — identical arithmetic in Spark and DuckDB.
     */
-  /** Row-level loud out-of-range guard shared by every curve layout
-    * (ADVICE r6, extended to the Morton paths by review): a coordinate
-    * at or above 2^bits would have its high bits silently ignored —
-    * Spark and oracle would agree on the truncation, so verify would
-    * stay green while clustering locality silently degraded. raise_error
-    * is a map-side codegen'd branch; NullType coerces to otherwise()'s.
-    */
-  private def rangeChecked(fn: String, c: Column, axis: String,
-                           bits: Int): Column = {
-    val n = 1L << bits
-    when(c < 0L || c >= n, raise_error(concat(
-      lit(s"$fn: $axis coordinate out of [0, $n) for bits=$bits: "),
-      c.cast("string")))).otherwise(c)
-  }
-
   def mortonCode(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val aL = a.cast("long")
@@ -115,51 +100,32 @@ object LayoutOps {
     * (3·rx)^ry is computed ARITHMETICALLY (3rx + ry − 2rx·ry — the
     * identity holds on {0,1}²) so no engine-specific xor is needed.
     * All exact integer CASE/add/multiply — bitwise cross-engine. The
-    * per-level transforms chain as named columns (linear growth;
-    * textual inlining would double per level), mirrored in the oracle
-    * as a CTE chain GENERATED FROM THE SAME LOOP, so the two sides
-    * cannot diverge structurally. Map-side, zero joins/shuffles — the
-    * same writer contract as [[zorderLayout]].
+    * Spark side runs the loop as a native expression
+    * ([[graft.functions.HilbertIndex2D]] — see the note in the body);
+    * the oracle remains a CTE chain GENERATED FROM THE SAME per-level
+    * recurrence, so the two sides cannot diverge structurally.
+    * Map-side, zero joins/shuffles — the same writer contract as
+    * [[zorderLayout]].
     */
   def withHilbert(df: DataFrame, xCol: Column, yCol: Column,
                   bits: Int = 16, out: String = "hilbert"): DataFrame = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    // the per-level chain materializes working columns by name; fail
-    // LOUDLY rather than silently clobbering a caller column and
-    // dropping it at the end
-    val internal = Set("h_x", "h_y", "h_rx", "h_ry", "h_nx", "h_ny")
-    val clash = df.columns.filter(c => internal(c) || c == out)
-    require(clash.isEmpty,
-      s"withHilbert working columns collide with input columns: ${clash.mkString(", ")}")
-    val n = 1L << bits
-    // Out-of-range coordinates fail LOUDLY at execution time (ADVICE r6):
-    // a key above 2^bits-1 would have its high bits silently ignored —
-    // Spark and oracle would still agree (same truncation), masking the
-    // clustering-locality degradation. raise_error is a row-level branch
-    // (map-side, codegen'd); NullType coerces to the otherwise() type.
-    var cur = df
-      .withColumn("h_x", rangeChecked("withHilbert", xCol.cast("long"), "x", bits))
-      .withColumn("h_y", rangeChecked("withHilbert", yCol.cast("long"), "y", bits))
-      .withColumn(out, lit(0L))
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      cur = cur
-        .withColumn("h_rx",
-          when(col("h_x").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
-        .withColumn("h_ry",
-          when(col("h_y").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
-        .withColumn(out, col(out) + lit(s * s) *
-          (lit(3L) * col("h_rx") + col("h_ry") -
-            lit(2L) * col("h_rx") * col("h_ry")))
-        .withColumn("h_nx", when(col("h_ry") === 0L,
-          when(col("h_rx") === 1L, lit(n - 1) - col("h_y")).otherwise(col("h_y")))
-          .otherwise(col("h_x")))
-        .withColumn("h_ny", when(col("h_ry") === 0L,
-          when(col("h_rx") === 1L, lit(n - 1) - col("h_x")).otherwise(col("h_x")))
-          .otherwise(col("h_y")))
-        .withColumn("h_x", col("h_nx")).withColumn("h_y", col("h_ny"))
-    }
-    cur.drop("h_x", "h_y", "h_rx", "h_ry", "h_nx", "h_ny")
+    require(!df.columns.contains(out),
+      s"withHilbert output column collides with an input column: $out")
+    // Native Catalyst expression, not a per-level withColumn chain
+    // (round 8, caught by the 100× ladder): the declarative chain inlined
+    // under CollapseProject into a multiplicatively-growing tree — at
+    // bits=16 the optimizer/codegen phase ran for MINUTES whenever the
+    // column was actually EVALUATED (clustered writes; guarded counts).
+    // graft.functions.HilbertKernel.eval2 is the identical per-level
+    // recurrence as an O(bits) per-row loop inside whole-stage codegen;
+    // outputs are bit-identical, so the generated CTE oracle and the
+    // LayoutOpsSpec grid proofs are unchanged. Out-of-range coordinates
+    // still fail loudly from the kernel (ADVICE r6: silent high-bit
+    // truncation would degrade clustering locality invisibly); NULL
+    // coordinates still yield a NULL index.
+    df.withColumn(out, graft.functions.hilbert.index2(
+      xCol.cast("long"), yCol.cast("long"), bits))
   }
 
   /** d-dimensional Morton (Z-curve) interleave (VERDICT r6 item 5 —
@@ -265,9 +231,12 @@ object LayoutOps {
     *
     * Bijection + continuity (consecutive indices are Manhattan-distance-1
     * grid neighbors) are spec-proven over full grids at d = 2, 3, 4
-    * ([[graft.LayoutOpsSpec]]). Like [[withHilbert]], every per-step
-    * transform materializes as a named column (linear plan growth) and
-    * out-of-range coordinates fail loudly. Map-side, zero exchanges.
+    * ([[graft.LayoutOpsSpec]]). Computed by the native
+    * [[graft.functions.HilbertIndexN]] expression — the identical
+    * Skilling phases as an O(d·bits) per-row loop (the [[withHilbert]]
+    * CollapseProject lesson applied at d dimensions); out-of-range
+    * coordinates fail loudly from the kernel, NULL coordinates yield a
+    * NULL index. Map-side, zero exchanges.
     */
   def withHilbertN(df: DataFrame, coords: Seq[Column], bits: Int = 16,
                    out: String = "hilbert"): DataFrame = {
@@ -275,66 +244,10 @@ object LayoutOps {
     require(d >= 2, s"withHilbertN needs >= 2 dimensions, got $d")
     require(bits > 0 && d * bits <= 63,
       s"d*bits must fit a positive long: d=$d bits=$bits")
-    val names = (0 until d).map(i => s"hn_x$i")
-    val internal = names.toSet + "hn_t"
-    val clash = df.columns.filter(c => internal(c) || c == out)
-    require(clash.isEmpty,
-      s"withHilbertN working columns collide with input columns: ${clash.mkString(", ")}")
-    val n = 1L << bits
-    var cur = df
-    for (i <- 0 until d)
-      cur = cur.withColumn(names(i),
-        rangeChecked("withHilbertN", coords(i).cast("long"), s"dim$i", bits))
-    // phase 1: inverse-undo (invert X0 / exchange (X0, Xi) below level Q)
-    var q = n >> 1
-    while (q > 1) {
-      val p = q - 1
-      for (i <- 0 until d) {
-        if (i == 0) {
-          cur = cur.withColumn(names(0),
-            when(col(names(0)).bitwiseAND(lit(q)) =!= 0L,
-              col(names(0)).bitwiseXOR(lit(p))).otherwise(col(names(0))))
-        } else {
-          // hn_t materializes from the PRE-step (X0, Xi); the two updates
-          // below then read only old values + hn_t, so ordering is safe
-          cur = cur.withColumn("hn_t",
-            col(names(0)).bitwiseXOR(col(names(i))).bitwiseAND(lit(p)))
-          cur = cur.withColumn(names(0),
-            when(col(names(i)).bitwiseAND(lit(q)) =!= 0L,
-              col(names(0)).bitwiseXOR(lit(p)))
-              .otherwise(col(names(0)).bitwiseXOR(col("hn_t"))))
-          cur = cur.withColumn(names(i),
-            when(col(names(i)).bitwiseAND(lit(q)) =!= 0L, col(names(i)))
-              .otherwise(col(names(i)).bitwiseXOR(col("hn_t"))))
-        }
-      }
-      q >>= 1
-    }
-    // phase 2: Gray encode — the cascade must read each UPDATED X(i-1),
-    // hence one withColumn per dimension in order
-    for (i <- 1 until d)
-      cur = cur.withColumn(names(i),
-        col(names(i)).bitwiseXOR(col(names(i - 1))))
-    var tExpr: Column = lit(0L)
-    q = n >> 1
-    while (q > 1) {
-      tExpr = tExpr.bitwiseXOR(
-        when(col(names(d - 1)).bitwiseAND(lit(q)) =!= 0L, lit(q - 1))
-          .otherwise(lit(0L)))
-      q >>= 1
-    }
-    cur = cur.withColumn("hn_t", tExpr)
-    for (i <- 0 until d)
-      cur = cur.withColumn(names(i), col(names(i)).bitwiseXOR(col("hn_t")))
-    // phase 3: transpose interleave (disjoint bit targets — plain sum)
-    val idx = (0 until d).foldLeft(lit(0L)) { (acc, i) =>
-      (0 until bits).foldLeft(acc) { (a, qb) =>
-        a + shiftleft(
-          shiftrightunsigned(col(names(i)), qb).bitwiseAND(lit(1L)),
-          qb * d + (d - 1 - i))
-      }
-    }
-    cur.withColumn(out, idx).drop(names :+ "hn_t": _*)
+    require(!df.columns.contains(out),
+      s"withHilbertN output column collides with an input column: $out")
+    df.withColumn(out, graft.functions.hilbert.indexN(
+      array(coords.map(_.cast("long")): _*), bits))
   }
 
   /** 3-D Hilbert layout of lineitem over (part, supplier, linenumber) —
