@@ -105,7 +105,9 @@ object Bench {
     // repo-root BENCH_SUMMARY.json on every run. Atomic tmp+rename so a
     // concurrent reader never sees a torn file; failures are non-fatal
     // (the bench numbers themselves must never be lost to an EROFS).
-    try {
+    // FULL runs only: a SPARK_GRAFT_BENCH_ONLY arbitration re-run must
+    // not clobber the round's full-surface record with a partial one.
+    if (only.isEmpty) try {
       val dir = new java.io.File(sys.props.getOrElse("user.dir", "."))
       val tmp = new java.io.File(dir, ".BENCH_SUMMARY.json.tmp")
       val out = new java.io.File(dir, "BENCH_SUMMARY.json")

@@ -106,6 +106,28 @@ class Round8AdditionsSpec extends SparkSpec {
         s"${totalDrift(quant)} vs ${totalDrift(fixed)}")
   }
 
+  test("native Hilbert expressions: NULL coordinates yield NULL index (both arities)") {
+    import graft.ops.LayoutOps
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 2L, 3L), (null, 2L, 3L), (1L, null, 3L))
+      .toDF("x", "y", "z")
+    val h2 = LayoutOps.withHilbert(rows, col("x"), col("y"), bits = 8, "d")
+      .select("d").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(h2(0).isDefined && h2(1).isEmpty && h2(2).isEmpty)
+    val h3 = LayoutOps.withHilbertN(rows,
+        Seq(col("x"), col("y"), col("z")), bits = 8, "d")
+      .select("d").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(h3(0).isDefined && h3(1).isEmpty && h3(2).isEmpty)
+    // d-D out-of-range still fails loudly from the kernel
+    val e = intercept[Exception] {
+      LayoutOps.withHilbertN(Seq((256L, 0L, 0L)).toDF("x", "y", "z"),
+        Seq(col("x"), col("y"), col("z")), bits = 8, "d").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("coordinate out of")))
+  }
+
   test("binaryFile ingest: arbitrary bytes round-trip exactly through the source") {
     import graft.ops.MultimodalOps
     val dir = java.nio.file.Files.createTempDirectory("graft_binroundtrip")
