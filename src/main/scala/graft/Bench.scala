@@ -113,8 +113,14 @@ object Bench {
       val out = new java.io.File(dir, "BENCH_SUMMARY.json")
       val w = new java.io.PrintWriter(tmp, "UTF-8")
       try w.println(fullLine) finally w.close()
+      // ATOMIC_MOVE, not just REPLACE: without it Files.move may fall
+      // back to copy+delete (cross-mount / no-rename filesystems) and a
+      // concurrent reader could see a torn file — the exact guarantee
+      // the artifact exists for. Platforms that can't rename atomically
+      // fail loudly into the catch below instead of lying.
       java.nio.file.Files.move(tmp.toPath, out.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case e: Throwable =>
       println(s"""{"metric":"artifact_error","error":${q(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}""")
     }

@@ -97,6 +97,52 @@ object Profile {
             .as("text"))
       }.reduce(_ unionAll _)
 
+    // ONE amplifier per input table (review-caught copy-paste): every
+    // scale harness measures the same data shape, and a future fix to a
+    // shift/cap lands everywhere at once. lineitem: orderkey-shifted
+    // copies (partkey/suppkey NOT shifted — keys get factor× hotter, the
+    // stress case). events: 40-day ts shifts keep amplified corpora
+    // temporally disjoint (linear interval-join output), key shifts keep
+    // CDC keys disjoint. embeddings: deterministic perturbation copies
+    // (per-copy scale+offset keeps cluster structure, so LSH/IVF bucket
+    // occupancy grows linearly; no factor cap, unlike the ≤32 shift
+    // amplifier the PQ/semantic harnesses use for norm preservation).
+    def amplifyLineitem(base: DataFrame, factor: Int): DataFrame =
+      (0 until factor).map { k =>
+        if (k == 0) base
+        else base.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+      }.reduce(_ unionAll _)
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    def amplifyEvents(base: DataFrame, factor: Int): DataFrame =
+      (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+          (col("ts") + lit(k * 40L * dayNs)).as("ts"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+    def amplifyEmbeddings(base: DataFrame, factor: Int): DataFrame =
+      (0 until factor).map { k =>
+        if (k == 0) base
+        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          expr(s"transform(embedding, x -> float(x * (1.0 + $k * 0.0003) + $k * 0.001))")
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+
+    // Selector-regime report for the quantile_bins decade lines — shares
+    // binRegime's defaults, which are the SAME constants quantileBins
+    // defaults to (StatsOps.DefaultRawMaxRows/DefaultHistMaxDistinct),
+    // so the printed regime is the one the timed call engages.
+    def printBinsRegime(liAmp: DataFrame): Unit = {
+      val selRow = liAmp.select(round(col("l_extendedprice") * 100)
+          .cast("long").as("yc"))
+        .agg(count(lit(1)).as("n"), approx_count_distinct(col("yc"), 0.05).as("nd"))
+        .head()
+      println(s"[profile] quantile_bins regime=${StatsOps.binRegime(selRow.getLong(0), selRow.getLong(1))} " +
+        s"rows=${selRow.getLong(0)} distinct_est=${selRow.getLong(1)}")
+    }
+
     // `Profile scale [factor]` — the "one more decade" check: amplify the
     // sf0.1 documents corpus `factor`× (each copy's shingle space is
     // disjoint — a salt token is interleaved after every token, so every
@@ -169,14 +215,7 @@ object Profile {
     // generation + scoring end to end.
     if (args.headOption.contains("scale-ann")) {
       val factor = if (args.length > 1) args(1).toInt else 10
-      val base = Tables.embeddings(spark, sfDir)
-      val amplified = (0 until factor).map { k =>
-        if (k == 0) base
-        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-          expr(s"transform(embedding, x -> float(x * (1.0 + $k * 0.0003) + $k * 0.001))")
-            .as("embedding"),
-          col("label"))
-      }.reduce(_ unionAll _)
+      val amplified = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
       amplified.persist(); t(s"amplify_${factor}x")(amplified.count())
       t("cosine_topk")(SimilarityOps.cosineTopK(amplified).count())
       t("ann_lsh")(SimilarityOps.lshTopK(amplified).count())
@@ -292,32 +331,13 @@ object Profile {
       val factor = if (args.length > 1) args(1).toInt else 10
       val events = Tables.events(spark, sfDir)
       val customer = Tables.customer(spark, sfDir)
-      // copies shift by 40 days (ns) so the amplified corpora don't
-      // temporally overlap: interval_join's OUTPUT then grows linearly
-      // (same-density corpus, more of it) instead of quadratically
-      // (denser cells — which would measure the statistic's own growth,
-      // not the plan's). user_id shifts keep CDC keys disjoint.
-      val dayNs = 24L * 3600 * 1000 * 1000 * 1000
-      val eventsAmp = (0 until factor).map { k =>
-        if (k == 0) events
-        else events.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
-          (col("ts") + lit(k * 40L * dayNs)).as("ts"),
-          (col("user_id") + lit(k * 1000000L)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionAll _)
+      val eventsAmp = amplifyEvents(events, factor)
       eventsAmp.persist(); t(s"amplify_events_${factor}x")(eventsAmp.count())
       t("cdc_upsert")(EventOps.cdcUpsert(eventsAmp, customer).count())
       t("interval_join")(
         JoinOps.sessionOverlapPairs(EventOps.sessionize(eventsAmp)).count())
       eventsAmp.unpersist()
-      val base = Tables.embeddings(spark, sfDir)
-      val embAmp = (0 until factor).map { k =>
-        if (k == 0) base
-        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-          expr(s"transform(embedding, x -> float(x * (1.0 + $k * 0.0003) + $k * 0.001))")
-            .as("embedding"),
-          col("label"))
-      }.reduce(_ unionAll _)
+      val embAmp = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
       embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
       t("embedding_project")(SimilarityOps.projectEmbeddings(embAmp).count())
       t("ann_project_rerank")(SimilarityOps.annProjectRerank(embAmp).count())
@@ -348,11 +368,7 @@ object Profile {
       t("output_diff")(StatsOps.outputDiff(docsFull,
         DedupOps.lineDedup(docsFull), "doc_id", "text", "text_dedup").count())
       docsAmp.unpersist()
-      val li = Tables.lineitem(spark, sfDir)
-      val liAmp = (0 until factor).map { k =>
-        if (k == 0) li
-        else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
-      }.reduce(_ unionAll _)
+      val liAmp = amplifyLineitem(Tables.lineitem(spark, sfDir), factor)
       liAmp.persist(); t(s"amplify_lineitem_${factor}x")(liAmp.count())
       t("constraint_check")(StatsOps.constraintCheck(liAmp).count())
       // l_partkey NOT shifted: keys get factor× hotter — the stress case
@@ -360,12 +376,7 @@ object Profile {
       // regime line: show which boundary derivation the selector engages
       // at this scale (raw_exact at 1×, hist_exact once rows exceed the
       // raw reducer bound — the cutover the decade ladder exists to prove)
-      val selRow = liAmp.select(round(col("l_extendedprice") * 100)
-          .cast("long").as("yc"))
-        .agg(count(lit(1)).as("n"), approx_count_distinct(col("yc"), 0.05).as("nd"))
-        .head()
-      println(s"[profile] quantile_bins regime=${StatsOps.binRegime(selRow.getLong(0), selRow.getLong(1))} " +
-        s"rows=${selRow.getLong(0)} distinct_est=${selRow.getLong(1)}")
+      printBinsRegime(liAmp)
       t("quantile_bins")(StatsOps.quantileBins(liAmp).count())
       // the abs-guard filter references z, so count() cannot column-prune
       // the standardization arithmetic (and with it the Σy² moment sums
@@ -377,12 +388,7 @@ object Profile {
       liAmp.unpersist()
       // drift: same-density copies shifted by 40 days keep the bucket
       // count fixed — cost must be the linear scan + O(buckets) shuffle
-      val ev = Tables.events(spark, sfDir)
-      val dayNs = 24L * 3600 * 1000 * 1000 * 1000
-      val evAmp = (0 until factor).map { k =>
-        if (k == 0) ev
-        else ev.withColumn("ts", col("ts") + lit(k * 40L * dayNs))
-      }.reduce(_ unionAll _)
+      val evAmp = amplifyEvents(Tables.events(spark, sfDir), factor)
       evAmp.persist(); t(s"amplify_events_${factor}x")(evAmp.count())
       t("drift_check")(StatsOps.driftCheck(evAmp).count())
       evAmp.unpersist()
@@ -418,52 +424,28 @@ object Profile {
       t("pack_sequences")(TextOps.packSequences(damp).count())
       damp.unpersist()
       // --- lineitem-fed families ---
-      val li = Tables.lineitem(spark, sfDir)
-      val liAmp = (0 until factor).map { k =>
-        if (k == 0) li
-        else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
-      }.reduce(_ unionAll _)
+      val liAmp = amplifyLineitem(Tables.lineitem(spark, sfDir), factor)
       liAmp.persist(); t(s"amplify_lineitem_${factor}x")(liAmp.count())
       // landing-gate family: single-scan constraint verdicts
       t("constraint_check")(StatsOps.constraintCheck(liAmp).count())
       // stats family + the regime selector proof: raw_exact at 1×,
       // hist_exact once rows pass the raw bound (600k × factor > 4M
       // from factor ≈ 7 up)
-      val selRow = liAmp.select(round(col("l_extendedprice") * 100)
-          .cast("long").as("yc"))
-        .agg(count(lit(1)).as("n"), approx_count_distinct(col("yc"), 0.05).as("nd"))
-        .head()
-      println(s"[profile] quantile_bins regime=${StatsOps.binRegime(selRow.getLong(0), selRow.getLong(1))} " +
-        s"rows=${selRow.getLong(0)} distinct_est=${selRow.getLong(1)}")
+      printBinsRegime(liAmp)
       t("quantile_bins")(StatsOps.quantileBins(liAmp).count())
       // layout family: map-side curve derivation (hilbert guard forces it)
       t("hilbert_layout")(LayoutOps.hilbertLayout(liAmp)
         .where(col("hilbert") >= 0L).count())
       liAmp.unpersist()
       // --- events-fed families ---
-      val ev = Tables.events(spark, sfDir)
-      val dayNs = 24L * 3600 * 1000 * 1000 * 1000
-      val evAmp = (0 until factor).map { k =>
-        if (k == 0) ev
-        else ev.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
-          (col("ts") + lit(k * 40L * dayNs)).as("ts"),
-          (col("user_id") + lit(k * 1000000L)).as("user_id"),
-          col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionAll _)
+      val evAmp = amplifyEvents(Tables.events(spark, sfDir), factor)
       evAmp.persist(); t(s"amplify_events_${factor}x")(evAmp.count())
       // drift family (equi-depth): boundary derivation bounded by
       // distinct cents, assignment map-side, O(buckets) shuffle
       t("drift_check_quantile")(StatsOps.driftCheckQuantile(evAmp).count())
       evAmp.unpersist()
       // --- embeddings-fed families ---
-      val base = Tables.embeddings(spark, sfDir)
-      val embAmp = (0 until factor).map { k =>
-        if (k == 0) base
-        else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-          expr(s"transform(embedding, x -> float(x * (1.0 + $k * 0.0003) + $k * 0.001))")
-            .as("embedding"),
-          col("label"))
-      }.reduce(_ unionAll _)
+      val embAmp = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
       embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
       // similarity family: LSH bucketed top-k (candidates bucket-bounded)
       t("ann_lsh")(SimilarityOps.lshTopK(embAmp).count())

@@ -210,11 +210,14 @@ object MultimodalOps {
     * Scale shape: `binaryFile` streams each file as one row (blobs ride
     * the scan, never a shuffle — the digest is computed map-side and the
     * content column is DROPPED before the only exchange); the dedup is
-    * ONE digest-keyed aggregate joined back on digest, O(files) shuffle
-    * traffic of (digest, name) metadata. At 100 TB the same plan holds:
-    * files >2 GB aside (binaryFile's per-row limit — chunk or pointer
-    * past it), manifest rows are path+digest metadata regardless of
-    * payload size.
+    * a digest-partitioned window min over the content-free manifest
+    * rows — ONE scan of the payload bytes, O(files) shuffle traffic of
+    * (digest, name) metadata. (An aggregate-join formulation plans the
+    * binaryFile scan + md5 of every payload byte TWICE — the two
+    * subplans' exchanges differ, so ReuseExchange can't dedupe them;
+    * review-caught.) At 100 TB the same plan holds: files >2 GB aside
+    * (binaryFile's per-row limit — chunk or pointer past it), manifest
+    * rows are path+digest metadata regardless of payload size.
     */
   def ingestManifest(spark: SparkSession, dir: String): DataFrame = {
     val m = spark.read.format("binaryFile").load(dir)
@@ -229,19 +232,24 @@ object MultimodalOps {
         when(col("file_name").endsWith(".img"), "image")
           .when(col("file_name").endsWith(".aud"), "audio")
           .otherwise("video"))
-    val canon = m.groupBy("digest").agg(min("file_name").as("canonical"))
-    m.join(canon, "digest")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+    m.withColumn("canonical", min("file_name").over(w))
       .select(col("file_name"), col("doc_id"), col("modality"),
         col("byte_len"), col("digest"), col("canonical"),
         (col("file_name") === col("canonical")).as("is_canonical"))
   }
 
-  /** The deterministic fixture location for a given sf dir — one tree
-    * per scale factor so Verify (sf0.01) and Bench (sf0.1) never tread
-    * on each other. */
+  /** The fixture location for a given sf dir — one tree per (scale
+    * factor, PROCESS): sf keeps Verify (sf0.01) and Bench (sf0.1)
+    * apart; the pid keeps a solo arbitration re-run from deleting the
+    * tree a concurrently-running full bench is mid-scan on
+    * (review-caught — the rebuild sweep would race the other process's
+    * binaryFile listing into a spurious red). Within one process the
+    * rebuild is sequential and safe. */
   def fixtureDir(sfDir: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_mm_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_p" +
+      ProcessHandle.current().pid()
 
   /** DuckDB twin of the full write→ingest→manifest loop, reconstructed
     * from the documents table: the same name/extension/dup-planting

@@ -456,9 +456,7 @@ object StatsOps {
       .select(expr("t0 + (t1 - t0) div 2").as("mid"))
     val sided = cents
       .crossJoin(broadcast(bounds)).crossJoin(broadcast(mid))
-      .select(
-        expr("aggregate(bs, 0L, (acc, b) -> acc + IF(vc > b, 1L, 0L))")
-          .as("bucket"),
+      .select(quantileBucket.as("bucket"),
         when(col("t_us") <= col("mid"), 1L).otherwise(0L).as("is_a"))
     val counts = sided.groupBy("bucket").agg(
       sum(col("is_a")).as("n_a"),
@@ -474,10 +472,26 @@ object StatsOps {
         chiSquareContrib(pA, pB).as("contrib"))
   }
 
+  /** The ONE quantile-grid bucket assignment, shared by
+    * [[driftCheckQuantile]] and the streaming twin
+    * (`StreamingClean.referenceHistogramQuantile` /
+    * `driftGateQuantileStream`): count of boundaries strictly below the
+    * cent value `vc` against the broadcast boundary array `bs`. A NULL
+    * value keeps its OWN (NULL) bucket — without the explicit branch,
+    * `IF(NULL > b, 1, 0)` counts 0 per boundary and NULLs silently
+    * conflate into bucket 0 while being excluded from the boundary
+    * derivation (review-caught): an all-NULL sensor fault must alarm as
+    * a NULL-bucket anomaly, exactly as the fixed-width twin's
+    * `floor(NULL / width)` does. */
+  private[graft] def quantileBucket: Column =
+    when(col("vc").isNull, lit(null).cast("long"))
+      .otherwise(expr("aggregate(bs, 0L, (acc, b) -> acc + IF(vc > b, 1L, 0L))"))
+
   /** DuckDB twin: quantile_cont over the same integer cents (bitwise
     * equal to the frequency-weighted Spark percentile — identical
-    * multiset), the same strict-greater boundary count, the same
-    * midpoint split and χ² tail as [[driftCheckOracle]]. */
+    * multiset), the same strict-greater boundary count (NULL keeps its
+    * own bucket on both sides), the same midpoint split and χ² tail as
+    * [[driftCheckOracle]]. */
   def driftCheckQuantileOracle(nBins: Int = 8): String = {
     val ps = (1 until nBins).map(k => k.toDouble / nBins)
     s"""WITH cents AS (
@@ -489,7 +503,9 @@ object StatsOps {
        |b AS (
        |  SELECT (min(t_us) + (max(t_us) - min(t_us)) // 2) AS mid FROM cents),
        |sided AS (
-       |  SELECT CAST(len(list_filter(bs, x -> vc > x)) AS BIGINT) AS bucket,
+       |  SELECT CASE WHEN vc IS NULL THEN NULL
+       |              ELSE CAST(len(list_filter(bs, x -> vc > x)) AS BIGINT)
+       |         END AS bucket,
        |    CASE WHEN t_us <= (SELECT mid FROM b) THEN 1 ELSE 0 END AS is_a
        |  FROM cents, q),
        |counts AS (
@@ -607,10 +623,18 @@ object StatsOps {
     *
     * The assignment pass downstream (broadcast boundary array, map-side
     * boundary count) is shared verbatim by all three regimes.
+    *
+    * Selector cost contract (review-caught): the stage-1 `count()` is
+    * ~free ONLY when the input is a bare file scan (parquet footer
+    * metadata) — on a derived frame (filters, unions, the decade
+    * ladders' amplified corpora) it is one full extra job executed
+    * eagerly at plan-build time. Callers on hot derived inputs should
+    * persist the input first (the ladders do) or accept the extra scan;
+    * the registered query is a bare scan, where the contract holds.
     */
   def quantileBins(lineitem: DataFrame, nBins: Int = 8,
-                   rawMaxRows: Long = 4000000L,
-                   histMaxDistinct: Long = 16000000L,
+                   rawMaxRows: Long = DefaultRawMaxRows,
+                   histMaxDistinct: Long = DefaultHistMaxDistinct,
                    approxAccuracy: Int = 10000): DataFrame = {
     val yc = round(col("l_extendedprice") * 100).cast("long")
     val ps = (1 until nBins).map(k => k.toDouble / nBins)
@@ -665,12 +689,22 @@ object StatsOps {
         .as("bs"))
   }
 
+  /** The ONE home of the selector thresholds — [[quantileBins]] and
+    * [[binRegime]] both default to these, so tuning the cutover can
+    * never leave the decade harness's regime print and the timed call
+    * disagreeing (review-caught). rawMaxRows bounds the raw exact
+    * percentile's reducer input by ROWS; histMaxDistinct bounds the
+    * histogram form's reducer by DISTINCT values (~16M (long, count)
+    * pairs ≈ 256 MB — executor-heap-sized). */
+  val DefaultRawMaxRows: Long = 4000000L
+  val DefaultHistMaxDistinct: Long = 16000000L
+
   /** The boundary-derivation selector of [[quantileBins]], exposed so the
     * decade harness can report which regime a given scale engages. Pure
     * function of the pre-pass scalars. */
   def binRegime(nRows: Long, nDistinctEst: Long,
-                rawMaxRows: Long = 4000000L,
-                histMaxDistinct: Long = 16000000L): String =
+                rawMaxRows: Long = DefaultRawMaxRows,
+                histMaxDistinct: Long = DefaultHistMaxDistinct): String =
     if (nRows <= rawMaxRows) "raw_exact"
     else if (nDistinctEst <= histMaxDistinct) "hist_exact"
     else "approx"

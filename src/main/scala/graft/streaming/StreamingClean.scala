@@ -68,16 +68,46 @@ object StreamingClean {
     * compare histograms with mismatched widths (review-2). NULL values
     * form their own bucket: an all-NULL batch alarming against a
     * NULL-free reference is a real anomaly, not a false positive. */
-  def referenceHistogram(reference: DataFrame, width: Double = 50.0): DataFrame = {
-    val counts = reference
-      .select(floor(col("value") / lit(width)).cast("long").as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
-    val tot = counts.agg(sum("n_ref").cast("long").as("tot_ref"))
+  def referenceHistogram(reference: DataFrame, width: Double = 50.0): DataFrame =
+    bucketProbabilities(
+      reference.select(floor(col("value") / lit(width)).cast("long").as("bucket")),
+      "p_ref")
+      .withColumn("width", lit(width))
+
+  /** The ONE bucket→probability normalization (count per bucket / total),
+    * shared by both reference-histogram builders and the quantile gate's
+    * per-batch side — the four call sites cannot diverge on the
+    * normalization (review-caught duplication). Input: one `bucket`
+    * column; output: (bucket, <pName>). */
+  private def bucketProbabilities(bucketed: DataFrame, pName: String): DataFrame = {
+    val counts = bucketed.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").cast("long").as("tot"))
     counts.crossJoin(broadcast(tot))
       .select(col("bucket"),
-        (col("n_ref").cast("double") / col("tot_ref").cast("double")).as("p_ref"),
-        lit(width).as("width"))
+        (col("n").cast("double") / col("tot").cast("double")).as(pName))
   }
+
+  /** The ONE χ²-gate foreachBatch body shared by [[driftGateStream]] and
+    * [[driftGateQuantileStream]] (review-caught duplication): the batch
+    * histogram (from the grid-specific `batchHist`) and the frozen
+    * reference meet by UNION + one bucket-keyed aggregate (no full-outer
+    * join — Spark can't broadcast one), each bucket emits
+    * [[graft.ops.StatsOps.chiSquareContrib]], and an EMPTY batch emits
+    * zero rows (no data is not drift). */
+  private def chiSquareGate(stream: DataFrame, ref: DataFrame,
+                            batchHist: DataFrame => DataFrame)
+                           (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val joined = batchHist(batch)
+        .select(col("bucket"), col("p_b"), lit(0.0).as("p_r"))
+        .unionAll(ref)
+        .groupBy("bucket")
+        .agg(sum("p_b").as("p_batch"), sum("p_r").as("p_ref"))
+        .withColumn("contrib",
+          graft.ops.StatsOps.chiSquareContrib(col("p_batch"), col("p_ref")))
+      val out = if (batch.isEmpty) joined.where(lit(false)) else joined
+      sink(out, batchId)
+    }
 
   /** Streaming DRIFT monitor — the production face of
     * [[graft.ops.StatsOps.driftCheck]]: each micro-batch is histogrammed
@@ -113,17 +143,9 @@ object StreamingClean {
       .getDouble(0)
     val ref = refHist.select(col("bucket"), lit(0.0).as("p_b"),
       col("p_ref").as("p_r"))
-    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val batchHist = referenceHistogram(batch, width)
-        .select(col("bucket"), col("p_ref").as("p_b"), lit(0.0).as("p_r"))
-      val joined = batchHist.unionAll(ref)
-        .groupBy("bucket")
-        .agg(sum("p_b").as("p_batch"), sum("p_r").as("p_ref"))
-        .withColumn("contrib",
-          graft.ops.StatsOps.chiSquareContrib(col("p_batch"), col("p_ref")))
-      val out = if (batch.isEmpty) joined.where(lit(false)) else joined
-      sink(out, batchId)
-    }
+    chiSquareGate(stream, ref, batch =>
+      referenceHistogram(batch, width)
+        .select(col("bucket"), col("p_ref").as("p_b")))(sink)
   }
 
   /** EQUI-DEPTH reference histogram for [[driftGateQuantileStream]] —
@@ -140,15 +162,11 @@ object StreamingClean {
     val cents = reference
       .select(round(col("value") * 100).cast("long").as("vc"))
     val bounds = graft.ops.StatsOps.histExactBoundaries(cents, "vc", nBins)
-    val counts = cents.crossJoin(broadcast(bounds))
-      .select(expr("aggregate(bs, 0L, (acc, b) -> acc + IF(vc > b, 1L, 0L))")
-        .as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_ref"))
-    val tot = counts.agg(sum("n_ref").cast("long").as("tot_ref"))
-    counts.crossJoin(broadcast(tot)).crossJoin(broadcast(bounds))
-      .select(col("bucket"),
-        (col("n_ref").cast("double") / col("tot_ref").cast("double")).as("p_ref"),
-        col("bs"))
+    // assignment + NULL-bucket semantics are StatsOps.quantileBucket —
+    // the batch gate's one definition (NULLs keep their own bucket)
+    val bucketed = cents.crossJoin(broadcast(bounds))
+      .select(graft.ops.StatsOps.quantileBucket.as("bucket"))
+    bucketProbabilities(bucketed, "p_ref").crossJoin(broadcast(bounds))
   }
 
   /** Streaming drift monitor on the EQUI-DEPTH grid — the production
@@ -172,25 +190,12 @@ object StreamingClean {
     val bsLit = array(bs.map(lit(_)): _*)
     val ref = refHist.select(col("bucket"), lit(0.0).as("p_b"),
       col("p_ref").as("p_r"))
-    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val counts = batch
-        .select(round(col("value") * 100).cast("long").as("vc"))
-        .select(aggregate(bsLit, lit(0L), (acc, b) =>
-          acc + when(col("vc") > b, lit(1L)).otherwise(lit(0L))).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_b"))
-      val tot = counts.agg(sum("n_b").cast("long").as("tot_b"))
-      val batchHist = counts.crossJoin(broadcast(tot))
-        .select(col("bucket"),
-          (col("n_b").cast("double") / col("tot_b").cast("double")).as("p_b"),
-          lit(0.0).as("p_r"))
-      val joined = batchHist.unionAll(ref)
-        .groupBy("bucket")
-        .agg(sum("p_b").as("p_batch"), sum("p_r").as("p_ref"))
-        .withColumn("contrib",
-          graft.ops.StatsOps.chiSquareContrib(col("p_batch"), col("p_ref")))
-      val out = if (batch.isEmpty) joined.where(lit(false)) else joined
-      sink(out, batchId)
-    }
+    chiSquareGate(stream, ref, batch =>
+      bucketProbabilities(
+        batch.select(round(col("value") * 100).cast("long").as("vc"),
+            bsLit.as("bs"))
+          .select(graft.ops.StatsOps.quantileBucket.as("bucket")),
+        "p_b"))(sink)
   }
 
   /** Per-batch PROFILE monitor: the streaming face of

@@ -106,6 +106,24 @@ class Round8AdditionsSpec extends SparkSpec {
         s"${totalDrift(quant)} vs ${totalDrift(fixed)}")
   }
 
+  test("driftCheckQuantile: NULL values keep their own bucket, like the fixed-width twin") {
+    // review-caught: IF(NULL > b, 1, 0) counts 0 per boundary, silently
+    // conflating NULLs into bucket 0 — a sensor fault nulling `value`
+    // must alarm as a NULL-bucket anomaly, not a shift into low values
+    val rows = Seq[(Long, java.lang.Double)](
+      (1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (101L, null), (102L, null), (103L, null), (104L, null))
+      .map { case (us, v) => (us * 1000L, v) }.toDF("ts", "value")
+    val out = StatsOps.driftCheckQuantile(rows, nBins = 4).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r).toMap
+    // the NULL bucket exists and holds exactly the 4 late null rows
+    assert(out.contains(-1L))
+    assert(out(-1L).getAs[Long]("n_a") == 0 && out(-1L).getAs[Long]("n_b") == 4)
+    // bucket 0 holds only the real low-value rows, not the nulls
+    assert(out(0L).getAs[Long]("n_b") == 0)
+    assert(out.values.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == 8)
+  }
+
   test("native Hilbert expressions: NULL coordinates yield NULL index (both arities)") {
     import graft.ops.LayoutOps
     val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
