@@ -280,6 +280,14 @@ object SparkEntry {
     }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
+    // measured recall@k of probe-1 LSH vs the exact brute-force top-k —
+    // the evaluation loop an ANN deployment tunes its knobs against.
+    // The recall guard is the count-prune no-op (recall is never
+    // negative): without it Catalyst drops the truth⋈approx hit join
+    // under Bench's count() and the bench would time the truth pipeline
+    // alone (`Profile count-prune` caught it).
+    "ann_recall" -> ((s, dir) => SimilarityOps.annRecall(Tables.embeddings(s, dir))
+      .where(col("recall_at_k") >= 0.0)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
     "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
@@ -420,6 +428,14 @@ object SparkEntry {
         .where(col("ratio") > 0.0)
     }),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    // sharded packing: (source, shard) windows — parallelism tunable to
+    // the cluster instead of capped at the source count; per-shard base
+    // offsets keep pack ids contiguous per source. The pack_id guard is
+    // the count-prune no-op (ids are never negative) that keeps the
+    // base-offset join's arithmetic alive under Bench's count().
+    "pack_shards" -> ((s, dir) =>
+      TextOps.packSequencesSharded(Tables.documents(s, dir))
+        .where(col("pack_id") >= 0L)),
     // pack manifest: per-pack ordered (doc_id, offset, len) span lists
     "pack_spans" -> ((s, dir) =>
       TextOps.packSpans(Tables.documents(s, dir)).drop("spans_arr")),
@@ -700,6 +716,7 @@ object SparkEntry {
     "multimodal_resize" -> MultimodalOps.resizeOracle,
     "multimodal_manifest" -> MultimodalOps.ingestManifestOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
+    "ann_recall" -> SimilarityOps.annRecallOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
     "tfidf_top" -> TextOps.tfIdfTopOracle,
@@ -745,6 +762,7 @@ object SparkEntry {
     "dsir_select" -> SemanticOps.dsirSelectOracle(),
     "dsir_ratios" -> SemanticOps.dsirRatiosOracle(),
     "pack_sequences" -> TextOps.packSequencesOracle(),
+    "pack_shards" -> TextOps.packSequencesShardedOracle(),
     "pack_spans" -> TextOps.packSpansOracle(),
     "pack_split" -> TextOps.packSplitOracle(),
     "corpus_shuffle" -> TextOps.corpusShuffleOracle(),

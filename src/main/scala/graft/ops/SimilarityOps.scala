@@ -388,18 +388,20 @@ object SimilarityOps {
        |    sqrt(${duckDot("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")}) AS norm
        |  FROM embeddings)""".stripMargin
 
-  val cosineTopKOracle: String =
+  def cosineTopKOracleAt(nQueries: Int, k: Int): String =
     s"""WITH $duckCorpus,
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id,
        |    ${duckDot("c.emb", "q.emb")} / (c.norm * q.norm) AS score
        |  FROM corpus c JOIN corpus q
-       |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |    ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
        |SELECT q_id, vec_id, score, rank FROM (
        |  SELECT *, row_number() OVER
        |    (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
        |  FROM scored)
-       |WHERE rank <= 10""".stripMargin
+       |WHERE rank <= $k""".stripMargin
+
+  val cosineTopKOracle: String = cosineTopKOracleAt(10, 10)
 
   val ivfTopKOracle: String =
     s"""WITH $duckCorpus,
@@ -705,4 +707,50 @@ object SimilarityOps {
        |FROM bucketed a JOIN bucketed b
        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.999""".stripMargin
+
+  /** Measured ANN RECALL@k — the evaluation operator an ANN deployment
+    * tunes its probe/table/cell knobs against: per query, the fraction
+    * of the exact brute-force top-k ([[cosineTopK]] — the documented
+    * baseline) that probe-1 [[lshTopK]] retrieves. Joining the two
+    * deterministic result sets (both oracle-green, both with fixed
+    * tie-breaks) and counting hits is exact integer work; the single
+    * division by the constant k is the one IEEE op — hash-matches
+    * DuckDB. The LEFT join keeps 0-recall queries visible (an ANN
+    * config that strands a query must not vanish from its own evaluation
+    * report).
+    *
+    * Scale shape: both sides are query-set-sized results (nQueries × k
+    * rows), so the join and per-query aggregate are metadata-sized; the
+    * real cost is the two retrieval pipelines it composes — each
+    * already audited (broadcast query sets, bucket-bounded candidates).
+    */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(embeddings, nQueries, k).select("q_id", "vec_id")
+    val approx = lshTopK(embeddings, nQueries, k)
+      .select(col("q_id").as("a_q"), col("vec_id").as("a_v"), lit(1L).as("hit"))
+    truth.join(approx,
+        col("q_id") === col("a_q") && col("vec_id") === col("a_v"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
+        .as("recall_at_k"))
+  }
+
+  /** Both retrieval oracles embedded verbatim as nested-WITH CTE
+    * subqueries (the outputDiff idiom — one derivation per side, zero
+    * drift), joined and averaged by the same arithmetic. */
+  def annRecallOracle(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH truth AS (
+       |SELECT q_id, vec_id FROM (
+       |${cosineTopKOracleAt(nQueries, k)}
+       |) t),
+       |approx AS (
+       |SELECT q_id, vec_id FROM (
+       |${lshTopKOracle(nQueries, k)}
+       |) a)
+       |SELECT t.q_id,
+       |  CAST(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS DOUBLE) / ${k.toDouble} AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+       |GROUP BY 1""".stripMargin
 }

@@ -845,6 +845,78 @@ object TextOps {
         (col("cum_excl") % capacity).as("pack_offset"))
   }
 
+  /** SHARDED sequence packing — the parallelism-cap fix the 100× ladder
+    * priced (round 8): [[packSequences]] windows per `source`, so a
+    * 5-source corpus runs its prefix sums through 5 tasks no matter how
+    * large it grows (measured: linear work through a constant-width
+    * pipe). Here the window key is (source, shard) with
+    * shard = doc_id mod `shards` — parallelism sources×shards, tunable
+    * to the cluster — and pack ids stay CONTIGUOUS per source: each
+    * shard quota-fills locally, then a sources×shards METADATA
+    * aggregate prefix-sums the per-shard pack counts into base offsets
+    * (broadcast back; global pack_id = base + local_pack). Packs never
+    * span shards — the price of sharding is at most one under-filled
+    * pack per (source, shard), negligible against shard-sized token
+    * totals. All exact integer arithmetic — hash-matches DuckDB.
+    */
+  def packSequencesSharded(documents: DataFrame, capacity: Long = 2048,
+                           shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("long"))
+      .withColumn("cum_excl", sum("n_tokens").over(wCum) - col("n_tokens"))
+      .withColumn("local_pack", expr(s"cum_excl div ${capacity}L"))
+    val wBase = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toks.groupBy("source", "shard")
+      .agg((max("local_pack") + lit(1L)).as("n_packs"))
+      .withColumn("base", coalesce(sum("n_packs").over(wBase), lit(0L)))
+      .select(col("source").as("b_source"), col("shard").as("b_shard"),
+        col("base"))
+    toks.join(broadcast(bases),
+        col("source") === col("b_source") && col("shard") === col("b_shard"))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        (col("base") + col("local_pack")).as("pack_id"),
+        (col("cum_excl") % capacity).as("pack_offset"))
+  }
+
+  /** Same shard windows, local quota-fill, and metadata prefix-sum base
+    * offsets in DuckDB. */
+  def packSequencesShardedOracle(capacity: Long = 2048, shards: Int = 8): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(doc_id % $shards AS BIGINT) AS shard
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, source, shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens AS cum_excl
+       |  FROM toks
+       |  WINDOW w AS (PARTITION BY source, shard ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |lp AS (
+       |  SELECT *, cum_excl // $capacity AS local_pack FROM cum),
+       |bases AS (
+       |  SELECT source, shard,
+       |    CAST(COALESCE(sum(n_packs) OVER (
+       |      PARTITION BY source ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS base
+       |  FROM (SELECT source, shard,
+       |          CAST(max(local_pack) + 1 AS BIGINT) AS n_packs
+       |        FROM lp GROUP BY 1, 2)),
+       |j AS (
+       |  SELECT l.doc_id, l.source, l.shard, l.n_tokens,
+       |    b.base + l.local_pack AS pack_id,
+       |    l.cum_excl % $capacity AS pack_offset
+       |  FROM lp l JOIN bases b
+       |    ON l.source = b.source AND l.shard = b.shard)
+       |SELECT doc_id, source, shard, n_tokens, pack_id, pack_offset FROM j""".stripMargin
+
   /** Shared oracle prefix: per-source exclusive token prefix-sums —
     * [[packSequencesOracle]] and [[packSplitOracle]] both build on this
     * subquery so the cum_excl derivation cannot diverge. */

