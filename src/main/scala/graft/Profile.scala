@@ -420,8 +420,13 @@ object Profile {
         .where(col("quality_score") >= 0.0).count())
       // curation/mixing family: one metadata-sized agg + map-side gate
       t("source_temperature_mix")(TextOps.sourceTemperatureMix(damp).count())
-      // packing family: one-shuffle prefix-sum bin assignment
+      // packing family: one-shuffle prefix-sum bin assignment — plus the
+      // sharded variant head-to-head (the parallelism-cap fix: 5-source
+      // windows vs sources×shards; pack_id guard keeps the base-offset
+      // join alive under count())
       t("pack_sequences")(TextOps.packSequences(damp).count())
+      t("pack_shards")(TextOps.packSequencesSharded(damp)
+        .where(col("pack_id") >= 0L).count())
       damp.unpersist()
       // --- lineitem-fed families ---
       val liAmp = amplifyLineitem(Tables.lineitem(spark, sfDir), factor)

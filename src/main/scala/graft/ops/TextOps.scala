@@ -848,44 +848,49 @@ object TextOps {
   /** SHARDED sequence packing — the parallelism-cap fix the 100× ladder
     * priced (round 8): [[packSequences]] windows per `source`, so a
     * 5-source corpus runs its prefix sums through 5 tasks no matter how
-    * large it grows (measured: linear work through a constant-width
-    * pipe). Here the window key is (source, shard) with
-    * shard = doc_id mod `shards` — parallelism sources×shards, tunable
-    * to the cluster — and pack ids stay CONTIGUOUS per source: each
-    * shard quota-fills locally, then a sources×shards METADATA
-    * aggregate prefix-sums the per-shard pack counts into base offsets
-    * (broadcast back; global pack_id = base + local_pack). Packs never
-    * span shards — the price of sharding is at most one under-filled
-    * pack per (source, shard), negligible against shard-sized token
-    * totals. All exact integer arithmetic — hash-matches DuckDB.
+    * large it grows (linear work through a constant-width pipe). Here
+    * the window key is (source, shard) with shard = doc_id mod `shards`
+    * — parallelism sources×shards, tunable to the cluster — in ONE
+    * pass: pack identity is (source, pack_id) with the shard encoded in
+    * the id's high bits (`shard·2⁴⁰ + local quota-fill index`), so no
+    * second pass computes base offsets. Pack ids are deterministic,
+    * unique per source, and shard-recoverable (`pack_id >> 40`) but NOT
+    * dense — the spans manifest ([[packSpans]]) enumerates packs anyway,
+    * and a loader that insists on dense ids renumbers the
+    * sources×shards-sized id set with the compaction planner's
+    * dense_rank idiom (metadata, not a data pass).
+    *
+    * Two contiguous-id formulations were measured and rejected at the
+    * 100× ladder: deriving per-shard base offsets needs per-shard pack
+    * counts, and whether computed by a second window branch or a
+    * groupBy, the branch re-tokenizes the corpus (different column
+    * pruning defeats ReuseExchange) or forces a cache of it — 39.7 s /
+    * 44.5 s / 89 s (loaded host) vs 15.2 s unsharded. The one-pass
+    * encoded-id form does strictly less work than the unsharded
+    * operator at 8× its parallelism. Packs never span shards; the price
+    * of sharding is at most one under-filled pack per (source, shard).
+    * All exact integer arithmetic — hash-matches DuckDB.
     */
   def packSequencesSharded(documents: DataFrame, capacity: Long = 2048,
                            shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(shards > 0 && shards <= (1 << 22),
+      s"shards must fit the id's high bits, got $shards")
     val wCum = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val toks = documents
+    documents
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("long"))
       .withColumn("cum_excl", sum("n_tokens").over(wCum) - col("n_tokens"))
-      .withColumn("local_pack", expr(s"cum_excl div ${capacity}L"))
-    val wBase = Window.partitionBy("source").orderBy("shard")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = toks.groupBy("source", "shard")
-      .agg((max("local_pack") + lit(1L)).as("n_packs"))
-      .withColumn("base", coalesce(sum("n_packs").over(wBase), lit(0L)))
-      .select(col("source").as("b_source"), col("shard").as("b_shard"),
-        col("base"))
-    toks.join(broadcast(bases),
-        col("source") === col("b_source") && col("shard") === col("b_shard"))
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
-        (col("base") + col("local_pack")).as("pack_id"),
+        (col("shard") * lit(1L << 40) + expr(s"cum_excl div ${capacity}L"))
+          .as("pack_id"),
         (col("cum_excl") % capacity).as("pack_offset"))
   }
 
-  /** Same shard windows, local quota-fill, and metadata prefix-sum base
-    * offsets in DuckDB. */
+  /** Same shard windows, local quota-fill, and shard-encoded ids in
+    * DuckDB. */
   def packSequencesShardedOracle(capacity: Long = 2048, shards: Int = 8): String =
     s"""WITH toks AS (
        |  SELECT doc_id, source,
@@ -897,25 +902,11 @@ object TextOps {
        |    CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens AS cum_excl
        |  FROM toks
        |  WINDOW w AS (PARTITION BY source, shard ORDER BY doc_id
-       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |lp AS (
-       |  SELECT *, cum_excl // $capacity AS local_pack FROM cum),
-       |bases AS (
-       |  SELECT source, shard,
-       |    CAST(COALESCE(sum(n_packs) OVER (
-       |      PARTITION BY source ORDER BY shard
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS base
-       |  FROM (SELECT source, shard,
-       |          CAST(max(local_pack) + 1 AS BIGINT) AS n_packs
-       |        FROM lp GROUP BY 1, 2)),
-       |j AS (
-       |  SELECT l.doc_id, l.source, l.shard, l.n_tokens,
-       |    b.base + l.local_pack AS pack_id,
-       |    l.cum_excl % $capacity AS pack_offset
-       |  FROM lp l JOIN bases b
-       |    ON l.source = b.source AND l.shard = b.shard)
-       |SELECT doc_id, source, shard, n_tokens, pack_id, pack_offset FROM j""".stripMargin
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT doc_id, source, shard, n_tokens,
+       |  shard * ${1L << 40} + cum_excl // $capacity AS pack_id,
+       |  cum_excl % $capacity AS pack_offset
+       |FROM cum""".stripMargin
 
   /** Shared oracle prefix: per-source exclusive token prefix-sums —
     * [[packSequencesOracle]] and [[packSplitOracle]] both build on this

@@ -106,7 +106,7 @@ class Round8AdditionsSpec extends SparkSpec {
         s"${totalDrift(quant)} vs ${totalDrift(fixed)}")
   }
 
-  test("packSequencesSharded: contiguous per-source pack ids, shard-local capacity, exact offsets") {
+  test("packSequencesSharded: shard-encoded ids, shard-local quota-fill, exact offsets") {
     import graft.ops.TextOps
     // 2 sources × docs 0..9; text of doc i has (i % 4) + 1 tokens
     val docs = (0L until 10L).flatMap { i =>
@@ -119,22 +119,24 @@ class Round8AdditionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
     assert(out.size == 20)
-    // per source: pack ids are exactly 0..max with no gaps (base offsets
-    // splice the shard-local ranges contiguously)
-    Seq("s1", "s2").foreach { src =>
-      val ids = out.values.filter(_._1 == src).map(_._4).toSet
-      assert(ids == (0L until (ids.max + 1)).toSet, s"$src ids: $ids")
+    // the shard is recoverable from the id's high bits, and within a
+    // shard the local indices are dense 0..max (shard-local quota-fill)
+    out.values.foreach { case (_, shard, _, packId, _) =>
+      assert(packId >> 40 == shard, s"pack_id $packId not in shard $shard")
     }
-    // shard-local quota-fill: offset + n_tokens never overruns capacity
-    // for docs that fit, and every doc's offset = cum_excl % capacity
+    Seq("s1", "s2").foreach { src =>
+      out.values.filter(_._1 == src).groupBy(_._2).foreach { case (_, vs) =>
+        val local = vs.map(v => v._4 & ((1L << 40) - 1)).toSet
+        assert(local == (0L until (local.max + 1)).toSet,
+          s"$src shard-local ids not dense: $local")
+      }
+    }
+    // offsets live in [0, capacity); packs never span shards by id
+    // construction; every doc appears exactly once
     out.values.foreach { case (_, _, n, _, off) =>
       assert(off >= 0 && off < 4, s"offset $off out of [0, capacity)")
       assert(n >= 1)
     }
-    // packs never span shards: a (source, pack) pair maps to ONE shard
-    val packShards = out.values.groupBy(v => (v._1, v._4)).view
-      .mapValues(_.map(_._2).toSet)
-    assert(packShards.values.forall(_.size == 1))
     // determinism: same input, same assignment
     val again = TextOps.packSequencesSharded(docs, capacity = 4L, shards = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
