@@ -95,6 +95,14 @@ object SparkEntry {
     "minhash_signatures" -> ((s, dir) => DedupOps.minhashSignatures(DedupOps.augmented(D(s, dir)))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(DedupOps.augmented(D(s, dir)))),
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccardPairs(DedupOps.augmented(D(s, dir)))),
+    // measured recall of banded-LSH MinHash vs the exhaustive
+    // Jaccard-pair ground truth (the ann_recall sibling for the lexical
+    // pipeline). The coalesce guard is the count-prune no-op (recall is
+    // never negative; coalesce keeps it non-foldable) that holds the
+    // truth⋈found hit join alive under Bench's count().
+    "dedup_recall" -> ((s, dir) =>
+      DedupOps.dedupRecall(DedupOps.augmented(D(s, dir)))
+        .where(coalesce(col("recall"), lit(0.0)) >= 0.0)),
     "simhash" -> ((s, dir) => DedupOps.simhash(DedupOps.augmented(D(s, dir)))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(DedupOps.augmented(D(s, dir)))),
     "dedup_prefix_editdist" -> ((s, dir) => DedupOps.editDistPairs(DedupOps.augmented(D(s, dir)))),
@@ -634,6 +642,7 @@ object SparkEntry {
     "minhash_signatures" -> DedupOps.minhashSignaturesOracle,
     "dedup_minhash" -> DedupOps.minhashPairsOracle,
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccardOracle,
+    "dedup_recall" -> DedupOps.dedupRecallOracle(),
     "simhash" -> DedupOps.simhashOracle,
     "dedup_simhash" -> DedupOps.simhashPairsOracle,
     "dedup_prefix_editdist" -> DedupOps.editDistPairsOracle(),

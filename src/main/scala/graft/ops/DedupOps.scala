@@ -1403,4 +1403,55 @@ object DedupOps {
        |JOIN (SELECT doc_id, substr(text, 1, $prefixLen) AS prefix FROM corpus) tb
        |  ON doc_b = tb.doc_id
        |WHERE levenshtein(ta.prefix, tb.prefix) <= $maxDist""".stripMargin
+
+  /** Measured DEDUP RECALL — the [[graft.ops.SimilarityOps.annRecall]]
+    * sibling for the lexical pipeline: how many of the TRUE
+    * Jaccard ≥ t pairs ([[ngramJaccardPairs]], exhaustive over the
+    * shared shingle space while its df cap is inactive — the test
+    * corpora's regime) does banded-LSH MinHash ([[minhashPairs]])
+    * recover? Both pipelines verify with the SAME exact Jaccard over
+    * the SAME `withShingles` derivation, so found ⊆ truth by
+    * construction and the miss set is precisely the banding's
+    * candidate-generation misses — the number that tells an operator
+    * whether 4×4 banding suffices at their similarity threshold.
+    * One summary row: (n_truth, n_found, recall); the division is the
+    * single IEEE op, nullif-guarded for an empty truth set.
+    */
+  def dedupRecall(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val truth = ngramJaccardPairs(corpus, minJaccard).select("doc_a", "doc_b")
+    val found = minhashPairs(corpus, minJaccard)
+      .select(col("doc_a").as("f_a"), col("doc_b").as("f_b"), lit(1L).as("hit"))
+    truth
+      .join(found, col("doc_a") === col("f_a") && col("doc_b") === col("f_b"),
+        "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum("hit"), lit(0L)).as("n_found"))
+      .select(col("n_truth").cast("long").as("n_truth"),
+        col("n_found").cast("long").as("n_found"),
+        (col("n_found").cast("double") /
+          nullif(col("n_truth").cast("double"), lit(0.0))).as("recall"))
+  }
+
+  /** Both pair oracles embedded verbatim as nested-WITH CTE subqueries
+    * (the annRecall/outputDiff idiom), joined and counted by the same
+    * arithmetic. */
+  def dedupRecallOracle(): String =
+    s"""WITH truth AS (
+       |SELECT doc_a, doc_b FROM (
+       |$ngramJaccardOracle
+       |) tq),
+       |found AS (
+       |SELECT doc_a, doc_b FROM (
+       |$minhashPairsOracle
+       |) fq),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+       |    CAST(COALESCE(sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END),
+       |      0) AS BIGINT) AS n_found
+       |  FROM truth t LEFT JOIN found f
+       |    ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+       |SELECT n_truth, n_found,
+       |  CAST(n_found AS DOUBLE) / NULLIF(CAST(n_truth AS DOUBLE), 0.0)
+       |    AS recall
+       |FROM agg""".stripMargin
 }

@@ -147,4 +147,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(StatsOps.driftCheck(emptyTsVal).isEmpty)
     assert(StatsOps.outputDiff(emptyDocs, emptyDocs, "doc_id", "text", "text").isEmpty)
   }
+
+  test("round-8 additions on empty input degrade cleanly, never throw") {
+    val emptyTsVal = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("ts", LongType), StructField("value", DoubleType))))
+    assert(graft.ops.StatsOps.driftCheckQuantile(emptyTsVal).isEmpty)
+    val emptyPackDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))))
+    assert(graft.ops.TextOps.packSequencesSharded(emptyPackDocs).isEmpty)
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", LongType))))
+    assert(graft.ops.SimilarityOps.annRecall(emptyEmb).isEmpty)
+    // ingest of an empty directory: zero manifest rows, no listing error
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_ingest")
+    try assert(graft.ops.MultimodalOps.ingestManifest(spark, dir.toString).isEmpty)
+    finally java.nio.file.Files.delete(dir)
+  }
 }

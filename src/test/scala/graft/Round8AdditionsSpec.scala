@@ -143,6 +143,26 @@ class Round8AdditionsSpec extends SparkSpec {
     assert(out.map { case (k, v) => k -> v._4 } == again)
   }
 
+  test("dedupRecall: found ⊆ truth, recall exact against hand-joined pipelines") {
+    import graft.ops.DedupOps
+    val corpus = DedupOps.augmented(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val truth = DedupOps.ngramJaccardPairs(corpus).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val found = DedupOps.minhashPairs(corpus).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(found.subsetOf(truth),
+      s"LSH-verified pairs must be true pairs: extra=${found.diff(truth)}")
+    val row = DedupOps.dedupRecall(corpus).collect().head
+    spark.catalog.clearCache()
+    assert(row.getLong(0) == truth.size && row.getLong(1) == found.size)
+    assert(row.getDouble(2) == found.size.toDouble / truth.size)
+    assert(row.getDouble(2) > 0.5, // the dup-injected corpus has real pairs
+      s"suspiciously low recall ${row.getDouble(2)}")
+  }
+
   test("annRecall: exact recall of a planted approximate retriever") {
     import graft.ops.SimilarityOps
     // embeddings fixture: 64-dim unit-ish vectors; LSH probe-1 on the
