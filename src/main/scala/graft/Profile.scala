@@ -422,8 +422,8 @@ object Profile {
       t("source_temperature_mix")(TextOps.sourceTemperatureMix(damp).count())
       // packing family: one-shuffle prefix-sum bin assignment — plus the
       // sharded variant head-to-head (the parallelism-cap fix: 5-source
-      // windows vs sources×shards; pack_id guard keeps the base-offset
-      // join alive under count())
+      // windows vs sources×shards, one pass, shard-encoded ids; pack_id
+      // guard stops count() column-pruning the window arithmetic)
       t("pack_sequences")(TextOps.packSequences(damp).count())
       t("pack_shards")(TextOps.packSequencesSharded(damp)
         .where(col("pack_id") >= 0L).count())

@@ -437,10 +437,11 @@ object SparkEntry {
     }),
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
     // sharded packing: (source, shard) windows — parallelism tunable to
-    // the cluster instead of capped at the source count; per-shard base
-    // offsets keep pack ids contiguous per source. The pack_id guard is
-    // the count-prune no-op (ids are never negative) that keeps the
-    // base-offset join's arithmetic alive under Bench's count().
+    // the cluster instead of capped at the source count; ONE pass, pack
+    // ids carry the shard in their high bits (unique per source, NOT
+    // dense — see packSequencesSharded). The pack_id guard is the
+    // count-prune no-op (ids are never negative) that stops count()
+    // column-pruning the window arithmetic being benchmarked.
     "pack_shards" -> ((s, dir) =>
       TextOps.packSequencesSharded(Tables.documents(s, dir))
         .where(col("pack_id") >= 0L)),

@@ -109,7 +109,14 @@ object DedupOps {
     * jaccard ≥ minJaccard.
     */
   def minhashPairs(corpus: DataFrame, minJaccard: Double = 0.5,
-                   cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                   cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    minhashPairsShingled(withShingles(corpus), minJaccard, cacheLevel)
+
+  /** [[minhashPairs]] over a PRE-SHINGLED corpus (a `shingles` column as
+    * [[withShingles]] derives it) — lets a composed caller
+    * ([[dedupRecall]]) shingle once for several pipelines (review-2). */
+  private[ops] def minhashPairsShingled(shingled: DataFrame, minJaccard: Double,
+                                        cacheLevel: StorageLevel): DataFrame = {
     // The shingled+signed corpus is referenced by four plan branches
     // (both self-join sides + both candidate-set joins); without caching,
     // Spark re-scans and re-hashes the corpus once PER REFERENCE (12
@@ -121,7 +128,7 @@ object DedupOps {
     // Caller contract: long-lived sessions must drop the cache after
     // consuming the result (Verify/Bench call spark.catalog.clearCache()
     // between queries).
-    val sh = withShingles(corpus)
+    val sh = shingled
       .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), 16))
       .withColumn("shingle_set", array_distinct(col("shingles")))
       .persist(cacheLevel)
@@ -173,8 +180,17 @@ object DedupOps {
     */
   def ngramJaccardPairs(corpus: DataFrame, minJaccard: Double = 0.5,
                         maxShingleDf: Int = 64,
-                        cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val inv = withShingles(corpus)
+                        cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    ngramJaccardPairsShingled(withShingles(corpus), minJaccard, maxShingleDf,
+      cacheLevel)
+
+  /** [[ngramJaccardPairs]] over a pre-shingled corpus — see
+    * [[minhashPairsShingled]]. */
+  private[ops] def ngramJaccardPairsShingled(shingled: DataFrame,
+                                             minJaccard: Double,
+                                             maxShingleDf: Int,
+                                             cacheLevel: StorageLevel): DataFrame = {
+    val inv = shingled
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
     // df-cap via a windowed count: shares the shingle hash partitioning
     // with the self-join below (no extra shuffle beyond the sort).
@@ -1418,8 +1434,15 @@ object DedupOps {
     * single IEEE op, nullif-guarded for an empty truth set.
     */
   def dedupRecall(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val truth = ngramJaccardPairs(corpus, minJaccard).select("doc_a", "doc_b")
-    val found = minhashPairs(corpus, minJaccard)
+    // shingle ONCE for both pipelines (review-2: the composed query
+    // otherwise tokenized+shingled the corpus twice — the dominant
+    // pass); cached under the same caller clearCache contract as the
+    // pipelines' own intermediates
+    val shingled = withShingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val truth = ngramJaccardPairsShingled(shingled, minJaccard, 64,
+      StorageLevel.MEMORY_AND_DISK).select("doc_a", "doc_b")
+    val found = minhashPairsShingled(shingled, minJaccard,
+      StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_a").as("f_a"), col("doc_b").as("f_b"), lit(1L).as("hit"))
     truth
       .join(found, col("doc_a") === col("f_a") && col("doc_b") === col("f_b"),

@@ -714,10 +714,12 @@ object SimilarityOps {
     * baseline) that probe-1 [[lshTopK]] retrieves. Joining the two
     * deterministic result sets (both oracle-green, both with fixed
     * tie-breaks) and counting hits is exact integer work; the single
-    * division by the constant k is the one IEEE op — hash-matches
-    * DuckDB. The LEFT join keeps 0-recall queries visible (an ANN
-    * config that strands a query must not vanish from its own evaluation
-    * report).
+    * division by the query's TRUTH-SET size — min(k, corpus−1), counted,
+    * not the constant k, so a corpus smaller than k+1 vectors still
+    * reports a perfect retriever as 1.0 (review-caught) — is the one
+    * IEEE op, hash-matching DuckDB. The LEFT join keeps 0-recall
+    * queries visible (an ANN config that strands a query must not
+    * vanish from its own evaluation report).
     *
     * Scale shape: both sides are query-set-sized results (nQueries × k
     * rows), so the join and per-query aggregate are metadata-sized; the
@@ -731,8 +733,8 @@ object SimilarityOps {
     truth.join(approx,
         col("q_id") === col("a_q") && col("vec_id") === col("a_v"), "left")
       .groupBy("q_id")
-      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / lit(k.toDouble))
-        .as("recall_at_k"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        count(lit(1)).cast("double")).as("recall_at_k"))
   }
 
   /** Both retrieval oracles embedded verbatim as nested-WITH CTE
@@ -749,7 +751,7 @@ object SimilarityOps {
        |) a)
        |SELECT t.q_id,
        |  CAST(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS DOUBLE) / ${k.toDouble} AS recall_at_k
+       |    AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_k
        |FROM truth t LEFT JOIN approx a
        |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
        |GROUP BY 1""".stripMargin

@@ -180,10 +180,21 @@ class Round8AdditionsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(recall.keySet == truth.keySet) // every query reports
     recall.foreach { case (q, r) =>
-      val expected = truth(q).intersect(approx.getOrElse(q, Set.empty)).size / 4.0
+      // denominator = the query's TRUTH-set size (min(k, corpus−1)),
+      // not the constant k — a short truth set must not deflate recall
+      val expected = truth(q).intersect(approx.getOrElse(q, Set.empty)).size
+        .toDouble / truth(q).size
       assert(r == expected, s"q$q: got $r expected $expected")
       assert(r >= 0.0 && r <= 1.0)
     }
+    // tiny-corpus edge (review-caught): 4 vectors, k=5 — truth sets have
+    // 3 rows; LSH buckets by sign pattern, and identical vectors share a
+    // bucket, so a perfect retriever must report exactly 1.0, not 3/5
+    val tiny = Seq(0L, 1L, 2L, 3L).map(i =>
+      (i, Array.fill(64)(0.5f), 0L)).toDF("vec_id", "embedding", "label")
+    val tinyRecall = SimilarityOps.annRecall(tiny, nQueries = 2, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tinyRecall == Map(0L -> 1.0, 1L -> 1.0), s"got $tinyRecall")
   }
 
   test("driftCheckQuantile: NULL values keep their own bucket, like the fixed-width twin") {
