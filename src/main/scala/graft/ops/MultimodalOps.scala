@@ -220,7 +220,22 @@ object MultimodalOps {
     * rows are path+digest metadata regardless of payload size.
     */
   def ingestManifest(spark: SparkSession, dir: String): DataFrame = {
-    val m = spark.read.format("binaryFile").load(dir)
+    val m = manifestRows(spark.read.format("binaryFile").load(dir))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+    m.withColumn("canonical", min("file_name").over(w))
+      .select(col("file_name"), col("doc_id"), col("modality"),
+        col("byte_len"), col("digest"), col("canonical"),
+        (col("file_name") === col("canonical")).as("is_canonical"))
+  }
+
+  /** The ONE manifest-row derivation (name parse, modality from
+    * extension, byte length, map-side md5 — content dropped right here),
+    * shared by the batch ingest above and the streaming twin
+    * ([[graft.streaming.StreamingIngest.manifestStream]]) so the two
+    * ingest edges cannot diverge on the metadata contract. Input: a
+    * `binaryFile`-schema frame (path, length, content). */
+  def manifestRows(files: DataFrame): DataFrame =
+    files
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
         col("length").as("byte_len"),
@@ -232,12 +247,6 @@ object MultimodalOps {
         when(col("file_name").endsWith(".img"), "image")
           .when(col("file_name").endsWith(".aud"), "audio")
           .otherwise("video"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
-    m.withColumn("canonical", min("file_name").over(w))
-      .select(col("file_name"), col("doc_id"), col("modality"),
-        col("byte_len"), col("digest"), col("canonical"),
-        (col("file_name") === col("canonical")).as("is_canonical"))
-  }
 
   /** The fixture location for a given sf dir — one tree per (scale
     * factor, PROCESS): sf keeps Verify (sf0.01) and Bench (sf0.1)
