@@ -149,6 +149,14 @@ object SparkEntry {
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
     "semantic_decontaminate_lsh" -> ((s, dir) => SemanticOps.semanticDecontaminateLsh(
       SemanticOps.contaminatedEmbeddings(Tables.embeddings(s, dir)))),
+    // third member of the measured-recall evaluation suite: fraction of
+    // the exact gate's removals the LSH-bucketed scale path also removes
+    // (planting happens inside, as at the two queries above). The
+    // coalesce guard is the count-prune no-op holding the removal joins
+    // alive under Bench's count() (dedup_recall idiom).
+    "decontaminate_recall" -> ((s, dir) =>
+      SemanticOps.decontaminateRecall(Tables.embeddings(s, dir))
+        .where(coalesce(col("recall"), lit(0.0)) >= 0.0)),
     "hashed_tf" -> ((s, dir) => SemanticOps.hashedTf(D(s, dir))),
     // ---- relational analytics surface ----
     // The `where` guards on the four curve layouts are semantic no-ops
@@ -667,6 +675,7 @@ object SparkEntry {
     "centroid_confusion" -> SemanticOps.centroidConfusionOracle(),
     "semantic_decontaminate" -> SemanticOps.semanticDecontaminateOracle(),
     "semantic_decontaminate_lsh" -> SemanticOps.semanticDecontaminateLshOracle(),
+    "decontaminate_recall" -> SemanticOps.decontaminateRecallOracle(),
     "hashed_tf" -> SemanticOps.hashedTfOracle(),
     "zorder_layout" -> LayoutOps.zorderLayoutOracle(),
     "compaction_plan" -> LayoutOps.compactionPlanOracle(),

@@ -318,6 +318,73 @@ object SemanticOps {
        |  AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin
   }
 
+  /** Measured DECONTAMINATION RECALL — the third member of the
+    * evaluation suite (with [[graft.ops.SimilarityOps.annRecall]] and
+    * [[graft.ops.DedupOps.dedupRecall]]): what fraction of the vectors
+    * the EXACT gate removes ([[semanticDecontaminate]] — every train
+    * vector with cos ≥ t to any eval vector) does the LSH-bucketed
+    * scale path ([[semanticDecontaminateLsh]]) also remove? LSH removes
+    * a SUBSET (it only tests same-bucket pairs), so the miss count is
+    * precisely the bucket-recall loss at the configured threshold — the
+    * number that justifies (or revokes) running the cheap path at
+    * 100 TB. Input is the raw embeddings table; contamination planting
+    * happens here exactly as at the registered decontamination query
+    * sites. One summary row, nullif-guarded division.
+    */
+  def decontaminateRecall(embeddings: DataFrame, evalMod: Int = 50): DataFrame = {
+    val corpus = contaminatedEmbeddings(embeddings, evalMod)
+    val train = corpus.filter(col("vec_id") % evalMod =!= 0)
+      .select(col("vec_id").as("t_id"))
+    val exactSurvivors = semanticDecontaminate(corpus).select("vec_id")
+    val lshSurvivors = semanticDecontaminateLsh(corpus)
+      .select(col("vec_id").as("l_id"))
+    val removedExact = train
+      .join(exactSurvivors, col("t_id") === col("vec_id"), "left_anti")
+    val removedLsh = train
+      .join(lshSurvivors, col("t_id") === col("l_id"), "left_anti")
+      .select(col("t_id").as("r_id"), lit(1L).as("hit"))
+    removedExact
+      .join(removedLsh, col("t_id") === col("r_id"), "left")
+      .agg(count(lit(1)).as("n_removed_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_removed_lsh"))
+      .select(col("n_removed_exact").cast("long").as("n_removed_exact"),
+        col("n_removed_lsh").cast("long").as("n_removed_lsh"),
+        (col("n_removed_lsh").cast("double") /
+          nullif(col("n_removed_exact").cast("double"), lit(0.0))).as("recall"))
+  }
+
+  /** Both survivor oracles nested verbatim; the train-side id set is
+    * re-derived from the same planting rule (originals % evalMod ≠ 0
+    * plus the +20001 planted copies, which land train-side by
+    * construction). */
+  def decontaminateRecallOracle(evalMod: Int = 50): String =
+    s"""WITH train AS (
+       |  SELECT vec_id FROM embeddings WHERE vec_id % $evalMod <> 0
+       |  UNION ALL
+       |  SELECT vec_id + 20001 AS vec_id FROM embeddings
+       |  WHERE vec_id % $evalMod = 0),
+       |ex AS (SELECT vec_id FROM (
+       |${semanticDecontaminateOracle(evalMod = evalMod)}
+       |) q1),
+       |ls AS (SELECT vec_id FROM (
+       |${semanticDecontaminateLshOracle(evalMod = evalMod)}
+       |) q2),
+       |rem_ex AS (
+       |  SELECT vec_id FROM train
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM ex)),
+       |rem_ls AS (
+       |  SELECT vec_id FROM train
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM ls)),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_removed_exact,
+       |    CAST(COALESCE(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END),
+       |      0) AS BIGINT) AS n_removed_lsh
+       |  FROM rem_ex e LEFT JOIN rem_ls l ON e.vec_id = l.vec_id)
+       |SELECT n_removed_exact, n_removed_lsh,
+       |  CAST(n_removed_lsh AS DOUBLE)
+       |    / NULLIF(CAST(n_removed_exact AS DOUBLE), 0.0) AS recall
+       |FROM agg""".stripMargin
+
   /** Hashing-trick document embedding, exploded form (Weinberger et al.
     * 2009 feature hashing): token → dimension via the engine's
     * cross-engine 60-bit md5 hash mod `dims`, value = term frequency.

@@ -163,6 +163,30 @@ class Round8AdditionsSpec extends SparkSpec {
       s"suspiciously low recall ${row.getDouble(2)}")
   }
 
+  test("decontaminateRecall: LSH removals ⊆ exact removals, recall exact by hand") {
+    import graft.ops.SemanticOps
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = SemanticOps.contaminatedEmbeddings(emb)
+    val train = corpus.filter(col("vec_id") % 50 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exSurv = SemanticOps.semanticDecontaminate(corpus)
+      .collect().map(_.getLong(0)).toSet
+    val lsSurv = SemanticOps.semanticDecontaminateLsh(corpus)
+      .collect().map(_.getLong(0)).toSet
+    val remEx = train.diff(exSurv)
+    val remLs = train.diff(lsSurv)
+    assert(remLs.subsetOf(remEx),
+      s"LSH must remove a subset of exact: extra=${remLs.diff(remEx)}")
+    assert(remEx.nonEmpty) // the planted copies are removable
+    val row = SemanticOps.decontaminateRecall(emb).collect().head
+    assert(row.getLong(0) == remEx.size && row.getLong(1) == remLs.size)
+    assert(row.getDouble(2) == remLs.size.toDouble / remEx.size)
+    // identical planted copies always share their source's bucket, so
+    // the LSH path must catch every planted copy: recall is exactly 1.0
+    // unless natural near-1 pairs exist cross-bucket (none at sf0.001)
+    assert(row.getDouble(2) == 1.0, s"got ${row.getDouble(2)}")
+  }
+
   test("annRecall: exact recall of a planted approximate retriever") {
     import graft.ops.SimilarityOps
     // embeddings fixture: 64-dim unit-ish vectors; LSH probe-1 on the
