@@ -178,6 +178,16 @@ object SparkEntry {
     // inventory (layout hygiene's other half — file COUNT, not row order)
     "compaction_plan" -> ((s, dir) =>
       LayoutOps.compactionPlan(LayoutOps.fileInventory(D(s, dir)))),
+    // WRITE-PATH round trip (VERDICT r8 item 1): optimizeTableExact into
+    // a pid-scoped fixture tree, read the optimized tree back, summarize
+    // per physical file — the write side under the driver's hash gate.
+    // The min_curve guard is the count-prune no-op (curve keys are never
+    // negative) forcing the read-back curve scan under Bench's count();
+    // the write itself runs eagerly at construction either way.
+    "optimize_roundtrip" -> ((s, dir) =>
+      LayoutOps.optimizeRoundtrip(s, D(s, dir),
+          graft.ops.FixtureDirs.dir("graft_opt", dir))
+        .where(col("min_curve") >= 0L)),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
       O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -304,6 +314,15 @@ object SparkEntry {
     // alone (`Profile count-prune` caught it).
     "ann_recall" -> ((s, dir) => SimilarityOps.annRecall(Tables.embeddings(s, dir))
       .where(col("recall_at_k") >= 0.0)),
+    // tuned-config recalls (VERDICT r8 item 2): same truth side, the
+    // production retrieval paths — multi-probe LSH and the IVF-PQ ADC
+    // scan — as driver-tracked numbers next to the probe-1 baseline.
+    "ann_recall_multiprobe" -> ((s, dir) =>
+      SimilarityOps.annRecallMultiProbe(Tables.embeddings(s, dir))
+        .where(col("recall_at_k") >= 0.0)),
+    "ann_recall_ivfpq" -> ((s, dir) =>
+      SimilarityOps.annRecallIvfPq(Tables.embeddings(s, dir))
+        .where(col("recall_at_k") >= 0.0)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
     "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
@@ -679,6 +698,7 @@ object SparkEntry {
     "hashed_tf" -> SemanticOps.hashedTfOracle(),
     "zorder_layout" -> LayoutOps.zorderLayoutOracle(),
     "compaction_plan" -> LayoutOps.compactionPlanOracle(),
+    "optimize_roundtrip" -> LayoutOps.optimizeRoundtripOracle(),
     "hilbert_layout" -> LayoutOps.hilbertLayoutOracle(),
     "zorder3_layout" -> LayoutOps.zorder3LayoutOracle(),
     "hilbert3_layout" -> LayoutOps.hilbert3LayoutOracle(),
@@ -736,6 +756,8 @@ object SparkEntry {
     "multimodal_manifest" -> MultimodalOps.ingestManifestOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "ann_recall" -> SimilarityOps.annRecallOracle(),
+    "ann_recall_multiprobe" -> SimilarityOps.annRecallMultiProbeOracle(),
+    "ann_recall_ivfpq" -> SimilarityOps.annRecallIvfPqOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
     "tfidf_top" -> TextOps.tfIdfTopOracle,

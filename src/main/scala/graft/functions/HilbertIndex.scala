@@ -109,6 +109,14 @@ object HilbertKernel {
 
   def evalN(arr: ArrayData, bits: Int): java.lang.Long = {
     val d = arr.numElements()
+    // the transpose phase shifts by qb*d + (d-1-j); past 63 total bits
+    // Java shift counts wrap mod 64 and the index silently corrupts —
+    // fail loud here so direct hilbert.indexN callers (bypassing
+    // withHilbertN's require) can't produce garbage keys
+    if (d * bits > 63)
+      throw new IllegalArgumentException(
+        s"withHilbertN: d*bits = $d*$bits > 63 — the Hilbert index no " +
+          "longer fits one long; reduce bits or dimensions")
     val n = 1L << bits
     val x = new Array[Long](d)
     var i = 0

@@ -497,6 +497,166 @@ object LayoutOps {
     nBins
   }
 
+  /** DETERMINISTIC clustered write — the exact-boundary twin of
+    * [[writeClustered]] (VERDICT r8 item 1). `repartitionByRange`
+    * SAMPLES the curve key to pick range bounds, so the per-file row
+    * assignment varies run to run (the RangePartitioner seed folds in
+    * the RDD id); that is fine for production layout but makes the
+    * write path impossible to oracle-check per file. This writer
+    * derives the bin of every row by EXACT equi-depth arithmetic over
+    * the curve-key histogram — bin(v) = rows-below(v) · nBins div
+    * total — so the full (file → rows) assignment is a pure function of
+    * the data, bitwise reproducible across runs, partitionings, and
+    * engines. It also aligns the write path with the engine's own
+    * determinism convention (content-addressed md5 grids, never
+    * `rand()`): a retried OPTIMIZE produces byte-identical file
+    * contents.
+    *
+    * Scale shape: ONE groupBy(curve) histogram shuffle (bounded by
+    * DISTINCT curve values — ≤ 4^bits grid cells, metadata-sized by
+    * construction); the cumulative window runs over those distinct
+    * values (same bounded single-task class as [[compactionPlan]]'s
+    * documented inventory window — never over rows); the mapping
+    * broadcasts and rows take their bin MAP-SIDE; then the one
+    * repartition-for-write pass every clustered rewrite already pays.
+    * Bins are monotone in the curve key, so files are DISJOINT curve
+    * ranges — the same zone-map skip contract as [[writeClustered]].
+    * Rows with a NULL curve key are the caller's to filter (the
+    * broadcast equi-join drops them — a layout key must exist to be
+    * clustered on). */
+  def writeClusteredExact(df: DataFrame, path: String, curveCol: String,
+                          nBins: Int): Unit = {
+    require(nBins >= 1, s"writeClusteredExact needs nBins >= 1, got $nBins")
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(curveCol).as("cv")).agg(count(lit(1)).as("cnt"))
+    val w = W.orderBy("cv").rowsBetween(W.unboundedPreceding, -1)
+    val tot = hist.agg(sum("cnt").cast("long").as("total"))
+    val mapping = hist
+      .select(col("cv"), coalesce(sum("cnt").over(w), lit(0L)).as("below"))
+      .crossJoin(broadcast(tot))
+      .select(col("cv"),
+        expr(s"below * ${nBins}L div total").cast("long").as("file_bin"))
+    df.join(broadcast(mapping), col(curveCol) === col("cv"))
+      .drop("cv")
+      .repartition(nBins, col("file_bin"))
+      .sortWithinPartitions(curveCol)
+      .write.mode("overwrite").partitionBy("file_bin").parquet(path)
+  }
+
+  /** One-call OPTIMIZE with the DETERMINISTIC writer: same sizing as
+    * [[optimizeTable]] ([[compactionPlan]]'s dense quota-fill bin count
+    * over the file inventory), rewrite via [[writeClusteredExact]] —
+    * the variant a reproducible-build pipeline (or an oracle) wants,
+    * at the cost of the histogram pre-pass. Returns the planner bin
+    * count. */
+  def optimizeTableExact(df: DataFrame, inventory: DataFrame, path: String,
+                         curveCol: String,
+                         targetBytes: Long = 128 * 1024): Long = {
+    val maxBin = compactionPlan(inventory, targetBytes)
+      .agg(max("bin")).head()
+    val nBins = if (maxBin.isNullAt(0)) 0L else maxBin.getLong(0) + 1
+    writeClusteredExact(df, path, curveCol, math.max(1L, nBins).toInt)
+    nBins
+  }
+
+  /** WRITE-PATH ROUND TRIP (VERDICT r8 item 1) — the registered query
+    * that finally puts the engine's write side under the driver's hash
+    * gate every round (the Hilbert CollapseProject hang hid in exactly
+    * this class for four rounds because Bench's count() column-pruned
+    * the curve and no registered query ever READ an optimized tree
+    * back). End to end: curve-key the documents table (8-bit Morton
+    * over (doc_id mod 256, n_chars mod 256) — exact integer, oracle
+    * expression shared with [[zorderLayout]]'s), OPTIMIZE it into a
+    * pid-scoped fixture tree via [[optimizeTableExact]] (planner-sized
+    * file count, deterministic equi-depth assignment, one file per
+    * bin), then READ THE TREE BACK through a fresh parquet scan and
+    * summarize per physical file: row count and the min/max curve-key
+    * span. The oracle reconstructs the identical summary from the
+    * source table alone — planner CTE for the bin count, the same
+    * cumulative-histogram assignment — so a row lost, duplicated, or
+    * mis-binned anywhere in plan→write→list→read breaks the hash.
+    * `file_bin` comes back as a PARTITION column (directory name), so
+    * the summary also proves the on-disk layout, not just the rows.
+    *
+    * [[optimizeTable]] itself (the sampled-range production default)
+    * stays spec-verified (LayoutOpsSpec: contraction, skip rate,
+    * lossless parity) — sampling makes its per-file assignment
+    * legitimately run-varying, which is exactly why the deterministic
+    * twin exists for the driver-tracked check; the two share the
+    * planner and the writer contract. */
+  def optimizeRoundtrip(spark: org.apache.spark.sql.SparkSession,
+                        documents: DataFrame, path: String,
+                        targetBytes: Long = 32 * 1024): DataFrame = {
+    val curved = documents
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"),
+        mortonCode(pmod(col("doc_id"), lit(256L)),
+          pmod(col("n_chars"), lit(256L)), 8).as("curve"))
+    optimizeTableExact(curved, fileInventory(documents), path, "curve",
+      targetBytes)
+    // explicit read-back schema: an EMPTY source writes zero data files
+    // (only _SUCCESS — no files for no rows is the right compaction
+    // output), which schema INFERENCE cannot read; declaring the schema
+    // (partition column included) keeps the round trip total
+    val rbSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("curve",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("file_bin",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(rbSchema).parquet(path)
+      .groupBy(col("file_bin").cast("long").as("file_bin"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        min("curve").cast("long").as("min_curve"),
+        max("curve").cast("long").as("max_curve"))
+  }
+
+  /** The whole loop in DuckDB, from the source table alone: the
+    * [[compactionPlanOracle]] CTE chain sizes nbins, the cumulative
+    * histogram reproduces [[writeClusteredExact]]'s assignment (both
+    * sides exact integer `div`/`//` on non-negative longs), and the
+    * final group-by is the read-back summary. */
+  def optimizeRoundtripOracle(targetBytes: Long = 32 * 1024,
+                              nFiles: Int = 97): String =
+    s"""WITH c AS (
+       |  SELECT CAST(${duckMorton("(doc_id % 256)", "(n_chars % 256)", 8)}
+       |    AS BIGINT) AS curve
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |inv AS (
+       |  SELECT CAST(doc_id % $nFiles AS BIGINT) AS file_id,
+       |    CAST(sum(n_chars) AS BIGINT) AS size_bytes
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT file_id, size_bytes,
+       |    CAST(COALESCE(sum(size_bytes) OVER (
+       |      ORDER BY size_bytes DESC, file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM inv),
+       |plan AS (
+       |  SELECT CAST(dense_rank() OVER (ORDER BY cum_before // $targetBytes) - 1
+       |    AS BIGINT) AS bin FROM w),
+       |nb AS (SELECT CAST(GREATEST(COALESCE(max(bin) + 1, 0), 1) AS BIGINT)
+       |  AS nbins FROM plan),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM c),
+       |hist AS (SELECT curve, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+       |cum AS (
+       |  SELECT curve, cnt,
+       |    CAST(COALESCE(sum(cnt) OVER (ORDER BY curve
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS below
+       |  FROM hist),
+       |assigned AS (
+       |  SELECT curve, cnt,
+       |    CAST((below * (SELECT nbins FROM nb)) // (SELECT total FROM t)
+       |      AS BIGINT) AS file_bin
+       |  FROM cum)
+       |SELECT file_bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  CAST(min(curve) AS BIGINT) AS min_curve,
+       |  CAST(max(curve) AS BIGINT) AS max_curve
+       |FROM assigned GROUP BY 1""".stripMargin
+
   /** Same inventory + quota-fill window in DuckDB. Both sides use EXACT
     * integer division (Spark `div`, DuckDB `//`) — not double division,
     * whose correctly-rounded quotient can land ON the next integer when

@@ -248,62 +248,10 @@ object MultimodalOps {
           .when(col("file_name").endsWith(".aud"), "audio")
           .otherwise("video"))
 
-  /** The fixture location for a given sf dir — one tree per (scale
-    * factor, PROCESS): sf keeps Verify (sf0.01) and Bench (sf0.1)
-    * apart; the pid keeps a solo arbitration re-run from deleting the
-    * tree a concurrently-running full bench is mid-scan on
-    * (review-caught — the rebuild sweep would race the other process's
-    * binaryFile listing into a spurious red). Within one process the
-    * rebuild is sequential and safe.
-    *
-    * LIFECYCLE (review-2): pid-suffixed trees would otherwise accumulate
-    * one per JVM forever — this process's tree is removed by a shutdown
-    * hook, and each call sweeps any sibling `graft_mm_*_p<pid>` tree
-    * whose owning process is DEAD (`ProcessHandle.of` — portable
-    * liveness), so crashes don't leak either. Live siblings are never
-    * touched — that's the race the pid suffix exists to prevent. */
-  def fixtureDir(sfDir: String): String = {
-    val root = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    val mine = root.resolve("graft_mm_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_p" +
-      ProcessHandle.current().pid())
-    registerFixtureCleanup(mine)
-    sweepDeadFixtureTrees(root)
-    mine.toString
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => try java.nio.file.Files.delete(f) catch {
-          case _: java.io.IOException => ()
-        })
-      finally s.close()
-    }
-
-  private val cleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
-
-  private def registerFixtureCleanup(p: java.nio.file.Path): Unit =
-    if (cleanupRegistered.add(p))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p)))
-
-  private def sweepDeadFixtureTrees(root: java.nio.file.Path): Unit = {
-    val pat = "graft_mm_.*_p(\\d+)".r
-    val self = ProcessHandle.current().pid()
-    try {
-      val s = java.nio.file.Files.list(root)
-      try s.forEach { p =>
-        p.getFileName.toString match {
-          case pat(pid) if pid.toLong != self &&
-            ProcessHandle.of(pid.toLong).isEmpty => rmTree(p)
-          case _ => ()
-        }
-      } finally s.close()
-    } catch { case _: java.io.IOException => () }
-  }
+  /** The fixture location for a given sf dir — the shared pid-scoped
+    * lifecycle contract, see [[FixtureDirs]] (factored there in round 9
+    * so the `optimize_roundtrip` write-path query reuses it). */
+  def fixtureDir(sfDir: String): String = FixtureDirs.dir("graft_mm", sfDir)
 
   /** DuckDB twin of the full write→ingest→manifest loop, reconstructed
     * from the documents table: the same name/extension/dup-planting

@@ -332,11 +332,19 @@ object SemanticOps {
     * sites. One summary row, nullif-guarded division.
     */
   def decontaminateRecall(embeddings: DataFrame, evalMod: Int = 50): DataFrame = {
+    // The planted copies are keyed +20001; they must land TRAIN-side
+    // (vec_id % evalMod ≠ 0) for the recall denominator to be the planted
+    // set. 20001 ≡ 1 (mod 50) guarantees this for the default; any other
+    // evalMod must preserve it or the measurement is against a mis-split.
+    require(20001 % evalMod != 0,
+      s"decontaminateRecall: evalMod=$evalMod divides the 20001 planting " +
+        "offset — planted copies would land eval-side, voiding the recall")
     val corpus = contaminatedEmbeddings(embeddings, evalMod)
     val train = corpus.filter(col("vec_id") % evalMod =!= 0)
       .select(col("vec_id").as("t_id"))
-    val exactSurvivors = semanticDecontaminate(corpus).select("vec_id")
-    val lshSurvivors = semanticDecontaminateLsh(corpus)
+    val exactSurvivors = semanticDecontaminate(corpus, evalMod = evalMod)
+      .select("vec_id")
+    val lshSurvivors = semanticDecontaminateLsh(corpus, evalMod = evalMod)
       .select(col("vec_id").as("l_id"))
     val removedExact = train
       .join(exactSurvivors, col("t_id") === col("vec_id"), "left_anti")

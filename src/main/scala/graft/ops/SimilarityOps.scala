@@ -726,9 +726,46 @@ object SimilarityOps {
     * real cost is the two retrieval pipelines it composes — each
     * already audited (broadcast query sets, bucket-bounded candidates).
     */
-  def annRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val truth = cosineTopK(embeddings, nQueries, k).select("q_id", "vec_id")
-    val approx = lshTopK(embeddings, nQueries, k)
+  def annRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame =
+    recallAtK(cosineTopK(embeddings, nQueries, k),
+      lshTopK(embeddings, nQueries, k))
+
+  /** Measured recall@k of the MULTI-PROBE LSH path (VERDICT r8 item 2):
+    * same exact brute-force truth side, retrieval side =
+    * [[lshTopKMultiProbe]] (probe the query bucket plus every
+    * hamming-1 neighbor). Probing is a strict superset of probe-1's
+    * candidate set, so this recall is ≥ [[annRecall]]'s on the same
+    * corpus BY CONSTRUCTION — the driver-tracked number that prices the
+    * probes × candidates cost against its recall recovery. */
+  def annRecallMultiProbe(embeddings: DataFrame, nQueries: Int = 10,
+                          k: Int = 5): DataFrame =
+    recallAtK(cosineTopK(embeddings, nQueries, k),
+      lshTopKMultiProbe(embeddings, nQueries, k))
+
+  /** Measured recall@k of the IVF-PQ path (VERDICT r8 item 2): truth =
+    * exact cosine top-k over the stored vectors; retrieval =
+    * [[PqOps.annIvfPq]] — cell-pruned ADC scan over PQ codes, the
+    * layout the 100 TB ANN story actually ships. Unlike the LSH
+    * variants this measures BOTH approximation sources at once (cell
+    * pruning drops out-of-cell truth; ADC's quantized inner product
+    * reranks within the cell), so it is the end-to-end number a
+    * deployment compares against its recall SLO. */
+  def annRecallIvfPq(embeddings: DataFrame, nQueries: Int = 10,
+                     k: Int = 5): DataFrame =
+    recallAtK(cosineTopK(embeddings, nQueries, k),
+      PqOps.annIvfPq(embeddings, nQueries = nQueries, topK = k))
+
+  /** The ONE recall@k computation, shared by all three registered recall
+    * queries so a tuned config can never be scored by different
+    * arithmetic than the baseline: LEFT join truth→approx on (q_id,
+    * vec_id) keeps 0-recall queries visible; the denominator is the
+    * query's counted truth-set size (min(k, corpus−1)), not the
+    * constant k. Both sides are query-set-sized (nQueries × k rows), so
+    * this harness is metadata work — the cost is the two retrieval
+    * pipelines it composes. */
+  private def recallAtK(truthTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
+    val truth = truthTopK.select("q_id", "vec_id")
+    val approx = approxTopK
       .select(col("q_id").as("a_q"), col("vec_id").as("a_v"), lit(1L).as("hit"))
     truth.join(approx,
         col("q_id") === col("a_q") && col("vec_id") === col("a_v"), "left")
@@ -741,13 +778,26 @@ object SimilarityOps {
     * subqueries (the outputDiff idiom — one derivation per side, zero
     * drift), joined and averaged by the same arithmetic. */
   def annRecallOracle(nQueries: Int = 10, k: Int = 5): String =
+    recallAtKOracle(cosineTopKOracleAt(nQueries, k), lshTopKOracle(nQueries, k))
+
+  def annRecallMultiProbeOracle(nQueries: Int = 10, k: Int = 5): String =
+    recallAtKOracle(cosineTopKOracleAt(nQueries, k),
+      lshTopKMultiProbeOracle(nQueries, k))
+
+  def annRecallIvfPqOracle(nQueries: Int = 10, k: Int = 5): String =
+    recallAtKOracle(cosineTopKOracleAt(nQueries, k),
+      PqOps.annIvfPqOracle(nQueries = nQueries, topK = k))
+
+  /** The ONE recall oracle template — the SQL twin of [[recallAtK]],
+    * parameterized on the two retrieval oracles it nests. */
+  private def recallAtKOracle(truthSql: String, approxSql: String): String =
     s"""WITH truth AS (
        |SELECT q_id, vec_id FROM (
-       |${cosineTopKOracleAt(nQueries, k)}
+       |$truthSql
        |) t),
        |approx AS (
        |SELECT q_id, vec_id FROM (
-       |${lshTopKOracle(nQueries, k)}
+       |$approxSql
        |) a)
        |SELECT t.q_id,
        |  CAST(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)

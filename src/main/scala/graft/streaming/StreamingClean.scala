@@ -182,9 +182,11 @@ object StreamingClean {
                               refHist: DataFrame)
                              (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val bs = refHist.select("bs").limit(1).collect().headOption
+      .filter(r => !r.isNullAt(0))
       .getOrElse(throw new IllegalArgumentException(
-        "driftGateQuantileStream: reference histogram is empty — derive it " +
-          "from a non-empty reference corpus (referenceHistogramQuantile) " +
+        "driftGateQuantileStream: reference histogram is empty or has no " +
+          "boundary array (all-NULL reference values) — derive it from a " +
+          "non-empty, non-NULL reference corpus (referenceHistogramQuantile) " +
           "before starting the monitor"))
       .getSeq[Double](0)
     val bsLit = array(bs.map(lit(_)): _*)

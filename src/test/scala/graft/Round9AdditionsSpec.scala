@@ -1,0 +1,201 @@
+package graft
+
+import graft.ops.{LayoutOps, SemanticOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: the deterministic write path under the oracle gate
+  * (VERDICT r8 item 1 — [[LayoutOps.writeClusteredExact]] /
+  * [[LayoutOps.optimizeTableExact]] / [[LayoutOps.optimizeRoundtrip]]),
+  * the tuned-config recall pair (item 2 —
+  * [[SimilarityOps.annRecallMultiProbe]] / [[SimilarityOps.annRecallIvfPq]]),
+  * and the three ADVICE r8 lows pinned as behavior.
+  */
+class Round9AdditionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference morton interleave (8 bits), for expectations
+    * computed OUTSIDE the engine's expression machinery. */
+  private def mortonRef(a: Long, b: Long): Long =
+    (0 until 8).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  test("writeClusteredExact: deterministic per-row assignment, one file per bin, disjoint monotone spans, lossless") {
+    val rows = (0L until 4096L).map(i => (i, (i * 2654435761L) % 65536L))
+      .toDF("id", "curve")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wce").toString
+    try {
+      LayoutOps.writeClusteredExact(rows, s"$dir/a", "curve", 8)
+      LayoutOps.writeClusteredExact(rows, s"$dir/b", "curve", 8)
+      // one physical parquet file per bin directory — the compaction
+      // contract (a bin split over several files would re-fragment)
+      val binDirs = new java.io.File(s"$dir/a").listFiles
+        .filter(_.getName.startsWith("file_bin=")).sortBy(_.getName)
+      assert(binDirs.length == 8)
+      binDirs.foreach { d =>
+        assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName} must hold exactly one file")
+      }
+      // spans are disjoint and monotone in the bin id (bin(v) is
+      // monotone in v), so zone maps prune boxes on the curve key
+      val spans = spark.read.parquet(s"$dir/a")
+        .groupBy(col("file_bin").cast("long").as("bin"))
+        .agg(min("curve").as("lo"), max("curve").as("hi"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((b0, _, hi0, _), (b1, lo1, _, _)) =>
+          assert(b0 < b1 && hi0 < lo1,
+            s"bins $b0/$b1 overlap: hi=$hi0 lo=$lo1")
+        case _ => ()
+      }
+      // equi-depth: near-unique curve values ⇒ near-equal file sizes
+      assert(spans.map(_._4).sum == 4096L)
+      spans.foreach { case (b, _, _, n) =>
+        assert(math.abs(n - 512L) <= 16L, s"bin $b holds $n rows")
+      }
+      // DETERMINISTIC: the second write produced the identical
+      // (row → file) assignment — the reproducible-build property
+      // repartitionByRange's sampling cannot give
+      def assign(p: String) = spark.read.parquet(p)
+        .select(col("id"), col("file_bin").cast("long"))
+        .as[(Long, Long)].collect().toMap
+      assert(assign(s"$dir/a") == assign(s"$dir/b"))
+      // lossless: every source row comes back exactly once
+      assert(spark.read.parquet(s"$dir/a").select("id").as[Long]
+        .collect().sorted.toSeq == (0L until 4096L))
+    } finally rmDir(dir)
+  }
+
+  test("optimizeRoundtrip: read-back summary equals an independently computed equi-depth layout") {
+    // synthetic documents: deterministic n_chars, all non-null
+    val docs = (0L until 300L)
+      .map(i => (i, "x" * (50 + (i * 37L % 400L)).toInt, 50L + i * 37L % 400L))
+      .toDF("doc_id", "text", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    try {
+      val got = LayoutOps.optimizeRoundtrip(spark, docs, dir,
+          targetBytes = 8192L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3))).toMap
+      // independent expectation: reference morton + the planner's bin
+      // count + the equi-depth rule, all in plain Scala
+      val curves = (0L until 300L).map(i => mortonRef(i % 256L,
+        (50L + i * 37L % 400L) % 256L))
+      val nBins = LayoutOps.compactionPlan(
+        LayoutOps.fileInventory(docs), targetBytes = 8192L)
+        .agg(max("bin")).head().getLong(0) + 1
+      assert(nBins >= 2, s"fixture must plan multiple files, got $nBins")
+      val sortedC = curves.sorted
+      def below(v: Long) = sortedC.count(_ < v).toLong
+      val expected = curves.groupBy(v => below(v) * nBins / curves.size)
+        .map { case (bin, vs) =>
+          bin -> ((vs.size.toLong, vs.min, vs.max))
+        }
+      assert(got == expected)
+      // and the on-disk directory count matches the summary's file count
+      assert(new java.io.File(dir).listFiles
+        .count(_.getName.startsWith("file_bin=")) == expected.size)
+    } finally rmDir(dir)
+  }
+
+  test("optimizeTableExact/optimizeRoundtrip: empty table reports zero planner bins, zero files, empty summary") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "curve")
+    val emptyInv = Seq.empty[(Long, Long)].toDF("file_id", "size_bytes")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ote").toString
+    try {
+      assert(LayoutOps.optimizeTableExact(empty, emptyInv, s"$dir/e",
+        "curve") == 0L)
+      // no files for no rows — only the _SUCCESS marker remains
+      assert(!new java.io.File(s"$dir/e").listFiles
+        .exists(_.getName.endsWith(".parquet")))
+      // the roundtrip's explicit read-back schema keeps the loop total
+      val emptyDocs = Seq.empty[(Long, String, Long)]
+        .toDF("doc_id", "text", "n_chars")
+      assert(LayoutOps.optimizeRoundtrip(spark, emptyDocs,
+        s"$dir/rt").isEmpty)
+    } finally rmDir(dir)
+  }
+
+  test("recall suite: multi-probe dominates probe-1 per query; IVF-PQ recall well-formed on the same corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p1 = toMap(SimilarityOps.annRecall(emb))
+    val mp = toMap(SimilarityOps.annRecallMultiProbe(emb))
+    val pq = toMap(SimilarityOps.annRecallIvfPq(emb))
+    // same query set everywhere (LEFT join keeps 0-recall queries)
+    assert(p1.keySet == mp.keySet && p1.keySet == pq.keySet)
+    // probing hamming-1 buckets is a candidate SUPERSET of probe-1 ⇒
+    // recall can only go up, per query (the r8 VERDICT's "≥ the probe-1
+    // number" done-condition)
+    p1.keys.foreach { q =>
+      assert(mp(q) >= p1(q), s"query $q: multiprobe ${mp(q)} < probe-1 ${p1(q)}")
+    }
+    (mp.values ++ pq.values ++ p1.values).foreach(v =>
+      assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("decontaminateRecall threads evalMod to both gates and rejects offset-dividing mods (ADVICE r8)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = SemanticOps.decontaminateRecall(emb, evalMod = 10).head()
+    val (nExact, nLsh) = (r.getLong(0), r.getLong(1))
+    // the exact gate must catch at least the 50 planted identical copies
+    // (cos = 1.0 to their eval originals) — if the gates ran at a
+    // mismatched default evalMod, the planted set and the split would
+    // disagree and this floor breaks
+    assert(nExact >= 50L, s"exact gate removed $nExact < 50 planted")
+    // LSH removals are a subset of exact removals by construction
+    assert(nLsh <= nExact)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    // 3 divides 20001 ⇒ the planted copies would land EVAL-side and the
+    // measurement would be against a mis-split — must fail loudly
+    val err = intercept[IllegalArgumentException] {
+      SemanticOps.decontaminateRecall(emb, evalMod = 3)
+    }
+    assert(err.getMessage.contains("planting"))
+  }
+
+  test("HilbertKernel.evalN: d*bits > 63 fails loudly instead of wrapping shifts (ADVICE r8)") {
+    // d=4, bits=16 ⇒ 64 index bits: Java shifts would wrap mod 64 and
+    // silently corrupt the key — the kernel must throw before that
+    val df = Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+      .select(graft.functions.hilbert.indexN(
+        array(col("a"), col("b"), col("c"), col("d")), 16).as("h"))
+    val err = intercept[Exception] { df.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(t =>
+      t.isInstanceOf[IllegalArgumentException] &&
+        t.getMessage.contains("no longer fits one long")),
+      s"expected the d*bits guard, got: $err")
+    // the in-range path is untouched: d=4, bits=15 still evaluates
+    val ok = Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+      .select(graft.functions.hilbert.indexN(
+        array(col("a"), col("b"), col("c"), col("d")), 15).as("h"))
+      .head().getLong(0)
+    assert(ok >= 0L)
+  }
+
+  test("driftGateQuantileStream: all-NULL reference fails fast with the descriptive error (ADVICE r8)") {
+    val allNull = Seq[Option[Double]](None, None).toDF("value")
+    val refHist = graft.streaming.StreamingClean
+      .referenceHistogramQuantile(allNull, nBins = 4)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingClean.driftGateQuantileStream(spark,
+        spark.readStream.format("rate").load()
+          .selectExpr("CAST(value AS DOUBLE) AS value"),
+        refHist) { (_, _) => () }
+    }
+    assert(err.getMessage.contains("all-NULL"))
+  }
+}
