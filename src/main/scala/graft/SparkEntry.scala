@@ -472,6 +472,13 @@ object SparkEntry {
     "pack_shards" -> ((s, dir) =>
       TextOps.packSequencesSharded(Tables.documents(s, dir))
         .where(col("pack_id") >= 0L)),
+    // dense renumber of the shard-encoded pack ids as a METADATA query
+    // (VERDICT r8 item 6): dense_rank over distinct (source, pack_id)
+    // only — O(packs), proving pack_shards' "dense ids are one metadata
+    // dense_rank away" claim under the driver's gate.
+    "pack_shards_dense" -> ((s, dir) =>
+      TextOps.packShardsDense(Tables.documents(s, dir))
+        .where(col("dense_id") >= 0L)),
     // pack manifest: per-pack ordered (doc_id, offset, len) span lists
     "pack_spans" -> ((s, dir) =>
       TextOps.packSpans(Tables.documents(s, dir)).drop("spans_arr")),
@@ -804,6 +811,7 @@ object SparkEntry {
     "dsir_ratios" -> SemanticOps.dsirRatiosOracle(),
     "pack_sequences" -> TextOps.packSequencesOracle(),
     "pack_shards" -> TextOps.packSequencesShardedOracle(),
+    "pack_shards_dense" -> TextOps.packShardsDenseOracle(),
     "pack_spans" -> TextOps.packSpansOracle(),
     "pack_split" -> TextOps.packSplitOracle(),
     "corpus_shuffle" -> TextOps.corpusShuffleOracle(),

@@ -889,6 +889,39 @@ object TextOps {
         (col("cum_excl") % capacity).as("pack_offset"))
   }
 
+  /** DENSE pack-id renumber (VERDICT r8 item 6) — the registered proof
+    * of [[packSequencesSharded]]'s doc claim that a loader insisting on
+    * dense ids renumbers with a METADATA pass, not a data pass: the
+    * dense_rank input is `distinct (source, pack_id)` — O(packs) rows
+    * (sources × shards × filled quota indices), never O(documents) —
+    * and the global rank window is therefore the same bounded
+    * single-task metadata class as [[graft.ops.LayoutOps.compactionPlan]]'s
+    * inventory window. Output: the (source, pack_id → dense_id)
+    * renumber table a loader joins (broadcast — it is pack-count-sized)
+    * against the packed corpus. Deterministic total order (source,
+    * pack_id), exact integer rank — hash-matches DuckDB. The spec
+    * asserts the plan shape: the Window's input subtree IS the distinct
+    * aggregate. */
+  def packShardsDense(documents: DataFrame, capacity: Long = 2048,
+                      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("source", "pack_id")
+    packSequencesSharded(documents, capacity, shards)
+      .select("source", "pack_id").distinct()
+      .withColumn("dense_id", (dense_rank().over(w) - 1).cast("long"))
+  }
+
+  /** Same distinct-then-rank in DuckDB, on the sharded packing oracle. */
+  def packShardsDenseOracle(capacity: Long = 2048, shards: Int = 8): String =
+    s"""WITH packed AS (
+       |${packSequencesShardedOracle(capacity, shards)}
+       |),
+       |packs AS (SELECT DISTINCT source, pack_id FROM packed)
+       |SELECT source, pack_id,
+       |  CAST(dense_rank() OVER (ORDER BY source, pack_id) - 1 AS BIGINT)
+       |    AS dense_id
+       |FROM packs""".stripMargin
+
   /** Same shard windows, local quota-fill, and shard-encoded ids in
     * DuckDB. */
   def packSequencesShardedOracle(capacity: Long = 2048, shards: Int = 8): String =

@@ -59,4 +59,78 @@ object StreamingIngest {
       sink(m, batchId)
     }
   }
+
+  /** The full multimodal ingest LOOP (VERDICT r8 item 4) — the
+    * index-APPENDING lifecycle twin of
+    * [[StreamingDedup.incrementalIndexLoop]], closing the gap the
+    * frozen-index [[manifestStream]] deliberately leaves open: per
+    * micro-batch, manifest the arriving files, flag each payload
+    * against the PERSISTED digest index at `indexDir` (read fresh every
+    * trigger — it grows), deliver the verdict rows to `sink`, and
+    * APPEND the batch's novel digests — so a copy of a file that
+    * arrived in an EARLIER batch is flagged `is_known` without any
+    * frozen-snapshot rebuild. foreachBatch because the index is both
+    * read and grown inside one trigger, exactly the dedup loop's
+    * cycle; the caller seeds `indexDir` (an empty one-column `digest`
+    * frame, or yesterday's corpus digests).
+    *
+    * The batch manifest is persisted before its two consumers (sink +
+    * append) — WITHOUT it the append side would re-run the binaryFile
+    * scan and re-digest every payload byte (the exact double-scan the
+    * batch ingest's review caught); manifest rows are digest+path
+    * metadata, so the cache is file-count-sized. Novel digests are
+    * `distinct()`-ed within the batch (two copies arriving together
+    * append one index row). Idempotence on replay mirrors the dedup
+    * loop: a re-delivered batch finds its own digests already indexed
+    * and flags them known — re-appends cannot occur, because only
+    * not-known digests append.
+    *
+    * At 100 TB the index is 32-hex-char rows (broadcastable far beyond
+    * any payload volume); the per-trigger append is one novel-digest-
+    * sized file, so run [[compactDigestIndex]] on the maintenance
+    * cadence to bound the file count. */
+  def ingestIndexLoop(spark: SparkSession, dir: String, indexDir: String)
+                     (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(dir)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val known = spark.read.parquet(indexDir)
+        .select(col("digest").as("k_digest"), lit(1L).as("k_hit"))
+      val m = MultimodalOps.manifestRows(batch)
+        .join(broadcast(known), col("digest") === col("k_digest"), "left")
+        .select(col("file_name"), col("doc_id"), col("modality"),
+          col("byte_len"), col("digest"),
+          col("k_hit").isNotNull.as("is_known"))
+        .persist()
+      try {
+        sink(m, batchId)
+        m.filter(!col("is_known")).select("digest").distinct()
+          .write.mode("append").parquet(indexDir)
+      } finally { m.unpersist(); () }
+    }
+  }
+
+  /** Periodic COMPACTION for the [[ingestIndexLoop]] digest index — the
+    * maintenance twin of [[StreamingDedup.compactSignatureIndex]], same
+    * crash-safe [[graft.sources.SnapshotSwap]] publish (retire-then-swap,
+    * `_SUCCESS`-gated recovery): the loop appends one novel-digest file
+    * per trigger forever, so an unmaintained index degrades into
+    * thousands of tiny files. Rewrites it as `numFiles` files with
+    * `distinct()` collapsing any duplicate digests (the loop itself
+    * cannot append one twice, but a seeded index might overlap a
+    * replayed history). One digest-column shuffle — never payload
+    * bytes. Returns (rows before, rows after). */
+  def compactDigestIndex(spark: SparkSession, indexDir: String,
+                         numFiles: Int = 8): (Long, Long) = {
+    graft.sources.SnapshotSwap.recover(spark, indexDir)
+    val idx = spark.read.parquet(indexDir)
+    require(idx.columns.sameElements(Array("digest")),
+      s"index must be a digest index (digest); got ${idx.columns.mkString(",")}")
+    val before = idx.count()
+    val tmp = graft.sources.SnapshotSwap.nextPath(indexDir)
+    idx.distinct().repartition(numFiles).write.mode("overwrite").parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+    graft.sources.SnapshotSwap.publish(spark, indexDir)
+    (before, after)
+  }
 }

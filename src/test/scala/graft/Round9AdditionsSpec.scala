@@ -145,6 +145,97 @@ class Round9AdditionsSpec extends SparkSpec {
       assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("packShardsDense: dense ids over distinct pack metadata only — rank input is the aggregate, ids are dense and order-stable") {
+    import graft.ops.TextOps
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill(16)("w").mkString(" "), s"src_${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val dense = TextOps.packShardsDense(docs, capacity = 64L, shards = 4)
+    // plan shape (the VERDICT done-condition): the rank Window's input
+    // subtree is the DISTINCT aggregate on (source, pack_id) — O(packs)
+    // metadata — not the per-document packing rows
+    val win = dense.queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.getOrElse(fail("no Window in the optimized plan"))
+    val agg = win.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.getOrElse(fail("rank input is not an aggregate — it would rank rows"))
+    assert(agg.groupingExpressions.map(_.sql.toLowerCase).toSet
+      .exists(_.contains("pack_id")) || agg.groupingExpressions.size == 2,
+      s"distinct must group on (source, pack_id): ${agg.groupingExpressions}")
+    // dense ids: 0..n_packs-1 with no gaps, following (source, pack_id)
+    val rows = dense.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val packed = TextOps.packSequencesSharded(docs, 64L, 4)
+    assert(rows.length ==
+      packed.select("source", "pack_id").distinct().count().toInt)
+    assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong),
+      "dense ids must be gapless 0..n-1")
+    assert(rows.sortBy(r => (r._1, r._2)).map(_._3).toSeq ==
+      (0L until rows.length.toLong),
+      "dense ids must follow the (source, pack_id) total order")
+  }
+
+  test("ingestIndexLoop: later batches know earlier batches' novel digests; compaction bounds the index files") {
+    import graft.streaming.StreamingIngest
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_loop")
+    val dir = java.nio.file.Files.createDirectory(root.resolve("media"))
+    val indexDir = root.resolve("index").toString
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"${x & 0xff}%02x").mkString
+    try {
+      val seeded = "seeded".getBytes
+      // seed: the corpus already holds one payload
+      Seq(md5hex(seeded)).toDF("digest").write.parquet(indexDir)
+      val payloadA = "payload-a".getBytes
+      java.nio.file.Files.write(dir.resolve("doc_0.img"), payloadA)
+      java.nio.file.Files.write(dir.resolve("doc_1.aud"), seeded)
+      val got = collection.mutable.ArrayBuffer.empty[(Long, String, Boolean)]
+      val q = StreamingIngest.ingestIndexLoop(spark, dir.toString, indexDir) {
+        (m, id) =>
+          got ++= m.collect().map(r =>
+            (id, r.getString(0), r.getAs[Boolean]("is_known")))
+      }.start()
+      try {
+        q.processAllAvailable()
+        val b0 = got.filter(_._1 == 0L).map(v => v._2 -> v._3).toMap
+        // seeded payload known, novel payload not — and the novel digest
+        // is now APPENDED to the live index
+        assert(b0 == Map("doc_0.img" -> false, "doc_1.aud" -> true))
+        // batch 1: a byte-identical COPY of batch 0's novel file must be
+        // flagged known — the closed-loop behavior the frozen-index
+        // manifestStream cannot give
+        java.nio.file.Files.write(dir.resolve("dup_0.img"), payloadA)
+        java.nio.file.Files.write(dir.resolve("doc_2.vid"), "novel-2".getBytes)
+        q.processAllAvailable()
+        val b1 = got.filter(_._1 > 0L).map(v => v._2 -> v._3).toMap
+        assert(b1 == Map("dup_0.img" -> true, "doc_2.vid" -> false))
+        assert(got.size == 4, s"files must be ingested exactly once: $got")
+      } finally q.stop()
+      // index holds exactly the 3 distinct digests ever seen
+      val digests = spark.read.parquet(indexDir)
+        .collect().map(_.getString(0)).toSet
+      assert(digests == Set(md5hex(seeded), md5hex(payloadA),
+        md5hex("novel-2".getBytes)))
+      // maintenance: appends left ≥3 files; compaction bounds them and
+      // keeps the digest set intact (SnapshotSwap publish)
+      def files(p: String) = new java.io.File(p).listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(files(indexDir) >= 3)
+      val (before, after) = StreamingIngest.compactDigestIndex(spark,
+        indexDir, numFiles = 2)
+      assert(before == 3L && after == 3L)
+      assert(files(indexDir) == 2)
+      assert(spark.read.parquet(indexDir).collect()
+        .map(_.getString(0)).toSet == digests)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("decontaminateRecall threads evalMod to both gates and rejects offset-dividing mods (ADVICE r8)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = SemanticOps.decontaminateRecall(emb, evalMod = 10).head()
