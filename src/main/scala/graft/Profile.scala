@@ -463,6 +463,167 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-r9 [factor]` — the round-9 ladder additions (VERDICT
+    // r8 items 3 + 5): the families the century ladder was missing —
+    // multimodal ingest (FILE-count scaling: thousands of fixture files
+    // through the listing+digest path), CDC merge (changelog 100×, fixed
+    // snapshot), the join family (as-of + interval-overlap), one
+    // recall-suite rep — plus the HOT-KEY rep: a 50%-hot join key run
+    // through skew_report → saltedJoin at the report's own
+    // recommended_salt, with the unsalted shuffle-hash join as control.
+    if (args.headOption.contains("scale-r9")) {
+      val factor = if (args.length > 1) args(1).toInt else 100
+      // `scale-r9 <factor> skew` reruns ONLY the hot-key section (it has
+      // its own AQE-on/off matrix and deserves solo arbitration);
+      // `scale-r9 <factor> write` ONLY the clustered-writer section
+      val mode = if (args.length > 2) args(2) else "all"
+      val skewOnly = mode == "skew"
+      // --- clustered WRITE path (the family VERDICT r8 proved hides
+      // bugs): optimizeTableExact over the amplified corpus — planner
+      // sizing + equi-depth curve binning + full text payload encode to
+      // parquet, then the read-back scan. Text doubles per decade (doc
+      // amplifier), so the write is byte-bound like production.
+      if (mode == "write" || mode == "all") {
+        val dAmp = amplifyDocs(docs, factor)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        dAmp.persist(); t(s"amplify_docs_${factor}x")(dAmp.count())
+        val wdir = MultimodalOps.fixtureDir(sfDir + s"_r9w$factor")
+        val curved = dAmp.select(col("doc_id"), col("text"),
+          LayoutOps.mortonCode(pmod(col("doc_id"), lit(256L)),
+            pmod(col("n_chars"), lit(256L)), 8).as("curve"))
+        t("optimize_write_exact")(LayoutOps.optimizeTableExact(curved,
+          LayoutOps.fileInventory(dAmp), wdir, "curve",
+          targetBytes = 1024L * 1024))
+        t("optimized_readback")(spark.read.parquet(wdir)
+          .where(col("curve") >= 0L).count())
+        dAmp.unpersist()
+        if (mode == "write") { spark.stop(); return }
+      }
+      if (!skewOnly) {
+      // --- multimodal ingest: file count scales with factor ---
+      // contiguous re-key so writeFixtureTree's doc_id < maxDocId filter
+      // admits every copy: factor × 256 docs ⇒ factor × 288 files (the
+      // /8 dup planting included) through ONE binaryFile listing+digest
+      // pass. The canonical-length guard forces the digest+window
+      // arithmetic under count() (the count-prune column rule).
+      val base256 = docs.filter(col("doc_id") < 256L).select("doc_id", "text")
+      val fileDocs = (0 until factor).map { k =>
+        if (k == 0) base256
+        else base256.select((col("doc_id") + lit(k * 256L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _)
+      val fix = MultimodalOps.fixtureDir(sfDir + s"_r9x$factor")
+      t(s"write_fixture_${factor}x256") {
+        MultimodalOps.writeFixtureTree(fileDocs, fix,
+          maxDocId = 256L * factor); 256L * factor
+      }
+      t("multimodal_manifest")(MultimodalOps.ingestManifest(spark, fix)
+        .where(length(col("canonical")) >= 0).count())
+      }
+      // --- events-fed: CDC merge + join family ---
+      val evAmp = amplifyEvents(Tables.events(spark, sfDir), factor)
+      evAmp.persist(); t(s"amplify_events_${factor}x")(evAmp.count())
+      if (!skewOnly) {
+      // changelog grows factor×; the customer snapshot stays fixed (the
+      // production shape: a bounded dimension absorbing a growing log)
+      t("cdc_upsert")(EventOps.cdcUpsert(evAmp,
+        Tables.customer(spark, sfDir)).count())
+      // as-of join: the registered query's shape over the amplified log
+      val asofL = evAmp.withColumn("ts_us", expr("ts div 1000"))
+        .select("event_id", "user_id", "ts_us", "event_type")
+      val asofR = evAmp.withColumn("ts_us", expr("ts div 1000"))
+        .filter(col("event_type") === "signup")
+        .select("user_id", "ts_us", "event_id", "value")
+      t("asof_join")(JoinOps.asofJoin(asofL, asofR, "user_id", "ts_us",
+        "event_id", Seq("value")).count())
+      // interval-overlap: 40-day copy shifts keep sessions temporally
+      // disjoint across copies, so pair output grows linearly
+      t("interval_join")(JoinOps.sessionOverlapPairs(
+        EventOps.sessionize(evAmp)).count())
+      }
+      // --- hot-key rep (VERDICT r8 item 5): 50% of events on ONE user,
+      // 64 cold users — max/mean ≈ 32, so the report recommends ~33 and
+      // the hot key is 16× a 32-reducer's fair share (visible skew).
+      // saltedJoin at RECOMMENDED_SALT vs the unsalted shuffle-hash
+      // control on the identical inputs; the user_total guard keeps the
+      // join alive under count().
+      val hot = evAmp.select(col("event_id"),
+        when(pmod(col("event_id"), lit(2L)) === 0L, lit(0L))
+          .otherwise(pmod(col("user_id"), lit(64L)) + 1L).as("user_id"))
+      hot.persist(); t(s"hot_events_${factor}x")(hot.count())
+      val rep = SkewOps.skewReport(hot, "user_id").head()
+      val salt = rep.getAs[Long]("recommended_salt")
+      println(s"[profile] skew_report n_keys=${rep.getAs[Long]("n_keys")} " +
+        s"max_per_key=${rep.getAs[Long]("max_per_key")} " +
+        s"skew_factor=${"%.1f".format(rep.getAs[Double]("skew_factor"))} " +
+        s"recommended_salt=$salt")
+      val dim = hot.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+      dim.persist(); dim.count()
+      def unsalted() = hot.join(dim.hint("shuffle_hash"), Seq("user_id"))
+        .where(col("user_total") >= 0L).count()
+      def salted() = SkewOps.saltedJoin(hot, dim, "user_id",
+          col("event_id"), salt.toInt)
+        .where(col("user_total") >= 0L).count()
+      // Matrix: AQE ON (batch default — AQE's skew-join splits the hot
+      // shuffle partition at runtime, so salting should be a wash
+      // here), then AQE OFF — the regime saltedJoin exists for
+      // (streaming micro-batch joins and deterministic plans have no
+      // AQE re-planning), where the hot key's rows land on ONE reducer
+      // unless the plan itself spreads them.
+      t("hot_join_unsalted_aqe")(unsalted())
+      t(s"hot_join_salted_x${salt}_aqe")(salted())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      t("hot_join_unsalted_noaqe")(unsalted())
+      t(s"hot_join_salted_x${salt}_noaqe")(salted())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // OUTPUT-AMPLIFIED pair: the regime where the straggler is real.
+      // With a 1-row-per-key dim the hot reducer only STREAMS its 50%
+      // of the probe side — bandwidth-bound, ≲1 s even at 100× (the
+      // wash measured above). Give the dim multiplicity 8 (the SCD-2 /
+      // per-key-attribute fan-out shape) and the hot reducer must EMIT
+      // 8 × hot-rows — that output amplification is what salting
+      // spreads. AQE off: the streaming-micro-batch regime saltedJoin
+      // is documented for (no runtime re-planning there).
+      val dim8 = dim.withColumn("v",
+        explode(sequence(lit(0), lit(7))))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      t("hot_join_x8_unsalted_noaqe")(
+        hot.join(dim8.hint("shuffle_hash"), Seq("user_id"))
+          .where(col("user_total") >= 0L).count())
+      t(s"hot_join_x8_salted_x${salt}_noaqe")(
+        SkewOps.saltedJoin(hot, dim8, "user_id", col("event_id"), salt.toInt)
+          .where(col("user_total") >= 0L).count())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      t("hot_join_x8_unsalted_aqe")(
+        hot.join(dim8.hint("shuffle_hash"), Seq("user_id"))
+          .where(col("user_total") >= 0L).count())
+      // DOWNSTREAM-SHUFFLE pair: count-only probes emit rows for free
+      // inside whole-stage codegen (the wash above even at 80M output
+      // rows); a real pipeline MATERIALIZES the joined output into the
+      // next shuffle/write, paying serialization per row — the cost the
+      // hot task concentrates. repartition on a derived key forces
+      // exactly that emit without adding reduce-side work.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def shuffled(j: org.apache.spark.sql.DataFrame) = j
+        .repartition(32, pmod(hash(col("event_id") + col("v")), lit(997)))
+        .where(col("user_total") >= 0L).count()
+      t("hot_join_x8_shuf_unsalted")(shuffled(
+        hot.join(dim8.hint("shuffle_hash"), Seq("user_id"))))
+      t(s"hot_join_x8_shuf_salted_x$salt")(shuffled(
+        SkewOps.saltedJoin(hot, dim8, "user_id", col("event_id"), salt.toInt)))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      dim.unpersist(); hot.unpersist(); evAmp.unpersist()
+      if (!skewOnly) {
+      // --- recall-suite rep: probe-1 LSH vs brute truth, corpus factor× ---
+      val embAmp = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
+      embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
+      t("ann_recall")(SimilarityOps.annRecall(embAmp)
+        .where(col("recall_at_k") >= 0.0).count())
+      embAmp.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))

@@ -188,6 +188,15 @@ object SparkEntry {
       LayoutOps.optimizeRoundtrip(s, D(s, dir),
           graft.ops.FixtureDirs.dir("graft_opt", dir))
         .where(col("min_curve") >= 0L)),
+    // WRITE-PATH round trip #2: applyCompaction (the order-preserving
+    // rewrite) into its own pid-scoped tree, read back, per-bin summary
+    // with the one-file-per-bin contract IN the hash (n_files counts
+    // input_file_name() on the read-back scan). The min_doc guard is the
+    // count-prune no-op keeping the read-back aggregate alive.
+    "compaction_roundtrip" -> ((s, dir) =>
+      LayoutOps.compactionRoundtrip(s, D(s, dir),
+          graft.ops.FixtureDirs.dir("graft_cmp", dir))
+        .where(col("min_doc") >= 0L)),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "orders_by_nation" -> ((s, dir) => RelationalOps.ordersByNation(
       O(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -322,6 +331,9 @@ object SparkEntry {
         .where(col("recall_at_k") >= 0.0)),
     "ann_recall_ivfpq" -> ((s, dir) =>
       SimilarityOps.annRecallIvfPq(Tables.embeddings(s, dir))
+        .where(col("recall_at_k") >= 0.0)),
+    "ann_recall_funnel" -> ((s, dir) =>
+      SimilarityOps.annRecallFunnel(Tables.embeddings(s, dir))
         .where(col("recall_at_k") >= 0.0)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
     "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
@@ -706,6 +718,7 @@ object SparkEntry {
     "zorder_layout" -> LayoutOps.zorderLayoutOracle(),
     "compaction_plan" -> LayoutOps.compactionPlanOracle(),
     "optimize_roundtrip" -> LayoutOps.optimizeRoundtripOracle(),
+    "compaction_roundtrip" -> LayoutOps.compactionRoundtripOracle(),
     "hilbert_layout" -> LayoutOps.hilbertLayoutOracle(),
     "zorder3_layout" -> LayoutOps.zorder3LayoutOracle(),
     "hilbert3_layout" -> LayoutOps.hilbert3LayoutOracle(),
@@ -765,6 +778,7 @@ object SparkEntry {
     "ann_recall" -> SimilarityOps.annRecallOracle(),
     "ann_recall_multiprobe" -> SimilarityOps.annRecallMultiProbeOracle(),
     "ann_recall_ivfpq" -> SimilarityOps.annRecallIvfPqOracle(),
+    "ann_recall_funnel" -> SimilarityOps.annRecallFunnelOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
     "tfidf_top" -> TextOps.tfIdfTopOracle,

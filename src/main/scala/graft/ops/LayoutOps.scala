@@ -657,6 +657,66 @@ object LayoutOps {
        |  CAST(max(curve) AS BIGINT) AS max_curve
        |FROM assigned GROUP BY 1""".stripMargin
 
+  /** WRITE-PATH round trip #2 — [[applyCompaction]] under the driver's
+    * hash gate. [[optimizeRoundtrip]] covers the re-clustering writer;
+    * this covers the OTHER rewrite the engine ships: pure compaction
+    * that preserves the original file grouping (the right tool when
+    * rows must not be reordered — an append-ordered changelog). End to
+    * end: plan bins over the deterministic file inventory, execute the
+    * rewrite into a pid-scoped tree (one physical file per bin —
+    * asserted by `n_files`, counted from `input_file_name()` on the
+    * read-back scan, so the on-disk contract is in the hash, not just a
+    * spec), read the tree back through a fresh parquet scan, and
+    * summarize per bin: row count, file count, doc-id span, byte total.
+    * The oracle reconstructs the identical summary from the source
+    * table alone (inventory → quota-fill plan → row assignment via
+    * `doc_id % nFiles`), so a row lost, duplicated, or mis-binned
+    * anywhere in plan→write→list→read breaks the hash — and a bin split
+    * across two files breaks `n_files`. */
+  def compactionRoundtrip(spark: org.apache.spark.sql.SparkSession,
+                          documents: DataFrame, path: String,
+                          nFiles: Int = 97,
+                          targetBytes: Long = 128 * 1024): DataFrame = {
+    applyCompaction(documents, path, nFiles, targetBytes)
+    // declared read-back schema (partition column included) — same
+    // empty-source totality convention as [[optimizeRoundtrip]]
+    import org.apache.spark.sql.types._
+    val rbSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType), StructField("bin", LongType)))
+    spark.read.schema(rbSchema).parquet(path)
+      // input_file_name() is nondeterministic — projected to an
+      // attribute BEFORE the aggregate (Spark rejects it as a direct
+      // aggregate argument)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("__file")).cast("long").as("n_files"),
+        min("doc_id").cast("long").as("min_doc"),
+        max("doc_id").cast("long").as("max_doc"),
+        sum("n_chars").cast("long").as("chars_total"))
+  }
+
+  /** The compaction loop in DuckDB from the source table alone:
+    * [[compactionPlanOracle]]'s CTE chain is embedded verbatim (one
+    * derivation per planner — the outputDiff idiom), rows join the plan
+    * on their derived file_id, and `n_files` is the literal 1 the
+    * one-file-per-bin writer contract promises. */
+  def compactionRoundtripOracle(targetBytes: Long = 128 * 1024,
+                                nFiles: Int = 97): String =
+    s"""WITH plan AS (
+       |SELECT file_id, bin FROM (
+       |${compactionPlanOracle(targetBytes, nFiles)}
+       |) p)
+       |SELECT p.bin, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(1 AS BIGINT) AS n_files,
+       |  CAST(min(d.doc_id) AS BIGINT) AS min_doc,
+       |  CAST(max(d.doc_id) AS BIGINT) AS max_doc,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS chars_total
+       |FROM documents d JOIN plan p ON CAST(d.doc_id % $nFiles AS BIGINT) = p.file_id
+       |GROUP BY 1""".stripMargin
+
   /** Same inventory + quota-fill window in DuckDB. Both sides use EXACT
     * integer division (Spark `div`, DuckDB `//`) — not double division,
     * whose correctly-rounded quotient can land ON the next integer when

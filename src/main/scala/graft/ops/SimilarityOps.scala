@@ -755,7 +755,20 @@ object SimilarityOps {
     recallAtK(cosineTopK(embeddings, nQueries, k),
       PqOps.annIvfPq(embeddings, nQueries = nQueries, topK = k))
 
-  /** The ONE recall@k computation, shared by all three registered recall
+  /** Measured recall@k of the COARSE-TO-FINE FUNNEL — the last tuned
+    * retrieval config the driver wasn't tracking: [[annProjectRerank]]
+    * shortlists in the 16-dim JL projection and reranks the shortlist
+    * with exact full-dim cosine. Its only approximation source is the
+    * shortlist (rerank scoring is exact), so this number isolates the
+    * projection's recall cost — the knob a funnel deployment trades
+    * against scanning 4× fewer dimensions per candidate. Same truth
+    * side and [[recallAtK]] arithmetic as the other three. */
+  def annRecallFunnel(embeddings: DataFrame, nQueries: Int = 10,
+                      k: Int = 5): DataFrame =
+    recallAtK(cosineTopK(embeddings, nQueries, k),
+      annProjectRerank(embeddings, nQueries, k))
+
+  /** The ONE recall@k computation, shared by all four registered recall
     * queries so a tuned config can never be scored by different
     * arithmetic than the baseline: LEFT join truth→approx on (q_id,
     * vec_id) keeps 0-recall queries visible; the denominator is the
@@ -763,7 +776,7 @@ object SimilarityOps {
     * constant k. Both sides are query-set-sized (nQueries × k rows), so
     * this harness is metadata work — the cost is the two retrieval
     * pipelines it composes. */
-  private def recallAtK(truthTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
+  private[graft] def recallAtK(truthTopK: DataFrame, approxTopK: DataFrame): DataFrame = {
     val truth = truthTopK.select("q_id", "vec_id")
     val approx = approxTopK
       .select(col("q_id").as("a_q"), col("vec_id").as("a_v"), lit(1L).as("hit"))
@@ -787,6 +800,10 @@ object SimilarityOps {
   def annRecallIvfPqOracle(nQueries: Int = 10, k: Int = 5): String =
     recallAtKOracle(cosineTopKOracleAt(nQueries, k),
       PqOps.annIvfPqOracle(nQueries = nQueries, topK = k))
+
+  def annRecallFunnelOracle(nQueries: Int = 10, k: Int = 5): String =
+    recallAtKOracle(cosineTopKOracleAt(nQueries, k),
+      annProjectRerankOracle(nQueries, k))
 
   /** The ONE recall oracle template — the SQL twin of [[recallAtK]],
     * parameterized on the two retrieval oracles it nests. */

@@ -289,4 +289,67 @@ class Round9AdditionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("all-NULL"))
   }
+
+  test("compactionRoundtrip: read-back summary equals an independently computed plan; one physical file per bin") {
+    // synthetic documents in the real table's shape (the roundtrip's
+    // declared read-back schema carries all five columns)
+    val docs = (0L until 300L).map { i =>
+      (i, "x" * (50 + (i * 37L % 400L)).toInt, "en", s"s${i % 3}",
+        50L + i * 37L % 400L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmprt").toString
+    try {
+      val got = LayoutOps.compactionRoundtrip(spark, docs, dir,
+          targetBytes = 8192L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // independent expectation in plain Scala: inventory → quota-fill
+      // (size DESC, file_id; cum-before div target; dense renumber) →
+      // per-row assignment via doc_id % 97
+      val nchars = (0L until 300L).map(i => i -> (50L + i * 37L % 400L)).toMap
+      val inv = nchars.groupBy(_._1 % 97L).view
+        .mapValues(_.values.sum).toMap
+      val ordered = inv.toSeq.sortBy { case (fid, sz) => (-sz, fid) }
+      val rawBins = ordered.scanLeft(0L)(_ + _._2).init
+        .map(_ / 8192L)
+      val dense = rawBins.distinct.sorted.zipWithIndex.toMap
+      val fileBin = ordered.map(_._1).zip(rawBins.map(b => dense(b).toLong)).toMap
+      assert(fileBin.values.max >= 1L, "fixture must plan multiple bins")
+      val expected = (0L until 300L).groupBy(i => fileBin(i % 97L))
+        .map { case (bin, ids) =>
+          bin -> ((ids.size.toLong, 1L, ids.min, ids.max,
+            ids.map(nchars).sum))
+        }
+      assert(got == expected)
+      // the on-disk tree matches: one parquet file inside every bin dir
+      val binDirs = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("bin="))
+      assert(binDirs.length == expected.size)
+      binDirs.foreach { d =>
+        assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+          s"${d.getName} must hold exactly one file")
+      }
+    } finally rmDir(dir)
+  }
+
+  test("annRecallFunnel: exact when the shortlist covers the corpus; well-formed on the default config") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    // shortlist >= corpus-1 shortlists EVERY candidate, and the funnel's
+    // rerank is exact full-dim cosine — recall must be exactly 1.0 for
+    // every query (the property that isolates the projection as the
+    // funnel's only approximation source)
+    SimilarityOps.recallAtK(
+        SimilarityOps.cosineTopK(emb, 10, 5),
+        SimilarityOps.annProjectRerank(emb, 10, 5, shortlist = n))
+      .collect().foreach(r => assert(r.getDouble(1) == 1.0,
+        s"query ${r.getLong(0)}: full-shortlist funnel recall ${r.getDouble(1)}"))
+    // default config: same query set as the probe-1 baseline, bounded
+    val p1 = SimilarityOps.annRecall(emb).collect()
+      .map(r => r.getLong(0)).toSet
+    val fn = SimilarityOps.annRecallFunnel(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fn.keySet == p1)
+    fn.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
 }
