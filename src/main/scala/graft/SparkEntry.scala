@@ -335,6 +335,9 @@ object SparkEntry {
     "ann_recall_funnel" -> ((s, dir) =>
       SimilarityOps.annRecallFunnel(Tables.embeddings(s, dir))
         .where(col("recall_at_k") >= 0.0)),
+    "ann_recall_multitable" -> ((s, dir) =>
+      SimilarityOps.annRecallMultiTable(Tables.embeddings(s, dir))
+        .where(col("recall_at_k") >= 0.0)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
     "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
@@ -779,6 +782,7 @@ object SparkEntry {
     "ann_recall_multiprobe" -> SimilarityOps.annRecallMultiProbeOracle(),
     "ann_recall_ivfpq" -> SimilarityOps.annRecallIvfPqOracle(),
     "ann_recall_funnel" -> SimilarityOps.annRecallFunnelOracle(),
+    "ann_recall_multitable" -> SimilarityOps.annRecallMultiTableOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
     "tfidf_top" -> TextOps.tfIdfTopOracle,

@@ -755,6 +755,17 @@ object SimilarityOps {
     recallAtK(cosineTopK(embeddings, nQueries, k),
       PqOps.annIvfPq(embeddings, nQueries = nQueries, topK = k))
 
+  /** Measured recall@k of the MULTI-TABLE LSH path: L independent
+    * hyperplane tables (union of candidate buckets). Independent tables
+    * recover recall orthogonally to multi-probe's hamming-1 expansion —
+    * a table re-draws ALL planes where a probe flips one bit — so a
+    * deployment prices tables × memory against probes × latency with
+    * this number next to [[annRecallMultiProbe]]'s. */
+  def annRecallMultiTable(embeddings: DataFrame, nQueries: Int = 10,
+                          k: Int = 5): DataFrame =
+    recallAtK(cosineTopK(embeddings, nQueries, k),
+      lshTopKMultiTable(embeddings, nQueries, k))
+
   /** Measured recall@k of the COARSE-TO-FINE FUNNEL — the last tuned
     * retrieval config the driver wasn't tracking: [[annProjectRerank]]
     * shortlists in the 16-dim JL projection and reranks the shortlist
@@ -804,6 +815,10 @@ object SimilarityOps {
   def annRecallFunnelOracle(nQueries: Int = 10, k: Int = 5): String =
     recallAtKOracle(cosineTopKOracleAt(nQueries, k),
       annProjectRerankOracle(nQueries, k))
+
+  def annRecallMultiTableOracle(nQueries: Int = 10, k: Int = 5): String =
+    recallAtKOracle(cosineTopKOracleAt(nQueries, k),
+      lshTopKMultiTableOracle(nQueries, k))
 
   /** The ONE recall oracle template — the SQL twin of [[recallAtK]],
     * parameterized on the two retrieval oracles it nests. */

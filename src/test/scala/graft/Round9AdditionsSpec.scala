@@ -133,15 +133,19 @@ class Round9AdditionsSpec extends SparkSpec {
     val p1 = toMap(SimilarityOps.annRecall(emb))
     val mp = toMap(SimilarityOps.annRecallMultiProbe(emb))
     val pq = toMap(SimilarityOps.annRecallIvfPq(emb))
+    val mt = toMap(SimilarityOps.annRecallMultiTable(emb))
     // same query set everywhere (LEFT join keeps 0-recall queries)
-    assert(p1.keySet == mp.keySet && p1.keySet == pq.keySet)
+    assert(p1.keySet == mp.keySet && p1.keySet == pq.keySet &&
+      p1.keySet == mt.keySet)
     // probing hamming-1 buckets is a candidate SUPERSET of probe-1 ⇒
     // recall can only go up, per query (the r8 VERDICT's "≥ the probe-1
-    // number" done-condition)
+    // number" done-condition); a second table's union is likewise a
+    // superset of table 0 (= the probe-1 table)
     p1.keys.foreach { q =>
       assert(mp(q) >= p1(q), s"query $q: multiprobe ${mp(q)} < probe-1 ${p1(q)}")
+      assert(mt(q) >= p1(q), s"query $q: multitable ${mt(q)} < probe-1 ${p1(q)}")
     }
-    (mp.values ++ pq.values ++ p1.values).foreach(v =>
+    (mp.values ++ pq.values ++ p1.values ++ mt.values).foreach(v =>
       assert(v >= 0.0 && v <= 1.0))
   }
 
