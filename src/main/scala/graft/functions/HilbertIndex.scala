@@ -115,7 +115,7 @@ object HilbertKernel {
     // withHilbertN's require) can't produce garbage keys
     if (d * bits > 63)
       throw new IllegalArgumentException(
-        s"withHilbertN: d*bits = $d*$bits > 63 — the Hilbert index no " +
+        s"HilbertKernel.evalN: d*bits = $d*$bits > 63 — the Hilbert index no " +
           "longer fits one long; reduce bits or dimensions")
     val n = 1L << bits
     val x = new Array[Long](d)
@@ -125,7 +125,7 @@ object HilbertKernel {
       val v = arr.getLong(i)
       if (v < 0L || v >= n)
         throw new IllegalArgumentException(
-          s"withHilbertN: dim$i coordinate out of [0, $n) for bits=$bits: $v")
+          s"HilbertKernel.evalN: dim$i coordinate out of [0, $n) for bits=$bits: $v")
       x(i) = v
       i += 1
     }

@@ -521,14 +521,22 @@ object LayoutOps {
     * repartition-for-write pass every clustered rewrite already pays.
     * Bins are monotone in the curve key, so files are DISJOINT curve
     * ranges — the same zone-map skip contract as [[writeClustered]].
-    * Rows with a NULL curve key are the caller's to filter (the
-    * broadcast equi-join drops them — a layout key must exist to be
-    * clustered on). */
+    * Rows with a NULL curve key are DROPPED — excluded before the
+    * histogram so they distort neither `below` nor `total` for the
+    * rows that are kept (a layout key must exist to be clustered
+    * on). */
   def writeClusteredExact(df: DataFrame, path: String, curveCol: String,
                           nBins: Int): Unit = {
     require(nBins >= 1, s"writeClusteredExact needs nBins >= 1, got $nBins")
+    // NULL curve keys are excluded BEFORE the histogram, not just at
+    // the join: a NULL group in the histogram would inflate `below` and
+    // `total` for every real value (nulls-first ordering), shifting the
+    // retained rows into later bins — leading bins empty, the rest over
+    // the equi-depth target (review-caught). Excluding up front keeps
+    // the documented drop AND the assignment exact over what is kept.
+    val rows = df.filter(col(curveCol).isNotNull)
     val W = org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(curveCol).as("cv")).agg(count(lit(1)).as("cnt"))
+    val hist = rows.groupBy(col(curveCol).as("cv")).agg(count(lit(1)).as("cnt"))
     val w = W.orderBy("cv").rowsBetween(W.unboundedPreceding, -1)
     val tot = hist.agg(sum("cnt").cast("long").as("total"))
     val mapping = hist
@@ -536,10 +544,17 @@ object LayoutOps {
       .crossJoin(broadcast(tot))
       .select(col("cv"),
         expr(s"below * ${nBins}L div total").cast("long").as("file_bin"))
-    df.join(broadcast(mapping), col(curveCol) === col("cv"))
+    // sort on (file_bin, curve): partitionBy requires child ordering on
+    // the partition column — a curve-only sort would NOT satisfy it and
+    // FileFormatWriter would insert its own sort on file_bin above the
+    // sorted data, wasting the sort and leaving in-file curve order to
+    // that sort's tie behavior (review-caught). The prefixed sort
+    // satisfies the requirement, keeps files curve-sorted, and makes
+    // the byte-identical-retry claim hold.
+    rows.join(broadcast(mapping), col(curveCol) === col("cv"))
       .drop("cv")
       .repartition(nBins, col("file_bin"))
-      .sortWithinPartitions(curveCol)
+      .sortWithinPartitions(col("file_bin"), col(curveCol))
       .write.mode("overwrite").partitionBy("file_bin").parquet(path)
   }
 
@@ -613,30 +628,23 @@ object LayoutOps {
   }
 
   /** The whole loop in DuckDB, from the source table alone: the
-    * [[compactionPlanOracle]] CTE chain sizes nbins, the cumulative
-    * histogram reproduces [[writeClusteredExact]]'s assignment (both
-    * sides exact integer `div`/`//` on non-negative longs), and the
-    * final group-by is the read-back summary. */
+    * [[compactionPlanOracle]] CTE chain — embedded VERBATIM as a
+    * nested-WITH subquery (the outputDiff idiom: one derivation per
+    * planner, so a planner change cannot silently diverge between the
+    * two write-path oracles) — sizes nbins, the cumulative histogram
+    * reproduces [[writeClusteredExact]]'s assignment (both sides exact
+    * integer `div`/`//` on non-negative longs), and the final group-by
+    * is the read-back summary. */
   def optimizeRoundtripOracle(targetBytes: Long = 32 * 1024,
                               nFiles: Int = 97): String =
     s"""WITH c AS (
        |  SELECT CAST(${duckMorton("(doc_id % 256)", "(n_chars % 256)", 8)}
        |    AS BIGINT) AS curve
        |  FROM documents WHERE n_chars IS NOT NULL),
-       |inv AS (
-       |  SELECT CAST(doc_id % $nFiles AS BIGINT) AS file_id,
-       |    CAST(sum(n_chars) AS BIGINT) AS size_bytes
-       |  FROM documents GROUP BY 1),
-       |w AS (
-       |  SELECT file_id, size_bytes,
-       |    CAST(COALESCE(sum(size_bytes) OVER (
-       |      ORDER BY size_bytes DESC, file_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS cum_before
-       |  FROM inv),
        |plan AS (
-       |  SELECT CAST(dense_rank() OVER (ORDER BY cum_before // $targetBytes) - 1
-       |    AS BIGINT) AS bin FROM w),
+       |  SELECT bin FROM (
+       |${compactionPlanOracle(targetBytes, nFiles)}
+       |  ) p),
        |nb AS (SELECT CAST(GREATEST(COALESCE(max(bin) + 1, 0), 1) AS BIGINT)
        |  AS nbins FROM plan),
        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM c),

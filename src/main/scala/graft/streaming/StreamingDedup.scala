@@ -247,6 +247,12 @@ object StreamingDedup {
     * restart. One (doc_id, sig)-shaped shuffle over the index — never
     * text, never shingles; safe at any index size.
     *
+    * CONCURRENCY CONTRACT: run only while the appending loop is
+    * QUIESCENT (query stopped, or from the driver between triggers) —
+    * an append landing between this rewrite's index read and its
+    * publish would be dropped by the swap (same contract as
+    * [[StreamingIngest.compactDigestIndex]]).
+    *
     * Returns (rows before, rows after).
     */
   def compactSignatureIndex(spark: SparkSession, indexDir: String,

@@ -88,12 +88,17 @@ object StreamingIngest {
     * At 100 TB the index is 32-hex-char rows (broadcastable far beyond
     * any payload volume); the per-trigger append is one novel-digest-
     * sized file, so run [[compactDigestIndex]] on the maintenance
-    * cadence to bound the file count. */
+    * cadence to bound the file count (in a QUIESCENT window — see its
+    * concurrency contract). */
   def ingestIndexLoop(spark: SparkSession, dir: String, indexDir: String)
                      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     val stream = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema).load(dir)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // self-heal: a trigger landing right after a crash mid-compaction
+      // finds the swap half-done; recover() restores the live index
+      // (cheap when live exists — one FS existence check)
+      graft.sources.SnapshotSwap.recover(spark, indexDir)
       val known = spark.read.parquet(indexDir)
         .select(col("digest").as("k_digest"), lit(1L).as("k_hit"))
       val m = MultimodalOps.manifestRows(batch)
@@ -119,7 +124,19 @@ object StreamingIngest {
     * `distinct()` collapsing any duplicate digests (the loop itself
     * cannot append one twice, but a seeded index might overlap a
     * replayed history). One digest-column shuffle — never payload
-    * bytes. Returns (rows before, rows after). */
+    * bytes.
+    *
+    * CONCURRENCY CONTRACT (review-caught): run only while the loop is
+    * QUIESCENT — the query stopped, or from the driver between
+    * triggers. The rewrite snapshots the index at its read; a digest
+    * appended by a live trigger between that read and `publish` would
+    * be dropped by the swap (its copy later mis-flagged novel and
+    * re-appended — self-correcting for dedup purposes, but a wrong
+    * verdict delivered once), and a trigger's index read landing
+    * inside the retire→swap window would fail (the loop self-heals on
+    * the NEXT trigger via recover(), but that trigger errors). The
+    * lexical twin [[StreamingDedup.compactSignatureIndex]] carries the
+    * same contract. Returns (rows before, rows after). */
   def compactDigestIndex(spark: SparkSession, indexDir: String,
                          numFiles: Int = 8): (Long, Long) = {
     graft.sources.SnapshotSwap.recover(spark, indexDir)

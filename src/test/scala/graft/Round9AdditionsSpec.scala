@@ -73,6 +73,25 @@ class Round9AdditionsSpec extends SparkSpec {
       // lossless: every source row comes back exactly once
       assert(spark.read.parquet(s"$dir/a").select("id").as[Long]
         .collect().sorted.toSeq == (0L until 4096L))
+      // NULL curve keys are dropped WITHOUT distorting the kept rows'
+      // assignment (review-caught: a NULL histogram group would shift
+      // every real value into later bins — leading bins empty, the rest
+      // over target). 50% NULLs: the non-null half must still spread
+      // equi-depth across ALL 8 bins.
+      val withNulls = (0L until 4096L).map(i =>
+        (i, if (i % 2L == 0L) Some((i * 2654435761L) % 65536L) else None))
+        .toDF("id", "curve")
+      LayoutOps.writeClusteredExact(withNulls, s"$dir/n", "curve", 8)
+      val nSpans = spark.read.parquet(s"$dir/n")
+        .groupBy(col("file_bin").cast("long").as("bin"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(nSpans.keySet == (0L until 8L).toSet,
+        s"all 8 bins must be populated, got ${nSpans.keySet}")
+      assert(nSpans.values.sum == 2048L)
+      nSpans.foreach { case (b, n) =>
+        assert(math.abs(n - 256L) <= 16L, s"bin $b holds $n of ~256 rows")
+      }
     } finally rmDir(dir)
   }
 
