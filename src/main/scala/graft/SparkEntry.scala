@@ -94,6 +94,10 @@ object SparkEntry {
     "dedup_docs_exact" -> ((s, dir) => DedupOps.exactDedup(DedupOps.augmented(D(s, dir)))),
     "minhash_signatures" -> ((s, dir) => DedupOps.minhashSignatures(DedupOps.augmented(D(s, dir)))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(DedupOps.augmented(D(s, dir)))),
+    // split-integrity gate: near-dup pairs crossing the train/valid/test
+    // hash-split boundary (leaked eval signal the id-hash split cannot
+    // see); same corpus as dedup_minhash so the pair surface matches
+    "split_leakage" -> ((s, dir) => DedupOps.splitLeakage(DedupOps.augmented(D(s, dir)))),
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccardPairs(DedupOps.augmented(D(s, dir)))),
     // measured recall of banded-LSH MinHash vs the exhaustive
     // Jaccard-pair ground truth (the ann_recall sibling for the lexical
@@ -691,6 +695,7 @@ object SparkEntry {
     "dedup_docs_exact" -> DedupOps.exactDedupSql,
     "minhash_signatures" -> DedupOps.minhashSignaturesOracle,
     "dedup_minhash" -> DedupOps.minhashPairsOracle,
+    "split_leakage" -> DedupOps.splitLeakageOracle,
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccardOracle,
     "dedup_recall" -> DedupOps.dedupRecallOracle(),
     "simhash" -> DedupOps.simhashOracle,

@@ -160,6 +160,50 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** SPLIT-LEAKAGE audit — the split-integrity gate a training pipeline
+    * runs before shipping data: near-dup pairs whose two documents land
+    * in DIFFERENT train/valid/test splits (a test doc with a train
+    * near-twin is leaked evaluation signal the hash split cannot see —
+    * splits partition doc_ids, near-dups cross them freely). Composes
+    * the engine's registered dedup surface ([[minhashPairs]]: banded-LSH
+    * candidates, exact-Jaccard verify) with [[TextOps.splitLabel]]'s
+    * content-addressed assignment, applied MAP-SIDE to each pair side —
+    * the split is a pure function of doc_id, so no join against a split
+    * table is needed. Reports per (split_a, split_b) crossing: pair
+    * count and the worst (max) Jaccard — max is order-invariant, so the
+    * one IEEE division per pair hash-matches DuckDB.
+    *
+    * Scale shape: everything downstream of the pair set is pair-sized
+    * (the LSH verify already bounds that); the labels add two md5s per
+    * pair. The fix for a red gate is the dedup/decontaminate family
+    * itself — drop or re-split the crossing near-dups. */
+  def splitLeakage(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    minhashPairs(corpus, minJaccard)
+      .withColumn("split_a", TextOps.splitLabel(TextOps.splitBucket(col("doc_a"))))
+      .withColumn("split_b", TextOps.splitLabel(TextOps.splitBucket(col("doc_b"))))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        max("jaccard").as("max_jaccard"))
+
+  /** [[minhashPairsOracle]] embedded verbatim (nested-WITH idiom), pair
+    * sides labeled by [[TextOps.splitLabelDuck]] — both the pair
+    * derivation and the split rule stay single-sourced. A `def`, not a
+    * `val`: it references [[minhashPairsOracle]], declared later in
+    * this object (a val here would capture null at init). */
+  def splitLeakageOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |$minhashPairsOracle
+       |  ) mp),
+       |lab AS (
+       |  SELECT ${TextOps.splitLabelDuck("doc_a")} AS split_a,
+       |    ${TextOps.splitLabelDuck("doc_b")} AS split_b, jaccard
+       |  FROM pairs)
+       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  max(jaccard) AS max_jaccard
+       |FROM lab WHERE split_a <> split_b GROUP BY 1, 2""".stripMargin
+
   /** B8d — inverted-index n-gram Jaccard dedup: candidates are pairs
     * sharing ≥1 shingle (count-aggregated, arrays never shuffled), then
     * Jaccard ≥ threshold. The all-candidates variant of [[minhashPairs]]

@@ -811,15 +811,22 @@ object TextOps {
       splitBucket(col("doc_id")).as("bucket"))
       .withColumn("split", splitLabel(col("bucket")))
 
+  /** The split bucket/label as DuckDB SQL over an id expression — THE
+    * one derivation ([[hashSplitOracle]] and the split-leakage oracle
+    * both compose it, so the split rule cannot silently diverge
+    * between them). */
+  def splitBucketDuck(id: String): String =
+    s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 2))::BIGINT"
+  def splitLabelDuck(id: String): String =
+    s"""CASE WHEN ${splitBucketDuck(id)} < 230 THEN 'train'
+       |       WHEN ${splitBucketDuck(id)} < 243 THEN 'valid'
+       |       ELSE 'test' END""".stripMargin
+
   val hashSplitOracle: String =
-    """SELECT doc_id, source,
-      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS bucket,
-      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT < 230
-      |         THEN 'train'
-      |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT < 243
-      |         THEN 'valid'
-      |       ELSE 'test' END AS split
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id, source,
+       |  ${splitBucketDuck("doc_id")} AS bucket,
+       |  ${splitLabelDuck("doc_id")} AS split
+       |FROM documents""".stripMargin
 
   /** Sequence packing — the pre-training step that bins documents into
     * fixed token budgets (one "pack" ≈ one training sequence). This is

@@ -375,4 +375,35 @@ class Round9AdditionsSpec extends SparkSpec {
     assert(fn.keySet == p1)
     fn.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
+
+  test("splitLeakage: a planted near-dup pair straddling train/test is reported; within-split twins are not") {
+    import graft.ops.{DedupOps, TextOps}
+    // md5-verified split homes: 0→train, 44→test, 1,2→train
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      (0L, base),                      // train
+      (44L, base + " extra"),          // test — near-dup of 0 ⇒ LEAK
+      (1L, "completely different words about ships and harbors and " +
+        "tides and the long voyage home across the winter sea"),
+      (2L, "completely different words about ships and harbors and " +
+        "tides and the long voyage home across the winter seas")
+        // 1↔2 near-dup, both train ⇒ NOT a leak
+    ).toDF("doc_id", "text")
+    // sanity-pin the planted homes against the engine's own labeler —
+    // if the split rule ever changes, this fails loudly instead of
+    // silently testing nothing
+    val homes = docs.select(col("doc_id"),
+        TextOps.splitLabel(TextOps.splitBucket(col("doc_id"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(homes(0L) == "train" && homes(44L) == "test" &&
+      homes(1L) == "train" && homes(2L) == "train", s"split homes moved: $homes")
+    val leaks = DedupOps.splitLeakage(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // exactly the one crossing, counted once, with a high verified J
+    assert(leaks.keySet == Set(("train", "test")), s"got $leaks")
+    val (n, j) = leaks(("train", "test"))
+    assert(n == 1L && j > 0.5, s"n=$n j=$j")
+  }
 }
