@@ -115,6 +115,10 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => SimilarityOps.embeddingNearDupLsh(Tables.embeddings(s, dir))),
+    // embedding-space twin of split_leakage: paraphrase-level leaks the
+    // lexical audit cannot see; same corpus as dedup_embedding_lsh
+    "split_leakage_semantic" -> ((s, dir) =>
+      SimilarityOps.splitLeakageSemantic(Tables.embeddings(s, dir))),
     "embedding_quantize" -> ((s, dir) => SimilarityOps.quantizeEmbeddingsRows(Tables.embeddings(s, dir))),
     "embedding_project" -> ((s, dir) => SimilarityOps.projectEmbeddings(Tables.embeddings(s, dir))),
     "ann_project_rerank" -> ((s, dir) => SimilarityOps.annProjectRerank(Tables.embeddings(s, dir))),
@@ -705,6 +709,7 @@ object SparkEntry {
     "ann_ivf" -> SimilarityOps.ivfTopKOracle,
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
     "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
+    "split_leakage_semantic" -> SimilarityOps.splitLeakageSemanticOracle(),
     "embedding_quantize" -> SimilarityOps.quantizeEmbeddingsOracle,
     "embedding_project" -> SimilarityOps.projectEmbeddingsOracle(),
     "ann_project_rerank" -> SimilarityOps.annProjectRerankOracle(),

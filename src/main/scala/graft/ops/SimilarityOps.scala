@@ -376,6 +376,42 @@ object SimilarityOps {
       .filter(col("score") >= minCos)
   }
 
+  /** SEMANTIC split-leakage audit — the embedding-space twin of
+    * [[DedupOps.splitLeakage]]: near-identical VECTORS whose ids land in
+    * different train/valid/test splits (paraphrases and re-encodes leak
+    * evaluation signal without sharing a single shingle, so the lexical
+    * audit alone under-reports). Pairs from the registered scale path
+    * ([[embeddingNearDupLsh]] — signature buckets, exact-cosine verify),
+    * split labels applied map-side per side (pure function of vec_id),
+    * max cosine per crossing as the severity. Pair-sized work past the
+    * bucketed join; max is exact selection over single fixed-order
+    * folds, so the row hash-matches DuckDB. */
+  def splitLeakageSemantic(embeddings: DataFrame,
+                           minCos: Double = 0.999): DataFrame =
+    embeddingNearDupLsh(embeddings, minCos)
+      .withColumn("split_a", TextOps.splitLabel(TextOps.splitBucket(col("vec_a"))))
+      .withColumn("split_b", TextOps.splitLabel(TextOps.splitBucket(col("vec_b"))))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        max("score").as("max_score"))
+
+  /** [[embeddingNearDupLshOracle]] embedded verbatim, sides labeled by
+    * the shared [[TextOps.splitLabelDuck]] — pair derivation and split
+    * rule both single-sourced (the lexical audit's oracle idiom). */
+  def splitLeakageSemanticOracle(nPlanes: Int = 8): String =
+    s"""WITH pairs AS (
+       |  SELECT vec_a, vec_b, score FROM (
+       |${embeddingNearDupLshOracle(nPlanes)}
+       |  ) p),
+       |lab AS (
+       |  SELECT ${TextOps.splitLabelDuck("vec_a")} AS split_a,
+       |    ${TextOps.splitLabelDuck("vec_b")} AS split_b, score
+       |  FROM pairs)
+       |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  max(score) AS max_score
+       |FROM lab WHERE split_a <> split_b GROUP BY 1, 2""".stripMargin
+
   // ---- DuckDB oracles (lockstep with the ops above) ----
 
   private[ops] def duckDot(a: String, b: String): String =

@@ -406,4 +406,30 @@ class Round9AdditionsSpec extends SparkSpec {
     val (n, j) = leaks(("train", "test"))
     assert(n == 1L && j > 0.5, s"n=$n j=$j")
   }
+
+  test("splitLeakageSemantic: crossings equal an independent md5-labeled regroup of the engine's pair set") {
+    import graft.ops.SimilarityOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // independent labeler: plain JVM md5 of the decimal id string —
+    // no Spark expressions shared with the operator under test
+    def label(id: Long): String = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val bucket = java.lang.Byte.toUnsignedInt(b(0))
+      if (bucket < 230) "train" else if (bucket < 243) "valid" else "test"
+    }
+    val pairs = SimilarityOps.embeddingNearDupLsh(emb)
+      .select("vec_a", "vec_b", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs
+      .map { case (a, b, s) => (label(a), label(b)) -> s }
+      .filter { case ((sa, sb), _) => sa != sb }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.length.toLong, vs.map(_._2).max)) }
+    assert(expected.nonEmpty, "fixture must contain at least one crossing")
+    val got = SimilarityOps.splitLeakageSemantic(emb)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
 }
