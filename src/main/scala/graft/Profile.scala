@@ -499,6 +499,31 @@ object Profile {
         dAmp.unpersist()
         if (mode == "write") { spark.stop(); return }
       }
+      // --- split-leakage pair (`scale-r9 <f> leak` only): the lexical
+      // audit over the salted amplified corpus (cross-copy shingles are
+      // salt-disjoint, so pairs stay linear in the planted dups), and
+      // the semantic audit over the perturbation-amplified embeddings —
+      // where copies sit at cos ≈ 0.99997 > the 0.999 bar, so the pair
+      // OUTPUT is quadratic in factor BY CONSTRUCTION (the amplified
+      // corpus genuinely contains those near-dups): the embedding
+      // homogeneity hazard, measured — see the SimHash section of
+      // PLANS.md for the lexical precedent.
+      if (mode == "leak") {
+        val dl = amplifyDocs(DedupOps.augmented(docs), factor)
+        dl.persist(); t(s"amplify_leakdocs_${factor}x")(dl.count())
+        t("split_leakage")(DedupOps.splitLeakage(dl).count())
+        dl.unpersist()
+        val el = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
+        el.persist(); t(s"amplify_emb_${factor}x")(el.count())
+        t("split_leakage_semantic")(
+          SimilarityOps.splitLeakageSemantic(el).count())
+        // raw verified-pair count — the number that quantifies the
+        // quadratic-output hazard (rows, not the 6 grouped crossings)
+        t("semantic_neardup_pairs")(
+          SimilarityOps.embeddingNearDupLsh(el).count())
+        el.unpersist()
+        spark.stop(); return
+      }
       if (!skewOnly) {
       // --- multimodal ingest: file count scales with factor ---
       // contiguous re-key so writeFixtureTree's doc_id < maxDocId filter
