@@ -512,6 +512,11 @@ object Profile {
         val dl = amplifyDocs(DedupOps.augmented(docs), factor)
         dl.persist(); t(s"amplify_leakdocs_${factor}x")(dl.count())
         t("split_leakage")(DedupOps.splitLeakage(dl).count())
+        // the remedy at the same scale: cluster-atomic assignment over
+        // the identical pair graph (adds the component labeling + one
+        // broadcast map join on top of the audit's pair cost)
+        t("leakage_safe_split")(DedupOps.leakageSafeSplit(dl)
+          .where(length(col("split")) >= 0).count())
         dl.unpersist()
         val el = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
         el.persist(); t(s"amplify_emb_${factor}x")(el.count())

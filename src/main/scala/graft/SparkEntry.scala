@@ -98,6 +98,17 @@ object SparkEntry {
     // hash-split boundary (leaked eval signal the id-hash split cannot
     // see); same corpus as dedup_minhash so the pair surface matches
     "split_leakage" -> ((s, dir) => DedupOps.splitLeakage(DedupOps.augmented(D(s, dir)))),
+    // the audit's remedy: cluster-atomic train/valid/test assignment —
+    // zero crossing near-dup pairs by construction (transitively). The
+    // length guard is the count-prune no-op that keeps the md5 split
+    // assignment alive under Bench's count() (the clustering itself is
+    // eager at plan build and always timed).
+    "leakage_safe_split" -> ((s, dir) =>
+      DedupOps.leakageSafeSplit(DedupOps.augmented(D(s, dir)))
+        .where(length(col("split")) >= 0)),
+    // per source-pair near-dup contamination matrix (mirror-site /
+    // scrape-overlap diagnostic) over the source-kept dup corpus
+    "cross_source_dups" -> ((s, dir) => DedupOps.crossSourceDupMatrix(DedupOps.augmentedSourced(D(s, dir)))),
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccardPairs(DedupOps.augmented(D(s, dir)))),
     // measured recall of banded-LSH MinHash vs the exhaustive
     // Jaccard-pair ground truth (the ann_recall sibling for the lexical
@@ -700,6 +711,8 @@ object SparkEntry {
     "minhash_signatures" -> DedupOps.minhashSignaturesOracle,
     "dedup_minhash" -> DedupOps.minhashPairsOracle,
     "split_leakage" -> DedupOps.splitLeakageOracle,
+    "leakage_safe_split" -> DedupOps.leakageSafeSplitOracle,
+    "cross_source_dups" -> DedupOps.crossSourceDupMatrixOracle,
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccardOracle,
     "dedup_recall" -> DedupOps.dedupRecallOracle(),
     "simhash" -> DedupOps.simhashOracle,

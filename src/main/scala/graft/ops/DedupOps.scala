@@ -57,6 +57,34 @@ object DedupOps {
       |  FROM documents WHERE doc_id % 15 = 0
       |)""".stripMargin
 
+  /** [[augmented]] with the source dimension KEPT: near-dup copies land
+    * on a synthetic mirror source (`source || '_mirror'` — the
+    * crawl-mirror contamination shape a cross-source audit exists to
+    * expose), exact copies keep their source. Same (doc_id, text) rows
+    * as [[augmented]], so every pair-level oracle built on the plain
+    * corpus stays valid over this one. */
+  def augmentedSourced(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"), col("source"))
+    val near = documents.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"),
+        concat(col("source"), lit("_mirror")).as("source"))
+    val exact = documents.filter(col("doc_id") % 15 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("source"))
+    base.unionAll(near).unionAll(exact)
+  }
+
+  /** The doc_id → source map of [[augmentedSourced]] as a DuckDB CTE
+    * body (keep in lockstep). */
+  val sourcedMapSql: String =
+    """  SELECT doc_id, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, source || '_mirror' AS source
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, source
+      |  FROM documents WHERE doc_id % 15 = 0""".stripMargin
+
   /** B8a — exact dedup: group on the md5 digest of the content, keep the
     * smallest doc_id. One shuffle on 16-byte keys with map-side partials.
     */
@@ -203,6 +231,86 @@ object DedupOps {
        |SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
        |  max(jaccard) AS max_jaccard
        |FROM lab WHERE split_a <> split_b GROUP BY 1, 2""".stripMargin
+
+  /** LEAKAGE-SAFE SPLIT — the remedy the [[splitLeakage]] audit
+    * motivates: assign train/valid/test CLUSTER-atomically instead of
+    * per-document. Every doc in a near-dup component shares the
+    * component's canonical label ([[nearDupClusters]]: component min
+    * doc_id), so the whole clique lands in ONE split and no verified
+    * near-dup pair can ever cross the boundary — leakage is zero by
+    * construction, transitively (A~B, B~C put all three together even
+    * though A~C was never emitted). Un-clustered docs fall back to
+    * their own doc_id; both cases go through [[TextOps.splitLabel]]'s
+    * content-addressed bucket, so the assignment stays deterministic,
+    * engine-independent, and re-shard-stable — never `rand()`.
+    *
+    * Scale shape: the cluster labeling is pair-graph-sized (see
+    * [[nearDupClusters]]) and BROADCASTS onto the corpus id column —
+    * the corpus never shuffles to be assigned; the md5 bucket is
+    * map-side. The split FRACTIONS drift only by the near-dup mass
+    * (a clique's docs all follow one coin flip), which is exactly the
+    * trade a leakage-free protocol makes. */
+  def leakageSafeSplit(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    corpus.select(col("doc_id"))
+      .join(broadcast(nearDupClusters(corpus, minJaccard)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextOps.splitLabel(
+          TextOps.splitBucket(coalesce(col("label"), col("doc_id")))).as("split"))
+
+  /** [[clusterCtes]] (the shared pair-graph → component labeling chain)
+    * + the same left-join/coalesce/split rule — every piece of the
+    * assignment is single-sourced with the audit and cluster oracles. */
+  def leakageSafeSplitOracle: String =
+    s"""$clusterCtes,
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS sk
+       |  FROM corpus d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, ${TextOps.splitLabelDuck("sk")} AS split
+       |FROM assigned""".stripMargin
+
+  /** CROSS-SOURCE CONTAMINATION MATRIX — per unordered source pair, how
+    * many verified near-dup pairs connect the two sources and the worst
+    * Jaccard among them. The curation diagnostic that catches mirror
+    * sites, cross-source scrape overlap, and license-laundered copies
+    * BEFORE mixing rates are chosen — a hot off-diagonal cell means two
+    * "independent" sources are partly the same data and their combined
+    * mixing weight double-counts it. Input must carry (doc_id, text,
+    * source); pairs come from the registered banded-LSH surface
+    * ([[minhashPairs]]), sources are attached by two doc_id equi-joins
+    * (the pair side is output-sized — Spark broadcasts it onto the
+    * corpus-sized map, the corpus never shuffles), and the cell key is
+    * least/greatest so the matrix is orientation-free. max is
+    * order-invariant, so the one IEEE division per pair hash-matches. */
+  def crossSourceDupMatrix(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val src = corpus.select(col("doc_id"), col("source"))
+    minhashPairs(corpus.select("doc_id", "text"), minJaccard)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        max("jaccard").as("max_jaccard"))
+  }
+
+  /** [[minhashPairsOracle]] verbatim (valid over the sourced corpus —
+    * same (doc_id, text) rows) + [[sourcedMapSql]] + the same
+    * least/greatest cell key. */
+  def crossSourceDupMatrixOracle: String =
+    s"""WITH srcpairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |$minhashPairsOracle
+       |  ) mp),
+       |smap AS (
+       |$sourcedMapSql),
+       |cells AS (
+       |  SELECT least(a.source, b.source) AS source_x,
+       |    greatest(a.source, b.source) AS source_y, p.jaccard
+       |  FROM srcpairs p
+       |  JOIN smap a ON p.doc_a = a.doc_id
+       |  JOIN smap b ON p.doc_b = b.doc_id)
+       |SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  max(jaccard) AS max_jaccard
+       |FROM cells GROUP BY 1, 2""".stripMargin
 
   /** B8d — inverted-index n-gram Jaccard dedup: candidates are pairs
     * sharing ≥1 shingle (count-aggregated, arrays never shuffled), then

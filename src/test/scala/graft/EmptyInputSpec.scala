@@ -169,4 +169,21 @@ class EmptyInputSpec extends SparkSpec {
     try assert(graft.ops.MultimodalOps.ingestManifest(spark, dir.toString).isEmpty)
     finally java.nio.file.Files.delete(dir)
   }
+
+  test("round-9 additions on empty input degrade cleanly, never throw") {
+    // empty corpus: no pairs, no clusters — and the assignment is still
+    // total (zero rows of it), not an NPE in the cluster join
+    assert(DedupOps.splitLeakage(emptyDocs).isEmpty)
+    assert(DedupOps.leakageSafeSplit(emptyDocs).isEmpty)
+    assert(DedupOps.crossSourceDupMatrix(emptyDocs).isEmpty)
+    // a corpus with docs but NO near-dups: leakageSafeSplit must still
+    // assign every doc (singleton fallback), with zero cluster rows
+    val loners = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val assigned = DedupOps.leakageSafeSplit(loners).collect()
+    assert(assigned.length == 2 && assigned.forall(r =>
+      Set("train", "valid", "test").contains(r.getString(1))))
+  }
 }

@@ -432,4 +432,75 @@ class Round9AdditionsSpec extends SparkSpec {
         ((r.getLong(2), r.getDouble(3)))).toMap
     assert(got == expected)
   }
+
+  test("leakageSafeSplit: clusters are split-atomic (zero crossing pairs), singletons keep the hash split") {
+    import graft.ops.{DedupOps, TextOps}
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      (0L, base),             // hash-home train
+      (44L, base + " extra"), // hash-home test; near-dup of 0 — the leak
+      (1L, "completely different words about ships and harbors and " +
+        "tides and the long voyage home across the winter sea"),
+      (2L, "completely different words about ships and harbors and " +
+        "tides and the long voyage home across the winter seas"),
+      (7L, "a singleton document with its own vocabulary entirely " +
+        "about volcanoes basalt magma chambers and slow eruptions")
+    ).toDF("doc_id", "text")
+    val assigned = DedupOps.leakageSafeSplit(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned.keySet == Set(0L, 44L, 1L, 2L, 7L))
+    // the hash-split leak (0 train / 44 test) is healed: the cluster
+    // follows its canonical label min(0,44)=0 — both land in 0's home
+    assert(assigned(0L) == assigned(44L))
+    val label0 = docs.sparkSession.range(1).select(
+      TextOps.splitLabel(TextOps.splitBucket(lit(0L))).as("s"))
+      .head().getString(0)
+    assert(assigned(0L) == label0)
+    // the 1↔2 cluster stays together under label 1's home
+    assert(assigned(1L) == assigned(2L))
+    // a singleton keeps its own content-addressed assignment
+    val label7 = docs.sparkSession.range(1).select(
+      TextOps.splitLabel(TextOps.splitBucket(lit(7L))).as("s"))
+      .head().getString(0)
+    assert(assigned(7L) == label7)
+    // the property the operator exists for: NO verified near-dup pair
+    // crosses the boundary (transitively — via the component labels)
+    val crossings = DedupOps.minhashPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .count(r => assigned(r.getLong(0)) != assigned(r.getLong(1)))
+    assert(crossings == 0, s"$crossings near-dup pairs cross splits")
+  }
+
+  test("crossSourceDupMatrix: mirror pairs land off-diagonal; cells regroup the engine's own pair set") {
+    import graft.ops.DedupOps
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = Seq(
+      (0L, base, "web"),
+      (44L, base + " extra", "mirror"),   // cross-source near-dup
+      (1L, "completely different words about ships and harbors and " +
+        "tides and the long voyage home across the winter sea", "web"),
+      (2L, "completely different words about ships and harbors and " +
+        "tides and the long voyage home across the winter seas", "web")
+        // within-source near-dup — the diagonal cell
+    ).toDF("doc_id", "text", "source")
+    // independent regroup of the engine's pair set by the source map
+    val srcOf = Map(0L -> "web", 44L -> "mirror", 1L -> "web", 2L -> "web")
+    val pairs = DedupOps.minhashPairs(docs.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs
+      .map { case (a, b, j) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) (sa, sb) else (sb, sa)) -> j
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> ((vs.length.toLong, vs.map(_._2).max)) }
+    assert(expected.keySet == Set(("mirror", "web"), ("web", "web")),
+      s"fixture pairs moved: ${expected.keySet}")
+    val got = DedupOps.crossSourceDupMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
 }
