@@ -183,6 +183,101 @@ object StreamingDedup {
       .select(col("doc_id"), col("idx_id").as("dup_of"), col("est"))
   }
 
+  /** PROTOCOL-CONSISTENT split assignment for newly arriving documents,
+    * against a FROZEN reference: the reference corpus's signature index
+    * plus that corpus's (leakage-safe) train/valid/test assignment
+    * ([[graft.ops.DedupOps.leakageSafeSplit]] is the intended producer).
+    * A new doc whose MinHash signature agrees with a reference doc at
+    * ≥ `minEst` INHERITS that doc's split — a fresh crawl of a train
+    * document can never land in the eval set as the corpus grows, which
+    * is the split-integrity guarantee [[graft.ops.DedupOps.splitLeakage]]
+    * audits for; an unmatched doc falls back to its own
+    * content-addressed hash split. Multi-match ties break on the
+    * smallest matched reference doc_id (min over (idx_id, split)
+    * structs — deterministic, partitioning-invariant, never `rand()`).
+    *
+    * ONE derivation serves the batch operator and the streaming loop
+    * ([[splitAssignStream]]) — the two faces cannot diverge (the
+    * `manifestRows` idiom). Scale shape: candidates come from the
+    * banded equi-join (delta bands × index bands — never all-pairs);
+    * the delta side is batch-sized, the index side is the reference
+    * corpus's signatures (numPerm longs/doc, not text); the final
+    * assignment join is delta-sized. Output: (doc_id, split,
+    * inherited) — `inherited` marks docs whose split came from the
+    * reference rather than their own hash.
+    */
+  def assignSplitsBatch(batch: DataFrame, index: DataFrame,
+                        refSplits: DataFrame, minEst: Double = 0.5,
+                        numPerm: Int = 16): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("doc_id", "sig")),
+      s"index must be a signatureIndex (doc_id, sig); got ${index.columns.mkString(",")}")
+    require(refSplits.columns.sorted.sameElements(Array("doc_id", "split")),
+      s"refSplits must be (doc_id, split); got ${refSplits.columns.mkString(",")}")
+    require(numPerm % 4 == 0, s"numPerm must be a multiple of 4, got $numPerm")
+    val rows = numPerm / 4
+    val bandExpr =
+      s"transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * $rows + 1, $rows)))"
+    def bandsOf(sigs: DataFrame, idName: String): DataFrame =
+      sigs.select(col("doc_id").as(idName), posexplode(expr(bandExpr)))
+        .select(col(idName), col("pos").as("band"), col("col").as("band_key"))
+    // persisted for the duration of the call only (the dedupIncremental
+    // contract): three plan branches reference the delta signatures
+    val dsig = graft.ops.DedupOps.signatureIndex(batch, numPerm).persist()
+    try {
+      val cand = bandsOf(dsig, "doc_id")
+        .join(bandsOf(index, "idx_id"), Seq("band", "band_key"))
+        .select("doc_id", "idx_id").distinct()
+      val nMatch = graft.functions.native.sigAgree(col("sa"), col("sb"))
+      val inherited = cand
+        .join(dsig.select(col("doc_id"), col("sig").as("sa")), "doc_id")
+        .join(index.select(col("doc_id").as("idx_id"), col("sig").as("sb")), "idx_id")
+        .withColumn("est", nMatch.cast("double") / lit(numPerm.toDouble))
+        .filter(col("est") >= minEst)
+        .join(refSplits.select(col("doc_id").as("idx_id"),
+          col("split").as("ref_split")), "idx_id")
+        .groupBy("doc_id")
+        .agg(min(struct(col("idx_id"), col("ref_split"))).as("m"))
+        .select(col("doc_id"), col("m.ref_split").as("ref_split"))
+      // eager: materialize the delta-sized assignment before unpersisting
+      // the signatures it was derived from
+      val out = batch.select("doc_id")
+        .join(inherited, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ref_split"),
+            graft.ops.TextOps.splitLabel(
+              graft.ops.TextOps.splitBucket(col("doc_id")))).as("split"),
+          col("ref_split").isNotNull.as("inherited"))
+      val localOut = out.persist()
+      localOut.count()
+      localOut
+    } finally dsig.unpersist()
+  }
+
+  /** The streaming face of [[assignSplitsBatch]]: per micro-batch,
+    * assign each arriving document a split consistent with the frozen
+    * reference protocol, state-free (the reference is static within the
+    * run — re-freeze it when the reference corpus is re-split). The
+    * reference frames are persisted once at stream start (re-used every
+    * trigger); caller owns the stream lifecycle and the cache (the
+    * [[dedupAgainstIndexStream]] contract). Sink receives the batch's
+    * (doc_id, split, inherited) rows; the CALLER unpersists each
+    * batch's result — the loop itself unpersists after the sink call.
+    */
+  def splitAssignStream(spark: SparkSession, index: DataFrame,
+                        refSplits: DataFrame, stream: DataFrame,
+                        minEst: Double = 0.5, numPerm: Int = 16)
+                       (sink: (DataFrame, Long) => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val idx = index.persist()
+    val ref = refSplits.persist()
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val assigned = assignSplitsBatch(
+        batch.select("doc_id", "text"), idx, ref, minEst, numPerm)
+      try sink(assigned, batchId)
+      finally { assigned.unpersist(); () }
+    }
+  }
+
   /** The full production incremental-dedup LOOP: per micro-batch, dedup
     * the arriving documents against the persisted signature index
     * (batch [[graft.ops.DedupOps.dedupIncremental]] — band candidates +

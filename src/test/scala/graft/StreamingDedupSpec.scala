@@ -294,4 +294,50 @@ class StreamingDedupSpec extends SparkSpec {
       assert(rows == Set((2L, -1L, -1.0), (3L, -1L, -1.0)), s"got $rows")
     } finally query.stop()
   }
+
+  test("splitAssignStream: arrivals near-dupping the frozen reference inherit its split across triggers; originals hash-split; zero state") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.TextOps
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val ref = Seq(
+      (0L, base),
+      (44L, base + " extra"), // near-dup clique with 0, crossing hash homes
+      (1L, "completely different words about ships and harbors and " +
+        "tides and the long voyage home across the winter sea")
+    ).toDF("doc_id", "text")
+    val index = DedupOps.signatureIndex(ref)
+    val refSplits = DedupOps.leakageSafeSplit(ref)
+    val rs = refSplits.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rs(0L) == rs(44L), "reference protocol must be cluster-atomic")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val got = scala.collection.mutable.Map.empty[Long, (String, Boolean)]
+    val query = StreamingDedup.splitAssignStream(
+        spark, index, refSplits, streamOf(input))({ (df, _) =>
+        df.collect().foreach(r =>
+          got(r.getLong(0)) = (r.getString(1), r.getBoolean(2))); ()
+      })
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (1000L, base, t0),  // copy of ref doc 0 ⇒ must inherit rs(0)
+        (1001L, "a wholly original sentence about glaciers and moraines " +
+          "carving slow valleys under a pale arctic sun today", t0))
+      query.processAllAvailable()
+      // a LATER trigger's copy still inherits — the reference is frozen
+      input.addData((2000L, base + " extra", t0))
+      query.processAllAvailable()
+      assert(got(1000L) == ((rs(0L), true)), s"got ${got(1000L)}")
+      assert(got(2000L) == ((rs(0L), true)), s"got ${got(2000L)}")
+      // the original doc keeps its own content-addressed assignment
+      val own = spark.range(1).select(
+        TextOps.splitLabel(TextOps.splitBucket(lit(1001L)))).head().getString(0)
+      assert(got(1001L) == ((own, false)), s"got ${got(1001L)}")
+      // state-free: the reference is static, the loop is foreachBatch
+      assert(query.lastProgress.stateOperators.isEmpty)
+    } finally {
+      query.stop()
+      spark.catalog.clearCache()
+    }
+  }
 }
