@@ -427,6 +427,11 @@ object Profile {
       t("pack_sequences")(TextOps.packSequences(damp).count())
       t("pack_shards")(TextOps.packSequencesSharded(damp)
         .where(col("pack_id") >= 0L).count())
+      // frequency family: MG sketch (O(m)/partition exchange) + exact
+      // verify over broadcast candidates — the limit(k) sink forces the
+      // whole two-pass pipeline to execute (no prune possible: the
+      // top-k rows ARE the output)
+      t("heavy_hitters")(FrequencyOps.heavyHitters(damp).count())
       damp.unpersist()
       // --- lineitem-fed families ---
       val liAmp = amplifyLineitem(Tables.lineitem(spark, sfDir), factor)

@@ -83,6 +83,11 @@ object SparkEntry {
     "quality_percentile" -> ((s, dir) => TextOps.qualityPercentileFilter(D(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.languageId(D(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(D(s, dir))),
+    // exact top-k corpus frequencies WITHOUT a distinct-token shuffle:
+    // Misra-Gries sketch (native TypedImperativeAggregate, O(m) summary
+    // per partition) -> broadcast candidates -> exact verify pass
+    "heavy_hitters" -> ((s, dir) => FrequencyOps.heavyHitters(D(s, dir))),
+    "heavy_ngrams" -> ((s, dir) => FrequencyOps.heavyNgrams(D(s, dir))),
     "bpe_pairs" -> ((s, dir) => BpeOps.bpePairCounts(D(s, dir))),
     "bpe_segment" -> ((s, dir) => BpeOps.bpeSegmentFrozen(D(s, dir))),
     "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
@@ -692,6 +697,8 @@ object SparkEntry {
         |    w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)),
         |    (a, b) -> a + b) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
+    "heavy_hitters" -> FrequencyOps.heavyHittersOracle(),
+    "heavy_ngrams" -> FrequencyOps.heavyNgramsOracle(),
     "bpe_pairs" -> BpeOps.bpePairCountsOracle(),
     "bpe_segment" -> BpeOps.bpeSegmentOracle(),
     "fingerprints" ->

@@ -19,7 +19,10 @@ object GraftFunctions {
     "minhash_sig" -> (es => MinHashSignature(es.head, intArg(es, 1, 16))),
     "dot_fold" -> (es => DotFold(es(0), es(1))),
     "sig_agree" -> (es => SigAgree(es(0), es(1))),
-    "winnow60" -> (es => Winnow60(es.head, intArg(es, 1, Winnow60.DefaultWindow)))
+    "winnow60" -> (es => Winnow60(es.head, intArg(es, 1, Winnow60.DefaultWindow))),
+    // aggregate: the analyzer wraps a bare AggregateFunction builder in
+    // an AggregateExpression, same as built-in UDAF registration
+    "misra_gries" -> (es => MisraGriesAgg(es.head, intArg(es, 1, 4096)))
   )
 
   /** Register into an existing session's function registry. */

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries.misraGries
+
+/** Corpus-frequency operators: provably-exact top-k heavy hitters at
+  * 100 TB scale via the sketch-then-verify pattern.
+  *
+  * The naive `tokens.groupBy(tok).count().orderBy(...).limit(k)` is the
+  * classic scale-killer: the exchange carries EVERY DISTINCT TOKEN
+  * (billions of rows over 100 TB of text), all to answer a top-20
+  * question. The production shape is two passes, both shuffle-light:
+  *
+  *  1. SKETCH: one scan folding into [[graft.functions.MisraGriesAgg]]
+  *     (capacity m) — partial aggregation builds per-task summaries
+  *     map-side and the exchange carries one O(m) serialized summary
+  *     per partition. The merged summary's candidate set provably
+  *     contains every item with true count > N/(m+1).
+  *  2. VERIFY: broadcast the ≤2m candidate strings, semi-join the token
+  *     stream map-side, and exact-count ONLY the survivors — the one
+  *     real shuffle carries candidate tokens only.
+  *
+  * The output is the exact top-k by verified count with a deterministic
+  * (count desc, item asc) tiebreak, plus a `guaranteed` flag per row:
+  * `cnt·(m+1) > N` proves NO unsketched item can out-count this row
+  * (missed items are bounded by N/(m+1)), i.e. the row's membership in
+  * the true top-k is a theorem, not a hope. Callers sizing m for a new
+  * corpus watch this flag: an un-guaranteed tail row means m is too
+  * small for that k. On Zipf-shaped natural text the top tokens clear
+  * the bound by orders of magnitude.
+  */
+object FrequencyOps {
+
+  /** Whitespace-token heavy hitters over `documents.text`. */
+  def heavyHitters(documents: DataFrame, k: Int = 20,
+                   capacity: Int = 4096): DataFrame = {
+    val toks = documents
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    topKExact(toks, k, capacity)
+  }
+
+  /** Word 3-gram heavy hitters — the corpus's most repeated phrases,
+    * the signal a boilerplate hunt starts from (a 3-gram that appears
+    * in half the corpus is a template, not content). Same shingle
+    * convention as the MinHash pipeline (DedupOps.withShingles).
+    */
+  def heavyNgrams(documents: DataFrame, k: Int = 20,
+                  capacity: Int = 4096): DataFrame = {
+    val grams = documents
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .as("tok"))
+    topKExact(grams, k, capacity)
+  }
+
+  /** The shared sketch→verify→rank core over a single `tok` column. */
+  private def topKExact(toks: DataFrame, k: Int, capacity: Int): DataFrame = {
+    // pass 1: ONE row out — the merged MG summary + the exact stream
+    // length (rides the same aggregate, no extra scan)
+    val sketch = toks.agg(
+      misraGries(col("tok"), capacity).as("cands"),
+      count(lit(1)).as("n"))
+    val cands = sketch.select(explode(col("cands")).as("c"), col("n"))
+      .select(col("c.item").as("cand"), col("n"))
+    // pass 2: candidates broadcast (≤ 2m metadata rows); the join is a
+    // map-side hash probe, so only candidate tokens reach the exchange
+    toks.join(broadcast(cands), col("tok") === col("cand"))
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), col("cnt"),
+        (col("cnt") * lit(capacity + 1L) > col("n")).as("guaranteed"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin: exact top-k with the same tiebreak and the same
+    * guarantee arithmetic (the oracle computes the flag from the exact
+    * total, which equals the operator's N by construction).
+    */
+  def heavyHittersOracle(k: Int = 20, capacity: Int = 4096): String =
+    s"""WITH t AS (
+       |  SELECT tok FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0),
+       |n AS (SELECT count(*) AS n FROM t),
+       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+       |SELECT tok, cnt, cnt * ${capacity + 1} > n AS guaranteed
+       |FROM c, n
+       |ORDER BY cnt DESC, tok ASC
+       |LIMIT $k""".stripMargin
+
+  def heavyNgramsOracle(k: Int = 20, capacity: Int = 4096): String =
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |t AS (
+       |  SELECT unnest([array_to_string(toks[i:i+2], ' ')
+       |                 for i in range(1, len(toks) - 1)]) AS tok
+       |  FROM toks),
+       |n AS (SELECT count(*) AS n FROM t),
+       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+       |SELECT tok, cnt, cnt * ${capacity + 1} > n AS guaranteed
+       |FROM c, n
+       |ORDER BY cnt DESC, tok ASC
+       |LIMIT $k""".stripMargin
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries.misraGries
+import graft.ops.FrequencyOps
+
+/** Heavy-hitter family: the Misra-Gries sketch's theorem-level
+  * guarantees pinned on adversarial synthetic streams (forced pruning),
+  * and the sketch→verify operator's exactness + partitioning
+  * invariance.
+  */
+class FrequencyOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MisraGries: candidate-superset + lower-bound + undercount bound under heavy pruning") {
+    // 3000 copies of one hot token drowned in 7000 uniques; capacity 16
+    // forces hundreds of prunes. N/(m+1) = 10000/17 = 588.
+    val stream = (Seq.fill(3000)("hot") ++ (0 until 7000).map(i => s"u$i"))
+    val df = stream.toDF("tok").repartition(7)
+    val cands = df.agg(misraGries(col("tok"), 16).as("s"))
+      .select(explode(col("s")).as("c"))
+      .select($"c.item".as("item"), $"c.count_lb".as("lb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cands.size <= 32, s"summary must stay <= 2*capacity, got ${cands.size}")
+    // superset property: true count 3000 > 588 => "hot" MUST survive
+    assert(cands.contains("hot"), s"hot missing from $cands")
+    // lower bound + bounded undercount
+    assert(cands("hot") <= 3000L)
+    assert(cands("hot") >= 3000L - 588L, s"undercount too large: ${cands("hot")}")
+    // every other retained count is a lower bound of a true count of 1
+    cands.removed("hot").values.foreach(c => assert(c == 1L))
+  }
+
+  test("MisraGries: no-prune regime returns exact counts; NULLs skipped; SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(Some("a"), Some("a"), Some("b"), None, Some("a"), Some("b"))
+      .toDF("tok")
+    df.createOrReplaceTempView("mg_in")
+    val rows = spark.sql(
+      "SELECT misra_gries(tok, 8) AS s FROM mg_in")
+      .select(explode(col("s")).as("c"))
+      .select($"c.item", $"c.count_lb").as[(String, Long)].collect().toMap
+    assert(rows == Map("a" -> 3L, "b" -> 2L))
+  }
+
+  test("heavyHitters: exact top-k, guaranteed flags, partitioning-invariant") {
+    // Zipf-ish corpus: token t<i> appears (50 - i) times
+    val docs = (0 until 50).flatMap(i => Seq.fill(50 - i)(s"t$i"))
+    val corpus = scala.util.Random.shuffle(docs).grouped(7)
+      .map(_.mkString(" ")).toSeq.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val expected = (0 until 10).map(i => (s"t$i", (50 - i).toLong))
+    def run(parts: Int) =
+      FrequencyOps.heavyHitters(corpus.repartition(parts), k = 10, capacity = 64)
+        .select("tok", "cnt").as[(String, Long)].collect().toSeq
+    val r1 = run(1)
+    val r13 = run(13)
+    assert(r1 == expected, s"exact top-10 mismatch: $r1")
+    // exact verify makes the OUTPUT partitioning-invariant even though
+    // the intermediate summaries differ with merge order
+    assert(r13 == r1)
+
+    // top rows clear the N/(m+1) bound on this corpus => guaranteed
+    val flags = FrequencyOps.heavyHitters(corpus, k = 10, capacity = 64)
+      .select("guaranteed").as[Boolean].collect()
+    assert(flags.forall(identity),
+      "all top-10 rows should be provably exact at capacity 64 here")
+  }
+
+  test("heavyHitters: verify pass broadcasts candidates (no distinct-token shuffle join)") {
+    val corpus = (0L until 200L).map(i => (i, s"a b c tok$i")).toDF("doc_id", "text")
+    val plan = FrequencyOps.heavyHitters(corpus, k = 3, capacity = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"candidate join must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("heavyNgrams: planted template phrase ranks first") {
+    val template = "click here now"
+    val docs = (0L until 40L).map { i =>
+      (i, s"$template unique$i filler${i * 7} tail${i % 3}")
+    }.toDF("doc_id", "text")
+    val top = FrequencyOps.heavyNgrams(docs, k = 1, capacity = 128)
+      .select("tok", "cnt").as[(String, Long)].head()
+    assert(top == ((template, 40L)), s"got $top")
+  }
+
+  test("heavyHitters: empty corpus yields empty top-k, no NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .filter(col("doc_id") < 0)
+    assert(FrequencyOps.heavyHitters(empty, k = 5, capacity = 8).count() == 0L)
+  }
+}
