@@ -88,6 +88,8 @@ object SparkEntry {
     // per partition) -> broadcast candidates -> exact verify pass
     "heavy_hitters" -> ((s, dir) => FrequencyOps.heavyHitters(D(s, dir))),
     "heavy_ngrams" -> ((s, dir) => FrequencyOps.heavyNgrams(D(s, dir))),
+    "heavy_hitters_by_source" -> ((s, dir) =>
+      FrequencyOps.heavyHittersBySource(D(s, dir))),
     "bpe_pairs" -> ((s, dir) => BpeOps.bpePairCounts(D(s, dir))),
     "bpe_segment" -> ((s, dir) => BpeOps.bpeSegmentFrozen(D(s, dir))),
     "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
@@ -699,6 +701,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "heavy_hitters" -> FrequencyOps.heavyHittersOracle(),
     "heavy_ngrams" -> FrequencyOps.heavyNgramsOracle(),
+    "heavy_hitters_by_source" -> FrequencyOps.heavyHittersBySourceOracle(),
     "bpe_pairs" -> BpeOps.bpePairCountsOracle(),
     "bpe_segment" -> BpeOps.bpeSegmentOracle(),
     "fingerprints" ->

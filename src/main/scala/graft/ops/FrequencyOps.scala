@@ -78,6 +78,59 @@ object FrequencyOps {
       .limit(k)
   }
 
+  /** Per-SOURCE top-k — the grouped form of the sketch→verify pattern:
+    * `groupBy(source).agg(misra_gries)` builds one bounded summary PER
+    * SOURCE (partial aggregation still map-side, so the exchange
+    * carries #sources × O(m) summaries per partition, not tokens), and
+    * the verify pass exact-counts only the (source, candidate) pairs.
+    * The final per-source rank runs over candidate metadata (≤ 2m rows
+    * per source), never the token stream.
+    *
+    * Sizing note for 100 TB: this shape is for LOW-cardinality group
+    * keys (source registries, language codes — the map-side summary
+    * footprint is #sources × 2m entries per task). For a
+    * high-cardinality key (e.g. domain), flip the roles: the KEY
+    * becomes the item and this degenerates to [[heavyHitters]] on the
+    * key column itself.
+    */
+  def heavyHittersBySource(documents: DataFrame, k: Int = 5,
+                           capacity: Int = 1024): DataFrame = {
+    val toks = documents
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val sk = toks.groupBy("source").agg(
+      misraGries(col("tok"), capacity).as("cands"),
+      count(lit(1)).as("n"))
+    val cands = sk.select(col("source").as("csrc"),
+        explode(col("cands")).as("c"), col("n"))
+      .select(col("csrc"), col("c.item").as("cand"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)
+    toks.join(broadcast(cands),
+        col("source") === col("csrc") && col("tok") === col("cand"))
+      .groupBy(col("source"), col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("tok"), col("cnt"),
+        (col("cnt") * lit(capacity + 1L) > col("n")).as("guaranteed"))
+  }
+
+  def heavyHittersBySourceOracle(k: Int = 5, capacity: Int = 1024): String =
+    s"""WITH t AS (
+       |  SELECT source, tok FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE len(tok) > 0),
+       |n AS (SELECT source, count(*) AS n FROM t GROUP BY 1),
+       |c AS (SELECT source, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |r AS (SELECT source, tok, cnt, row_number() OVER (
+       |        PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rn
+       |      FROM c)
+       |SELECT r.source, tok, cnt, cnt * ${capacity + 1} > n.n AS guaranteed
+       |FROM r JOIN n USING (source)
+       |WHERE rn <= $k""".stripMargin
+
   /** DuckDB twin: exact top-k with the same tiebreak and the same
     * guarantee arithmetic (the oracle computes the flag from the exact
     * total, which equals the operator's N by construction).

@@ -88,6 +88,50 @@ class FrequencyOpsSpec extends SparkSpec {
     assert(top == ((template, 40L)), s"got $top")
   }
 
+  test("heavyHittersBySource: grouped sketch gives per-source exact top-k") {
+    // two sources with DIFFERENT hot tokens; the grouped sketch must
+    // keep them apart
+    val docs = ((0 until 30).map(i => ("s0", s"alpha alpha beta u$i")) ++
+      (0 until 20).map(i => ("s1", s"gamma gamma gamma v$i")))
+      .zipWithIndex.map { case ((src, t), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+    val top = graft.ops.FrequencyOps.heavyHittersBySource(docs, k = 2, capacity = 32)
+      .select("source", "tok", "cnt").as[(String, String, Long)]
+      .collect().toSet
+    assert(top == Set(("s0", "alpha", 60L), ("s0", "beta", 30L),
+      ("s1", "gamma", 60L), ("s1", "v0", 1L)))
+  }
+
+  test("streaming running summary: MG state accumulates across micro-batches, bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val summary = graft.streaming.StreamingFrequency.runningTokenSummary(
+      input.toDF().toDF("doc_id", "text"), capacity = 8)
+    val query = summary.writeStream.format("memory")
+      .queryName("freq_running").outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L, "hot hot hot cold"), (2L, "hot warm"))
+      query.processAllAvailable()
+      def snap() = spark.sql(
+        "SELECT explode(cands) AS c, n FROM freq_running")
+        .selectExpr("c.item", "c.count_lb", "n")
+        .as[(String, Long, Long)].collect()
+      val s1 = snap()
+      assert(s1.head._3 == 6L)
+      assert(s1.toSeq.map(r => r._1 -> r._2).toMap.apply("hot") == 4L)
+      // second trigger: counts ACCUMULATE over the stream, not per batch
+      input.addData((3L, "hot hot cool"), (4L, "hot"))
+      query.processAllAvailable()
+      val s2 = snap()
+      assert(s2.head._3 == 10L)
+      assert(s2.toSeq.map(r => r._1 -> r._2).toMap.apply("hot") == 7L)
+      // bounded state: summary never exceeds 2*capacity entries
+      assert(s2.length <= 16)
+    } finally query.stop()
+  }
+
   test("heavyHitters: empty corpus yields empty top-k, no NPE") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
       .filter(col("doc_id") < 0)
