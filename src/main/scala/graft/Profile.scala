@@ -345,6 +345,65 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-freq [factor]` — heavy-hitter head-to-head: the MG
+    // sketch→verify path vs the naive distinct-token groupBy top-k, same
+    // corpus, same answer. The naive form's exchange carries EVERY
+    // distinct token; the sketch form's exchanges carry O(m) summaries +
+    // candidate tokens only. Both end in the identical TakeOrdered sink
+    // so neither can be count-pruned. This is the measured basis for
+    // FrequencyOps' scale claim.
+    if (args.headOption.contains("scale-freq")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      // per-op shuffle-write accounting: the 100 TB claim is about
+      // EXCHANGE VOLUME (local[32] has effectively free shuffle
+      // bandwidth, so wall-clock alone can't separate the two shapes)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleBytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def tb(name: String)(f: => Long): Unit = {
+        Thread.sleep(2000); shuffleBytes.set(0)   // drain async listener lag
+        t(name)(f)
+        Thread.sleep(2000)
+        println(f"[profile] $name%-28s shuffle_write=${shuffleBytes.get()}%,d B")
+      }
+      val damp = amplifyDocs(DedupOps.augmented(docs), factor)
+        .withColumn("source", concat(lit("s"), col("doc_id") % 5))
+      damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
+      tb("heavy_hitters_sketch")(FrequencyOps.heavyHitters(damp).count())
+      tb("topk_naive_groupby") {
+        val toks = damp
+          .select(explode(split(col("text"), " ", -1)).as("tok"))
+          .filter(length(col("tok")) > 0)
+        toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(20).count()
+      }
+      tb("heavy_hitters_by_source")(
+        FrequencyOps.heavyHittersBySource(damp).count())
+      // the pair where the sketch bound BITES: 3-gram shingles are
+      // nearly all distinct (salted copies make cross-copy shingles
+      // unique), so naive partial aggregation degenerates — its
+      // exchange carries ~every distinct shingle — while the MG
+      // summary stays at partitions × O(m)
+      tb("heavy_ngrams_sketch")(FrequencyOps.heavyNgrams(damp).count())
+      tb("ngrams_naive_groupby") {
+        val grams = damp
+          .withColumn("toks", split(col("text"), " ", -1))
+          .filter(size(col("toks")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+            .as("tok"))
+        grams.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(20).count()
+      }
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile scale-profile [factor]` — decade check for the landing-gate
     // family: the profile/constraint aggregates are single-scan map-side
     // partials (must be linear), skewReport is one keyed shuffle + a

@@ -59,7 +59,18 @@ object FrequencyOps {
   }
 
   /** The shared sketch→verify→rank core over a single `tok` column. */
-  private def topKExact(toks: DataFrame, k: Int, capacity: Int): DataFrame = {
+  private def topKExact(toks0: DataFrame, k: Int, capacity: Int): DataFrame = {
+    // A summary aggregate's exchange is #partitions × O(m) — its cost
+    // is PARTITION-bound, not row-bound — so the sketch pass should run
+    // at CORES width, not file-split width (a 100 TB scan's ~800k
+    // splits would each ship a full summary; coalesced to executor
+    // cores the exchange shrinks 100× with zero parallelism loss).
+    // coalesce() never increases partition count, so narrow inputs
+    // pass through unchanged. Measured (PLANS.md scale-freq): 3200
+    // amplifier partitions at 100× shipped 257 MB of summaries;
+    // cores-width ships 32 × O(m).
+    val toks = toks0.coalesce(
+      toks0.sparkSession.sparkContext.defaultParallelism)
     // pass 1: ONE row out — the merged MG summary + the exact stream
     // length (rides the same aggregate, no extra scan)
     val sketch = toks.agg(
@@ -95,7 +106,11 @@ object FrequencyOps {
     */
   def heavyHittersBySource(documents: DataFrame, k: Int = 5,
                            capacity: Int = 1024): DataFrame = {
+    // cores-width for the sketch pass — same partition-bound-exchange
+    // rationale as topKExact (here the summary is per (partition,
+    // source), so split-width inputs multiply it twice over)
     val toks = documents
+      .coalesce(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
       .filter(length(col("tok")) > 0)
     val sk = toks.groupBy("source").agg(
