@@ -89,7 +89,14 @@ object EventOps {
     * [[dedupExact]]-style `events_json_agg` stays the correctness anchor.
     */
   def approxUsersByType(events: DataFrame, rsd: Double = 0.05): DataFrame =
-    events.groupBy("event_type")
+    // cores-width before a sketch aggregate: the partial-agg exchange is
+    // #partitions × #groups × sketch bytes (partition-bound, not
+    // row-bound), so split-width inputs multiply it for nothing — the
+    // measured rule from PLANS.md `scale-freq` (coalesce never raises
+    // the partition count; estimates are unaffected, HLL merge is
+    // associative)
+    events.coalesce(events.sparkSession.sparkContext.defaultParallelism)
+      .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         count(lit(1)).as("n_events"))
 
