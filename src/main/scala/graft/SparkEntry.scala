@@ -570,6 +570,10 @@ object SparkEntry {
     // applied onto the customer snapshot — the lakehouse ingest shape.
     "cdc_upsert" -> ((s, dir) =>
       EventOps.cdcUpsert(E(s, dir), Tables.customer(s, dir))),
+    // SCD TYPE-2: the changelog as versioned dimension history —
+    // validity intervals with the max-sentinel open end, tombstones
+    // close without reopening
+    "scd2_history" -> ((s, dir) => EventOps.scd2History(E(s, dir))),
     // the same MERGE applied INCREMENTALLY: the changelog split into three
     // slices folded in scrambled order — tombstone retention makes the
     // fold order-insensitive, so the ONE-SHOT oracle must match exactly
@@ -881,6 +885,7 @@ object SparkEntry {
     "funnel_steps" -> EventOps.funnelStepsOracle(),
     "retention_cohorts" -> EventOps.retentionCohortsOracle,
     "cdc_upsert" -> EventOps.cdcUpsertOracle,
+    "scd2_history" -> EventOps.scd2HistoryOracle,
     "cdc_upsert_incremental" -> EventOps.cdcUpsertOracle,
     "asof_join" ->
       """WITH e AS (

@@ -382,6 +382,55 @@ object EventOps {
       |FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.chg_key
       |WHERE l.last_op IS NULL OR l.last_op <> 'delete'""".stripMargin
 
+  /** SCD TYPE-2 history — the versioned complement of [[cdcUpsert]]'s
+    * latest-snapshot: every upsert in the changelog becomes a dimension
+    * VERSION with a validity interval [valid_from_us, valid_to_us), the
+    * warehouse shape that lets a fact row join "the balance AS OF its
+    * own timestamp". Interval rules (the standard ones):
+    *
+    *  - a version's valid_to is the NEXT change's timestamp for that
+    *    key — whether that change is another upsert or a delete
+    *    (tombstones CLOSE the open interval without opening one, so a
+    *    trailing delete leaves the key with no current row);
+    *  - the open interval carries the conventional max-sentinel
+    *    (Long.MaxValue, the '9999-12-31' of epoch micros) instead of
+    *    NULL — `is_current` = sentinel. Sentinel, not NULL, on purpose:
+    *    range predicates (`from <= t AND t < to`) need no null branch,
+    *    and the driver's hash compare is representation-fragile on
+    *    nullable BIGINT (pandas <NA> vs DuckDB NaN);
+    *  - ties on ts break by event_id — same total order as
+    *    [[cdcUpsert]]'s `latestChanges`, so snapshot and history can
+    *    never disagree on which change is "last".
+    *
+    * Scale shape: ONE user-keyed shuffle; lead() runs inside each
+    * key partition (per-key local sort, never global). The CDC-family
+    * class — identical exchange profile to [[cdcUpsert]].
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("ts_us"), 1).over(w), lit(Long.MaxValue)))
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("value").as("bal"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        (col("valid_to_us") === Long.MaxValue).as("is_current"))
+  }
+
+  val scd2HistoryOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id, value, event_type, epoch_us(ts) AS ts_us,
+      |    COALESCE(lead(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |      9223372036854775807) AS valid_to_us
+      |  FROM events)
+      |SELECT user_id, value AS bal, ts_us AS valid_from_us, valid_to_us,
+      |  valid_to_us = 9223372036854775807 AS is_current
+      |FROM v WHERE event_type <> 'error'""".stripMargin
+
   /** Multi-step ordered funnel — the k-step generalization of
     * [[funnelConversion]]'s 2-step as-of: for each user, the GREEDY
     * earliest completion of the step sequence (t1 = first step-1 event;
