@@ -465,6 +465,9 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextOps.docRepetition(D(s, dir)).where(col("top_bigram_frac") >= 0.0)),
     "pii_scrub" -> ((s, dir) => TextOps.piiScrub(D(s, dir))),
+    // privacy release gate: quasi-identifier group sizes vs k — one
+    // quasi-key shuffle, verdict rows are metadata-sized
+    "k_anonymity" -> ((s, dir) => TextOps.kAnonymityGate(D(s, dir))),
     "source_mix" -> ((s, dir) => TextOps.sourceMix(Tables.documents(s, dir))),
     // up-sampling mix: scarce sources replicated above rate 1
     "source_mix_upsample" -> ((s, dir) =>
@@ -858,6 +861,7 @@ object SparkEntry {
     "simhash_shingles" -> DedupOps.simhashShinglesOracle,
     "doc_repetition" -> TextOps.docRepetitionOracle,
     "pii_scrub" -> TextOps.piiScrubOracle,
+    "k_anonymity" -> TextOps.kAnonymityGateOracle(),
     "source_mix" -> TextOps.sourceMixOracle,
     "source_mix_upsample" -> TextOps.sourceMixUpsampleOracle(upsampleRates),
     "source_temperature_mix" -> TextOps.sourceTemperatureMixOracle(),

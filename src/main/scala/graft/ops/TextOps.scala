@@ -791,6 +791,47 @@ object TextOps {
       |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed
       |FROM raw""".stripMargin
 
+  /** K-ANONYMITY release gate — the privacy family's GROUP-size check
+    * next to [[piiScrub]]'s content scrub: a document is releasable
+    * only if its quasi-identifier combination (here: lang × source ×
+    * a length band — the metadata an adversary could cross-reference)
+    * is shared by at least k documents. The k-anonymity framing
+    * (Sweeney 2002) is the standard release bar: singleton metadata
+    * combinations re-identify even after content scrubbing.
+    *
+    * Emits one VERDICT row per quasi-identifier group (group size,
+    * released flag, suppressed-doc count) — metadata-sized output, the
+    * landing-gate shape. A pipeline applies the verdicts with one
+    * broadcast semi-join against the suppressed groups (the group
+    * table is bounded by the quasi-key cross-product, tiny next to the
+    * corpus).
+    *
+    * Scale shape: ONE shuffle keyed on the quasi-identifier (map-side
+    * partial counts — the exchange carries distinct quasi-keys, never
+    * documents). The length band uses integer-div bucketing (exact
+    * arithmetic, engine-portable), never quantiles — a banding that
+    * depended on the corpus's own distribution would leak between
+    * releases.
+    */
+  def kAnonymityGate(documents: DataFrame, k: Int = 10,
+                     bandChars: Int = 200): DataFrame =
+    documents
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $bandChars").cast("long").as("len_band"))
+      .agg(count(lit(1)).as("group_n"))
+      .select(col("lang"), col("source"), col("len_band"), col("group_n"),
+        (col("group_n") >= k).as("released"),
+        when(col("group_n") >= k, lit(0L)).otherwise(col("group_n"))
+          .as("suppressed_docs"))
+
+  def kAnonymityGateOracle(k: Int = 10, bandChars: Int = 200): String =
+    s"""SELECT lang, source, n_chars // $bandChars AS len_band,
+       |  count(*) AS group_n,
+       |  count(*) >= $k AS released,
+       |  CASE WHEN count(*) >= $k THEN 0 ELSE count(*) END AS suppressed_docs
+       |FROM documents
+       |GROUP BY 1, 2, 3""".stripMargin
+
   /** Deterministic hash split — the reproducible train/validation/test
     * assignment a pipeline must make identically on every engine, every
     * run, every re-shard (content-addressed, never random()): bucket =

@@ -78,6 +78,19 @@ class OracleCoveredOpsSpec extends SparkSpec {
     assert(DedupOps.nearDupClusters(corpus, minJaccard = 0.9).count() == 0L)
   }
 
+  test("kAnonymityGate: singleton quasi-groups suppressed, k-sized groups released") {
+    // 10 docs share (en, web, band 0); 1 doc sits alone in (fr, web, band 1)
+    val docs = ((1L to 10L).map(i => (i, "en", "web", 50L)) :+
+      ((99L, "fr", "web", 250L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val verdicts = TextOps.kAnonymityGate(docs, k = 10, bandChars = 200)
+      .select("lang", "len_band", "group_n", "released", "suppressed_docs")
+      .as[(String, Long, Long, Boolean, Long)].collect().toSet
+    assert(verdicts == Set(
+      ("en", 0L, 10L, true, 0L),    // exactly k → released
+      ("fr", 1L, 1L, false, 1L)))   // singleton → suppressed
+  }
+
   test("dedup pipeline: exact keepers minus fuzzy drops") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
