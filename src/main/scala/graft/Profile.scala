@@ -334,6 +334,11 @@ object Profile {
       val eventsAmp = amplifyEvents(events, factor)
       eventsAmp.persist(); t(s"amplify_events_${factor}x")(eventsAmp.count())
       t("cdc_upsert")(EventOps.cdcUpsert(eventsAmp, customer).count())
+      // SCD2 shares cdc's exchange profile (one user-keyed shuffle,
+      // per-key local sort) — its decade line proves the history
+      // builder inherits it
+      t("scd2_history")(EventOps.scd2History(eventsAmp)
+        .where(col("valid_to_us") > 0L).count())
       t("interval_join")(
         JoinOps.sessionOverlapPairs(EventOps.sessionize(eventsAmp)).count())
       eventsAmp.unpersist()

@@ -186,4 +186,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(assigned.length == 2 && assigned.forall(r =>
       Set("train", "valid", "test").contains(r.getString(1))))
   }
+
+  test("late round-9 additions on empty input degrade cleanly, never throw") {
+    // mirrors the events table schema the loader emits (ts as long nanos)
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+    assert(EventOps.scd2History(emptyEvents).isEmpty)
+    val emptyDocsWithLang = emptyDocs.withColumn(
+      "lang", org.apache.spark.sql.functions.lit("xx"))
+    assert(TextOps.kAnonymityGate(emptyDocsWithLang).isEmpty)
+    assert(FrequencyOps.heavyHittersBySource(emptyDocs).isEmpty)
+    assert(FrequencyOps.heavyNgrams(emptyDocs).isEmpty)
+  }
 }
