@@ -371,9 +371,14 @@ object Profile {
               sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         })
       def tb(name: String)(f: => Long): Unit = {
-        Thread.sleep(2000); shuffleBytes.set(0)   // drain async listener lag
+        // deterministic drain, not a sleep: the async bus can lag >2 s on
+        // a loaded host and bleed one op's stages into the next op's count
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .drainListenerBus(spark.sparkContext)
+        shuffleBytes.set(0)
         t(name)(f)
-        Thread.sleep(2000)
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .drainListenerBus(spark.sparkContext)
         println(f"[profile] $name%-28s shuffle_write=${shuffleBytes.get()}%,d B")
       }
       val damp = amplifyDocs(DedupOps.augmented(docs), factor)
@@ -399,8 +404,7 @@ object Profile {
         val grams = damp
           .withColumn("toks", split(col("text"), " ", -1))
           .filter(size(col("toks")) >= 3)
-          .select(explode(expr(
-            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          .select(explode(expr(DedupOps.shingleSql))
             .as("tok"))
         grams.groupBy("tok").agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("tok").asc).limit(20).count()
@@ -776,15 +780,13 @@ object Profile {
     t("shingles_explode") {
       corpus.withColumn("toks", split(col("text"), " ", -1))
         .filter(size(col("toks")) >= 3)
-        .withColumn("shingles", expr(
-          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .withColumn("shingles", expr(DedupOps.shingleSql))
         .select(explode(array_distinct(col("shingles")))).count()
     }
     t("inv_selfjoin_groupby") {
       val sh = corpus.withColumn("toks", split(col("text"), " ", -1))
         .filter(size(col("toks")) >= 3)
-        .withColumn("shingles", expr(
-          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .withColumn("shingles", expr(DedupOps.shingleSql))
       val inv = sh.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
       inv.as("x").join(inv.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -793,8 +795,7 @@ object Profile {
     t("inv_selfjoin_again") {
       val sh = corpus.withColumn("toks", split(col("text"), " ", -1))
         .filter(size(col("toks")) >= 3)
-        .withColumn("shingles", expr(
-          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        .withColumn("shingles", expr(DedupOps.shingleSql))
       val inv = sh.select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
       inv.as("x").join(inv.as("y").hint("shuffle_hash"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))

@@ -92,6 +92,15 @@ object DedupOps {
     corpus.groupBy(md5(col("text")).as("fp"))
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** THE word 3-gram shingle expression (over a `toks` array column) —
+    * the ONE definition every shingle consumer shares (minhash pipeline,
+    * streaming banded dedup, frequency family, profiler baselines), so
+    * the convention cannot silently desynchronize across families
+    * (review-caught: four verbatim copies had accumulated).
+    */
+  val shingleSql: String =
+    "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+
   /** Word 3-gram shingles + their per-doc distinct set, computed map-side
     * with higher-order functions (no explode, no shuffle).
     */
@@ -99,8 +108,7 @@ object DedupOps {
     corpus
       .withColumn("toks", split(col("text"), " ", -1))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+      .withColumn("shingles", expr(shingleSql))
 
   private val shinglesDuck =
     """shingled AS (

@@ -89,13 +89,9 @@ object EventOps {
     * [[dedupExact]]-style `events_json_agg` stays the correctness anchor.
     */
   def approxUsersByType(events: DataFrame, rsd: Double = 0.05): DataFrame =
-    // cores-width before a sketch aggregate: the partial-agg exchange is
-    // #partitions × #groups × sketch bytes (partition-bound, not
-    // row-bound), so split-width inputs multiply it for nothing — the
-    // measured rule from PLANS.md `scale-freq` (coalesce never raises
-    // the partition count; estimates are unaffected, HLL merge is
-    // associative)
-    events.coalesce(events.sparkSession.sparkContext.defaultParallelism)
+    // HLL partials are sketch-sized per (partition, group) — see
+    // [[Sketch.coalesceToCores]] for the measured cores-width rule
+    Sketch.coalesceToCores(events)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         count(lit(1)).as("n_events"))

@@ -26,10 +26,19 @@ import graft.functions.MisraGries.misraGries
   * (count desc, item asc) tiebreak, plus a `guaranteed` flag per row:
   * `cnt·(m+1) > N` proves NO unsketched item can out-count this row
   * (missed items are bounded by N/(m+1)), i.e. the row's membership in
-  * the true top-k is a theorem, not a hope. Callers sizing m for a new
-  * corpus watch this flag: an un-guaranteed tail row means m is too
-  * small for that k. On Zipf-shaped natural text the top tokens clear
-  * the bound by orders of magnitude.
+  * the true top-k is a theorem, not a hope.
+  *
+  * CONTRACT — the flag is load-bearing, not decorative: a row with
+  * `guaranteed = false` is BEST-EFFORT. On a distribution flat enough
+  * that the rank-k count dips under N/(m+1), the sketch may have
+  * dropped a true top-k item, and which near-tied item fills the tail
+  * slot then depends on partial-merge order (partitioning-dependent).
+  * Counts shown are always exact for the items shown; only tail
+  * MEMBERSHIP weakens. Consumers must either gate on the flag or raise
+  * `capacity` until the tail clears the bound (the flag itself is the
+  * sizing signal). On Zipf-shaped natural text the top tokens clear the
+  * bound by orders of magnitude — the registered queries' oracle gate
+  * would hash-fail if any fixture row were unguaranteed-and-wrong.
   */
 object FrequencyOps {
 
@@ -52,25 +61,13 @@ object FrequencyOps {
     val grams = documents
       .withColumn("toks", split(col("text"), " ", -1))
       .filter(size(col("toks")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-        .as("tok"))
+      .select(explode(expr(DedupOps.shingleSql)).as("tok"))
     topKExact(grams, k, capacity)
   }
 
   /** The shared sketch→verify→rank core over a single `tok` column. */
   private def topKExact(toks0: DataFrame, k: Int, capacity: Int): DataFrame = {
-    // A summary aggregate's exchange is #partitions × O(m) — its cost
-    // is PARTITION-bound, not row-bound — so the sketch pass should run
-    // at CORES width, not file-split width (a 100 TB scan's ~800k
-    // splits would each ship a full summary; coalesced to executor
-    // cores the exchange shrinks 100× with zero parallelism loss).
-    // coalesce() never increases partition count, so narrow inputs
-    // pass through unchanged. Measured (PLANS.md scale-freq): 3200
-    // amplifier partitions at 100× shipped 257 MB of summaries;
-    // cores-width ships 32 × O(m).
-    val toks = toks0.coalesce(
-      toks0.sparkSession.sparkContext.defaultParallelism)
+    val toks = Sketch.coalesceToCores(toks0)
     // pass 1: ONE row out — the merged MG summary + the exact stream
     // length (rides the same aggregate, no extra scan)
     val sketch = toks.agg(
@@ -106,11 +103,9 @@ object FrequencyOps {
     */
   def heavyHittersBySource(documents: DataFrame, k: Int = 5,
                            capacity: Int = 1024): DataFrame = {
-    // cores-width for the sketch pass — same partition-bound-exchange
-    // rationale as topKExact (here the summary is per (partition,
-    // source), so split-width inputs multiply it twice over)
-    val toks = documents
-      .coalesce(documents.sparkSession.sparkContext.defaultParallelism)
+    // cores-width matters twice over here: the summary is per
+    // (partition, source)
+    val toks = Sketch.coalesceToCores(documents)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
       .filter(length(col("tok")) > 0)
     val sk = toks.groupBy("source").agg(

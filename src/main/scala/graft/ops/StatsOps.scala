@@ -223,15 +223,12 @@ object StatsOps {
   def dataProfileApprox(df: DataFrame,
                         numCols: Seq[String] = Seq("doc_id", "n_chars"),
                         strCols: Seq[String] = Seq("text", "lang", "source")): DataFrame =
-    // cores-width before sketch aggregates (the PLANS.md `scale-freq`
-    // rule): the HLL partials' exchange is #partitions × #columns ×
-    // sketch bytes — partition-bound — so split-width inputs pay a
-    // multiplied exchange for zero extra information; estimates are
-    // partitioning-invariant (associative merge). The EXACT twin above
-    // is deliberately untouched: its exchange carries distinct values
-    // (row-bound), where partition count is not the lever.
-    profileWith(
-      df.coalesce(df.sparkSession.sparkContext.defaultParallelism),
+    // HLL partials are sketch-sized per (partition, column) — see
+    // [[Sketch.coalesceToCores]] for the measured cores-width rule. The
+    // EXACT twin above is deliberately untouched: its exchange carries
+    // distinct values (row-bound), where partition count is not the
+    // lever.
+    profileWith(Sketch.coalesceToCores(df),
       numCols, strCols, c => approx_count_distinct(col(c), 0.02))
 
   /** Shared profile builder — the exact and approx variants differ ONLY

@@ -74,8 +74,7 @@ object StreamingDedup {
     stream
       .withColumn("toks", split(col("text"), " ", -1))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+      .withColumn("shingles", expr(graft.ops.DedupOps.shingleSql))
       .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), numPerm))
       .select(col("doc_id").cast("long"), col("sig"), col(tsCol).as("ts"),
         posexplode(expr(

@@ -34,7 +34,11 @@ object StreamingFrequency {
   /** (doc_id, text) stream → one running-summary row:
     * (cands array<struct<item,count_lb>>, n). */
   def runningTokenSummary(stream: DataFrame, capacity: Int = 1024): DataFrame =
-    stream
+    // cores-width per micro-batch for the same reason as the batch path
+    // ([[graft.ops.Sketch.coalesceToCores]]): a many-split file-source
+    // trigger would otherwise ship one O(capacity) summary per split
+    // into the state-store exchange every trigger
+    graft.ops.Sketch.coalesceToCores(stream)
       .select(explode(split(col("text"), " ", -1)).as("tok"))
       .filter(length(col("tok")) > 0)
       .agg(misraGries(col("tok"), capacity).as("cands"),

@@ -19,4 +19,13 @@ object ColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Block until the async listener bus has delivered every queued event
+    * (`listenerBus` is private[spark]) — the deterministic drain the
+    * profiler's per-op shuffle-byte attribution needs; a fixed sleep can
+    * under-wait on a loaded host and bleed one op's stage metrics into
+    * the next (review-caught).
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
