@@ -81,6 +81,10 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextOps.textStats(D(s, dir))),
     // adaptive gate: threshold = the corpus's own p50 quality score
     "quality_percentile" -> ((s, dir) => TextOps.qualityPercentileFilter(D(s, dir))),
+    // per-source calibration: percent-rank WITHIN source, so the gate
+    // keeps the top half of each source instead of over-pruning whole
+    // sources whose raw score profile runs low
+    "quality_calibrated" -> ((s, dir) => TextOps.qualityCalibrated(D(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.languageId(D(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(D(s, dir))),
     // exact top-k corpus frequencies WITHOUT a distinct-token shuffle:
@@ -829,6 +833,7 @@ object SparkEntry {
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
     "quality_percentile" -> TextOps.qualityPercentileFilterOracle(textStatsSql),
+    "quality_calibrated" -> TextOps.qualityCalibratedOracle(),
     "salted_join" ->
       """SELECT event_id, e.event_type, type_total
         |FROM events e JOIN (SELECT event_type, count(*) AS type_total
@@ -942,17 +947,7 @@ object SparkEntry {
          |GROUP BY 1, 2""".stripMargin
   )
 
-  private val textStatsSql: String =
-    s"""SELECT doc_id, n_tokens, n_chars, n_stop,
-       |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
-       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-       |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) *
-       |    (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
-       |FROM (
-       |  SELECT doc_id,
-       |    len(string_split(text, ' ')) AS n_tokens,
-       |    length(text) AS n_chars,
-       |    len(list_filter(string_split(text, ' '),
-       |        w -> w IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
-       |  FROM documents)""".stripMargin
+  // ONE score-formula string (TextOps.textStatsSql) shared by every
+  // quality oracle, so the formula cannot fork between gates
+  private val textStatsSql: String = TextOps.textStatsSql()
 }

@@ -256,6 +256,74 @@ object TextOps {
        |SELECT doc_id, n_tokens, quality_score, thr
        |FROM scored, t WHERE quality_score >= thr""".stripMargin
 
+  /** The [[textStats]] derivation as DuckDB SQL, with optional kept
+    * pass-through columns — ONE string builder so every quality oracle
+    * (global gate, percentile gate, Gopher battery, per-source
+    * calibration) shares the score formula instead of re-spelling it.
+    */
+  def textStatsSql(keep: Seq[String] = Nil): String = {
+    val k = keep.map(c => s"$c, ").mkString
+    s"""SELECT doc_id, ${k}n_tokens, n_chars, n_stop,
+       |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / 100) *
+       |    (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) AS quality_score
+       |FROM (
+       |  SELECT doc_id, ${k}
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> w IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop
+       |  FROM documents)""".stripMargin
+  }
+
+  /** PER-SOURCE quality calibration — the grouped complement of
+    * [[qualityPercentileFilter]]'s global cut: one source's raw p90 can
+    * sit below another's p40 (different boilerplate/stopword profiles),
+    * so a single global threshold systematically over-prunes whole
+    * sources. Calibration replaces the raw score with its PERCENT RANK
+    * WITHIN the source — (rn−1)/max(n−1, 1) with the deterministic
+    * (score, doc_id) tiebreak — and gates on that, so "keep the top
+    * half" means the top half OF EACH SOURCE. Pure integer rank
+    * arithmetic + one IEEE division: bitwise reproducible, no
+    * transcendental calibration curves.
+    *
+    * Singleton sources rank at percent 0 (no distribution to calibrate
+    * against — the standard percent_rank convention); route sources
+    * too small to rank through the global gate instead.
+    *
+    * Scale shape: ONE source-keyed shuffle; both window functions
+    * (row_number, count) share the same partitioning, and rows carry
+    * (doc_id, source, score) — never text — through the exchange.
+    */
+  def qualityCalibrated(documents: DataFrame, p: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = textStats(documents, keep = Seq("source"))
+      .select("doc_id", "source", "quality_score")
+    val bySource = Window.partitionBy("source")
+    val byRank = bySource.orderBy(col("quality_score").asc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(byRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySource))
+      .withColumn("pct",
+        (col("rn") - 1).cast("double") / greatest(col("n") - 1, lit(1L)))
+      .filter(col("pct") >= p)
+      .select(col("doc_id"), col("source"), col("quality_score"), col("pct"))
+  }
+
+  def qualityCalibratedOracle(p: Double = 0.5): String =
+    s"""WITH scored AS (${textStatsSql(Seq("source"))}),
+       |r AS (
+       |  SELECT doc_id, source, quality_score,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY quality_score, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM scored)
+       |SELECT doc_id, source, quality_score,
+       |  CAST(rn - 1 AS DOUBLE) / greatest(n - 1, 1) AS pct
+       |FROM r
+       |WHERE CAST(rn - 1 AS DOUBLE) / greatest(n - 1, 1) >= $p""".stripMargin
+
   /** B10-gopher — the Gopher/MassiveText rule battery as ONE gate: length
     * bounds, mean-token-length band, minimum stopword ratio, and the two
     * repetition rules ([[docRepetition]]'s duplicate-segment and

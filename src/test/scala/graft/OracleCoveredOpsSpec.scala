@@ -78,6 +78,24 @@ class OracleCoveredOpsSpec extends SparkSpec {
     assert(DedupOps.nearDupClusters(corpus, minJaccard = 0.9).count() == 0L)
   }
 
+  test("qualityCalibrated: per-source percent-rank gate, singleton ranks at 0") {
+    // source A: 3 docs with strictly increasing quality (more tokens,
+    // no stopwords); source B: a singleton
+    def doc(words: Int) = (1 to words).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, doc(10), "A"), (2L, doc(20), "B"), (3L, doc(30), "A"),
+      (4L, doc(40), "A"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextOps.qualityCalibrated(docs, p = 0.5)
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    // A ranks 1→pct 0, 3→0.5, 4→1.0: top half = {3, 4}
+    assert(kept.keySet.intersect(Set(1L, 3L, 4L)) == Set(3L, 4L))
+    assert(kept(3L) == 0.5 && kept(4L) == 1.0)
+    // singleton B: percent 0 — below the cut by convention (no
+    // distribution to calibrate against)
+    assert(!kept.contains(2L))
+  }
+
   test("kAnonymityGate: singleton quasi-groups suppressed, k-sized groups released") {
     // 10 docs share (en, web, band 0); 1 doc sits alone in (fr, web, band 1)
     val docs = ((1L to 10L).map(i => (i, "en", "web", 50L)) :+
