@@ -132,6 +132,28 @@ class FrequencyOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("heavyHitters contract on a flat distribution: tail flags drop, shown counts stay exact") {
+    // one hot token (100 > N/(m+1)) above a flat field of 40 tokens × 10:
+    // with capacity 8 the bound is 500/9 = 55, so every rank-2+ row is
+    // best-effort — the flag must SAY so — while counts for whatever
+    // tokens are shown remain exact (the verify pass guarantees that
+    // regardless of candidate-set luck)
+    val stream = Seq.fill(100)("hot") ++
+      (0 until 40).flatMap(i => Seq.fill(10)(f"mid$i%02d"))
+    val corpus = stream.grouped(5).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = FrequencyOps.heavyHitters(corpus, k = 5, capacity = 8)
+      .select("tok", "cnt", "guaranteed")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(rows.head == (("hot", 100L, true)))
+    rows.tail.foreach { case (tok, cnt, guaranteed) =>
+      assert(!guaranteed, s"$tok cannot clear the N/(m+1) bound here")
+      assert(cnt == truth(tok), s"shown count for $tok must be exact")
+    }
+  }
+
   test("heavyHitters: empty corpus yields empty top-k, no NPE") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
       .filter(col("doc_id") < 0)
