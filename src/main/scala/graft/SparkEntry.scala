@@ -89,11 +89,16 @@ object SparkEntry {
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(D(s, dir))),
     // exact top-k corpus frequencies WITHOUT a distinct-token shuffle:
     // Misra-Gries sketch (native TypedImperativeAggregate, O(m) summary
-    // per partition) -> broadcast candidates -> exact verify pass
-    "heavy_hitters" -> ((s, dir) => FrequencyOps.heavyHitters(D(s, dir))),
-    "heavy_ngrams" -> ((s, dir) => FrequencyOps.heavyNgrams(D(s, dir))),
+    // per partition) -> broadcast candidates -> exact verify pass.
+    // guaranteedOnly: the oracle gate covers exactly the rows whose
+    // top-k membership is a theorem (ADVICE r9 — fixture-independent
+    // certification); the flagged best-effort tail is spec-pinned.
+    "heavy_hitters" -> ((s, dir) =>
+      FrequencyOps.heavyHitters(D(s, dir), guaranteedOnly = true)),
+    "heavy_ngrams" -> ((s, dir) =>
+      FrequencyOps.heavyNgrams(D(s, dir), guaranteedOnly = true)),
     "heavy_hitters_by_source" -> ((s, dir) =>
-      FrequencyOps.heavyHittersBySource(D(s, dir))),
+      FrequencyOps.heavyHittersBySource(D(s, dir), guaranteedOnly = true)),
     "bpe_pairs" -> ((s, dir) => BpeOps.bpePairCounts(D(s, dir))),
     "bpe_segment" -> ((s, dir) => BpeOps.bpeSegmentFrozen(D(s, dir))),
     "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
@@ -710,9 +715,10 @@ object SparkEntry {
         |    w -> CAST(ceil(CAST(length(w) AS DOUBLE) / 4.0) AS BIGINT)),
         |    (a, b) -> a + b) AS BIGINT) AS subword_est
         |FROM documents""".stripMargin,
-    "heavy_hitters" -> FrequencyOps.heavyHittersOracle(),
-    "heavy_ngrams" -> FrequencyOps.heavyNgramsOracle(),
-    "heavy_hitters_by_source" -> FrequencyOps.heavyHittersBySourceOracle(),
+    "heavy_hitters" -> FrequencyOps.heavyHittersOracle(guaranteedOnly = true),
+    "heavy_ngrams" -> FrequencyOps.heavyNgramsOracle(guaranteedOnly = true),
+    "heavy_hitters_by_source" ->
+      FrequencyOps.heavyHittersBySourceOracle(guaranteedOnly = true),
     "bpe_pairs" -> BpeOps.bpePairCountsOracle(),
     "bpe_segment" -> BpeOps.bpeSegmentOracle(),
     "fingerprints" ->

@@ -36,19 +36,33 @@ import graft.functions.MisraGries.misraGries
   * Counts shown are always exact for the items shown; only tail
   * MEMBERSHIP weakens. Consumers must either gate on the flag or raise
   * `capacity` until the tail clears the bound (the flag itself is the
-  * sizing signal). On Zipf-shaped natural text the top tokens clear the
-  * bound by orders of magnitude — the registered queries' oracle gate
-  * would hash-fail if any fixture row were unguaranteed-and-wrong.
+  * sizing signal).
+  *
+  * ORACLE GATE (ADVICE r9): the registered queries pass
+  * `guaranteedOnly = true`, so the DuckDB comparison covers exactly the
+  * rows whose top-k membership is a THEOREM — all guaranteed rows
+  * out-count every unguaranteed row, so the guaranteed set is the exact
+  * top-|guaranteed| prefix regardless of distribution shape, fixture
+  * size, or merge order; the certification is no longer
+  * fixture-dependent. The full flagged output (best-effort tail
+  * included) stays the operator default and is spec-pinned.
+  *
+  * The flag arithmetic is the overflow-free integer form
+  * `cnt > N div (m+1)` — exactly equivalent to `cnt·(m+1) > N` for
+  * non-negative integers ((⌊N/(m+1)⌋+1)(m+1) > N always), but immune to
+  * the silent Long wrap the product form hits once cnt exceeds
+  * ~Long.MaxValue/(m+1) under a sharply raised capacity (ADVICE r9).
   */
 object FrequencyOps {
 
   /** Whitespace-token heavy hitters over `documents.text`. */
   def heavyHitters(documents: DataFrame, k: Int = 20,
-                   capacity: Int = 4096): DataFrame = {
+                   capacity: Int = 4096,
+                   guaranteedOnly: Boolean = false): DataFrame = {
     val toks = documents
       .select(explode(split(col("text"), " ", -1)).as("tok"))
       .filter(length(col("tok")) > 0)
-    topKExact(toks, k, capacity)
+    topKExact(toks, k, capacity, guaranteedOnly)
   }
 
   /** Word 3-gram heavy hitters — the corpus's most repeated phrases,
@@ -57,16 +71,26 @@ object FrequencyOps {
     * convention as the MinHash pipeline (DedupOps.withShingles).
     */
   def heavyNgrams(documents: DataFrame, k: Int = 20,
-                  capacity: Int = 4096): DataFrame = {
+                  capacity: Int = 4096,
+                  guaranteedOnly: Boolean = false): DataFrame = {
     val grams = documents
       .withColumn("toks", split(col("text"), " ", -1))
       .filter(size(col("toks")) >= 3)
       .select(explode(expr(DedupOps.shingleSql)).as("tok"))
-    topKExact(grams, k, capacity)
+    topKExact(grams, k, capacity, guaranteedOnly)
   }
 
+  /** Overflow-free membership bound: `cnt > n div (m+1)` ⟺
+    * `cnt·(m+1) > n` over non-negative integers, with no Long wrap at
+    * any capacity (ADVICE r9). `div` not `/`: Column./ on longs is
+    * DOUBLE division.
+    */
+  private def guaranteedCol(capacity: Int) =
+    expr(s"cnt > n div ${capacity + 1L}").as("guaranteed")
+
   /** The shared sketch→verify→rank core over a single `tok` column. */
-  private def topKExact(toks0: DataFrame, k: Int, capacity: Int): DataFrame = {
+  private def topKExact(toks0: DataFrame, k: Int, capacity: Int,
+                        guaranteedOnly: Boolean): DataFrame = {
     val toks = Sketch.coalesceToCores(toks0)
     // pass 1: ONE row out — the merged MG summary + the exact stream
     // length (rides the same aggregate, no extra scan)
@@ -77,13 +101,13 @@ object FrequencyOps {
       .select(col("c.item").as("cand"), col("n"))
     // pass 2: candidates broadcast (≤ 2m metadata rows); the join is a
     // map-side hash probe, so only candidate tokens reach the exchange
-    toks.join(broadcast(cands), col("tok") === col("cand"))
+    val ranked = toks.join(broadcast(cands), col("tok") === col("cand"))
       .groupBy(col("tok"), col("n"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("tok"), col("cnt"),
-        (col("cnt") * lit(capacity + 1L) > col("n")).as("guaranteed"))
+      .select(col("tok"), col("cnt"), guaranteedCol(capacity))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(k)
+    if (guaranteedOnly) ranked.filter(col("guaranteed")) else ranked
   }
 
   /** Per-SOURCE top-k — the grouped form of the sketch→verify pattern:
@@ -102,7 +126,8 @@ object FrequencyOps {
     * key column itself.
     */
   def heavyHittersBySource(documents: DataFrame, k: Int = 5,
-                           capacity: Int = 1024): DataFrame = {
+                           capacity: Int = 1024,
+                           guaranteedOnly: Boolean = false): DataFrame = {
     // cores-width matters twice over here: the summary is per
     // (partition, source)
     val toks = Sketch.coalesceToCores(documents)
@@ -116,17 +141,18 @@ object FrequencyOps {
       .select(col("csrc"), col("c.item").as("cand"), col("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)
-    toks.join(broadcast(cands),
+    val ranked = toks.join(broadcast(cands),
         col("source") === col("csrc") && col("tok") === col("cand"))
       .groupBy(col("source"), col("tok"), col("n"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("source"), col("tok"), col("cnt"),
-        (col("cnt") * lit(capacity + 1L) > col("n")).as("guaranteed"))
+      .select(col("source"), col("tok"), col("cnt"), guaranteedCol(capacity))
+    if (guaranteedOnly) ranked.filter(col("guaranteed")) else ranked
   }
 
-  def heavyHittersBySourceOracle(k: Int = 5, capacity: Int = 1024): String =
+  def heavyHittersBySourceOracle(k: Int = 5, capacity: Int = 1024,
+                                 guaranteedOnly: Boolean = false): String = {
     s"""WITH t AS (
        |  SELECT source, tok FROM (
        |    SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -137,27 +163,32 @@ object FrequencyOps {
        |r AS (SELECT source, tok, cnt, row_number() OVER (
        |        PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rn
        |      FROM c)
-       |SELECT r.source, tok, cnt, cnt * ${capacity + 1} > n.n AS guaranteed
+       |SELECT r.source, tok, cnt, cnt > n.n // ${capacity + 1} AS guaranteed
        |FROM r JOIN n USING (source)
-       |WHERE rn <= $k""".stripMargin
+       |WHERE rn <= $k${if (guaranteedOnly) s" AND cnt > n.n // ${capacity + 1}" else ""}""".stripMargin
+  }
 
   /** DuckDB twin: exact top-k with the same tiebreak and the same
     * guarantee arithmetic (the oracle computes the flag from the exact
     * total, which equals the operator's N by construction).
     */
-  def heavyHittersOracle(k: Int = 20, capacity: Int = 4096): String =
+  def heavyHittersOracle(k: Int = 20, capacity: Int = 4096,
+                         guaranteedOnly: Boolean = false): String =
     s"""WITH t AS (
        |  SELECT tok FROM (
        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
        |  WHERE len(tok) > 0),
        |n AS (SELECT count(*) AS n FROM t),
-       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
-       |SELECT tok, cnt, cnt * ${capacity + 1} > n AS guaranteed
-       |FROM c, n
-       |ORDER BY cnt DESC, tok ASC
-       |LIMIT $k""".stripMargin
+       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+       |r AS (
+       |  SELECT tok, cnt, cnt > n // ${capacity + 1} AS guaranteed
+       |  FROM c, n
+       |  ORDER BY cnt DESC, tok ASC
+       |  LIMIT $k)
+       |SELECT tok, cnt, guaranteed FROM r${if (guaranteedOnly) " WHERE guaranteed" else ""}""".stripMargin
 
-  def heavyNgramsOracle(k: Int = 20, capacity: Int = 4096): String =
+  def heavyNgramsOracle(k: Int = 20, capacity: Int = 4096,
+                        guaranteedOnly: Boolean = false): String =
     s"""WITH toks AS (
        |  SELECT string_split(text, ' ') AS toks FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -166,9 +197,11 @@ object FrequencyOps {
        |                 for i in range(1, len(toks) - 1)]) AS tok
        |  FROM toks),
        |n AS (SELECT count(*) AS n FROM t),
-       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
-       |SELECT tok, cnt, cnt * ${capacity + 1} > n AS guaranteed
-       |FROM c, n
-       |ORDER BY cnt DESC, tok ASC
-       |LIMIT $k""".stripMargin
+       |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+       |r AS (
+       |  SELECT tok, cnt, cnt > n // ${capacity + 1} AS guaranteed
+       |  FROM c, n
+       |  ORDER BY cnt DESC, tok ASC
+       |  LIMIT $k)
+       |SELECT tok, cnt, guaranteed FROM r${if (guaranteedOnly) " WHERE guaranteed" else ""}""".stripMargin
 }

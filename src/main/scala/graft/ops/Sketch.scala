@@ -34,9 +34,13 @@ object Sketch {
     */
   def coalesceToCores(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // ADVICE r9: read the RESOLVED shuffle-partition count, not the raw
+    // conf string — vendor AQE distributions set the conf to non-integer
+    // values like "auto", and a raw .toInt would throw at plan time for
+    // every sketch operator.
     val width = math.max(
       spark.sparkContext.defaultParallelism,
-      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      spark.sessionState.conf.numShufflePartitions)
     df.coalesce(width)
   }
 }
