@@ -348,6 +348,23 @@ object SparkEntry {
       MultimodalOps.writeFixtureTree(D(s, dir), fix)
       MultimodalOps.ingestManifest(s, fix)
     }),
+    // REAL pixels (round 10): deterministic BMP fixtures generated from
+    // documents by byte arithmetic, decoded executor-side through
+    // javax.imageio; the oracle recomputes dims + exact channel sums
+    // from the generation formula — encoder, JDK decoder, and DuckDB
+    // must three-way agree on every pixel
+    "multimodal_decode" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_bmp", dir)
+      MultimodalOps.writeBmpFixtureTree(D(s, dir), fix)
+      MultimodalOps.decodeImages(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+    }),
+    "multimodal_resize_real" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_bmp", dir)
+      MultimodalOps.writeBmpFixtureTree(D(s, dir), fix)
+      MultimodalOps.resizeDecoded(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+    }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     // measured recall@k of probe-1 LSH vs the exact brute-force top-k —
@@ -827,6 +844,8 @@ object SparkEntry {
     "multimodal_frames" -> MultimodalOps.sampleFramesOracle,
     "multimodal_resize" -> MultimodalOps.resizeOracle,
     "multimodal_manifest" -> MultimodalOps.ingestManifestOracle(),
+    "multimodal_decode" -> MultimodalOps.decodeImagesOracle(),
+    "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "ann_recall" -> SimilarityOps.annRecallOracle(),
     "ann_recall_multiprobe" -> SimilarityOps.annRecallMultiProbeOracle(),

@@ -18,15 +18,26 @@ case class MediaFeatures(doc_id: Long, byte_len: Long, first_byte: Long,
 case class ResizedAsset(doc_id: Long, orig_len: Long, new_len: Long,
                         resized_hex: String)
 
+/** A REAL decoded raster's stats: dims + exact per-channel pixel sums
+  * (integer sums, not means — bitwise hash-stable; a mean is one
+  * division away for any consumer).
+  */
+case class DecodedImage(doc_id: Long, width: Long, height: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long, n_px: Long)
+
 /** Multimodal column operators (SURVEY.md §7 B11).
   *
-  * Real media decode libs aren't in this container, so [[decodeStub]] is a
-  * deterministic fake (length / first byte / additive checksum) — but all
-  * the Spark-side plumbing is real: binary payload column, typed
-  * case-class Encoders, executor-side per-partition batch processing via
-  * mapPartitions (the Scala analogue of mapInPandas — one iterator per
-  * partition, so a real decoder would amortize model/codec init across the
-  * batch), and metadata kept columnar next to the blob.
+  * [[decodeStub]] is the GENERIC opaque-payload featurizer (length /
+  * first byte / additive checksum — the modality-agnostic shape for
+  * codecs the container lacks); since round 10 the IMAGE path decodes
+  * real pixels: [[decodeImages]]/[[resizeDecoded]] run the JDK's
+  * javax.imageio BMP reader executor-side over real files (zero new
+  * dependencies). All the Spark-side plumbing is shared and real:
+  * binary payload column, typed case-class Encoders, executor-side
+  * per-partition batch processing via mapPartitions (the Scala analogue
+  * of mapInPandas — one iterator per partition, so codec/model init
+  * amortizes across the batch), and metadata kept columnar next to the
+  * blob.
   *
   * Scale notes: blobs ride the scan but never a shuffle (all transforms
   * here are narrow); real pipelines keep payloads in their own parquet
@@ -285,6 +296,212 @@ object MultimodalOps {
        |SELECT file_name, doc_id, modality, byte_len, digest, canonical,
        |  file_name = canonical AS is_canonical
        |FROM m JOIN c USING (digest)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // REAL image decode (VERDICT r9 item 2): the last stub becomes a real
+  // codec path with ZERO new dependencies — deterministic uncompressed
+  // 24-bit BMP fixtures generated from the documents table by pure byte
+  // arithmetic, decoded executor-side through the JDK's javax.imageio
+  // BMP reader in the same typed mapPartitions batch shape as
+  // [[decodeStub]]. Encoder (hand-rolled bytes here) and decoder
+  // (ImageIO) are INDEPENDENT implementations of the BMP spec, and the
+  // DuckDB oracle recomputes the expected dims + exact channel sums
+  // from the generation formula over `documents` — three-way agreement,
+  // so a byte misplaced anywhere (header field, bottom-up row order,
+  // BGR channel order, row padding) breaks the gate.
+  // --------------------------------------------------------------------
+
+  /** Fixture raster geometry + pixel formula — ONE definition shared by
+    * the writer, the spec, and (as SQL, below) the oracle. Pixel p
+    * (row-major from the TOP-left, p = y·w + x) takes the text's byte at
+    * p mod n, and channels are (c, (3c+p) mod 256, (c+7p) mod 256) — x
+    * and y both enter via p, so any axis flip or row-order mistake in
+    * encode OR decode shifts the sums.
+    */
+  def bmpWidth(nChars: Long): Int = (1L + nChars % 13L).toInt
+  def bmpHeight(docId: Long): Int = (1L + docId % 7L).toInt
+  def bmpPixel(text: String, w: Int)(x: Int, y: Int): (Int, Int, Int) = {
+    val p = y * w + x
+    val c = text.charAt(p % text.length).toInt & 0xff
+    (c, (c * 3 + p) % 256, (c + p * 7) % 256)
+  }
+
+  /** Hand-rolled uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up
+    * rows, BGR byte order, rows padded to 4 bytes) — deliberately NOT
+    * written through ImageIO, so the decode test has an independent
+    * encoder on the other side.
+    */
+  def bmpBytes(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy // bottom-up file rows
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      fy += 1
+    }
+    buf.array()
+  }
+
+  /** Write the BMP fixture tree (`img_<id>.bmp`, doc_id < maxDocId,
+    * non-empty text). Same bounded-collect + rebuild lifecycle as
+    * [[writeFixtureTree]]; no planted dups — digest dedup is the
+    * manifest query's job, this tree exists to be DECODED.
+    */
+  def writeBmpFixtureTree(documents: DataFrame, dir: String,
+                          maxDocId: Long = 256L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val pat = "img_\\d+\\.bmp".r
+    val old = Files.list(base)
+    try old.forEach { p =>
+      if (pat.pattern.matcher(p.getFileName.toString).matches())
+        Files.delete(p)
+    } finally old.close()
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val (w, h) = (bmpWidth(text.length.toLong), bmpHeight(id))
+        Files.write(base.resolve(s"img_$id.bmp"),
+          bmpBytes(w, h, bmpPixel(text, w)))
+      }
+  }
+
+  /** Decode a `binaryFile` frame of BMPs through javax.imageio,
+    * executor-side, one reader amortized per partition batch — blobs
+    * ride the scan and are dropped at decode; only (doc_id, dims, sums)
+    * metadata ever reaches an exchange. At 100 TB this is the shape a
+    * real codec (libvips/ffmpeg via JNI) drops into: the per-partition
+    * iterator is where codec init amortizes.
+    */
+  def decodeImages(spark: SparkSession, files: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    files
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable BMP for doc $id")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(id, img.getWidth.toLong, img.getHeight.toLong,
+            sr, sg, sb, img.getWidth.toLong * img.getHeight)
+        }
+      }
+  }
+
+  /** Nearest-neighbor 2× downscale over REAL decoded rasters (keep
+    * pixels with even x AND even y), emitting the resized dims + exact
+    * channel sums — the resize path fed by actual pixels, replacing the
+    * byte-stride stand-in for images. Same decode batch shape; the
+    * resample loop body is where a real resampler drops in.
+    */
+  def resizeDecoded(spark: SparkSession, files: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    files
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable BMP for doc $id")
+          val (nw, nh) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              val rgb = img.getRGB(x * 2, y * 2)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          DecodedImage(id, nw.toLong, nh.toLong, sr, sg, sb,
+            nw.toLong * nh)
+        }
+      }
+  }
+
+  /** The generation formula as SQL: dims + per-pixel channel values
+    * over `documents`, shared by both decode oracles. */
+  private def bmpPixelsSql(maxDocId: Long): String =
+    s"""SELECT doc_id, w, h,
+       |  ascii(substr(text, CAST(p % n AS INT) + 1, 1)) AS c, p
+       |FROM (
+       |  SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS p
+       |  FROM (
+       |    SELECT doc_id, text, length(text) AS n,
+       |      1 + (length(text) % 13) AS w, 1 + (doc_id % 7) AS h
+       |    FROM documents
+       |    WHERE doc_id < $maxDocId AND text IS NOT NULL
+       |      AND length(text) > 0))""".stripMargin
+
+  /** Oracle: expected dims + exact channel sums from the pixel formula —
+    * agreement means write(bytes) → ImageIO decode round-tripped every
+    * pixel of every raster. */
+  def decodeImagesOracle(maxDocId: Long = 256L): String =
+    s"""WITH v AS (${bmpPixelsSql(maxDocId)})
+       |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(sum(c) AS BIGINT) AS sum_r,
+       |  CAST(sum((c * 3 + p) % 256) AS BIGINT) AS sum_g,
+       |  CAST(sum((c + p * 7) % 256) AS BIGINT) AS sum_b,
+       |  CAST(count(*) AS BIGINT) AS n_px
+       |FROM v GROUP BY 1, 2, 3""".stripMargin
+
+  /** Oracle for the decoded-raster 2× downscale: same formula filtered
+    * to even (x, y) = (p mod w, p div w). */
+  def resizeDecodedOracle(maxDocId: Long = 256L): String =
+    s"""WITH v AS (${bmpPixelsSql(maxDocId)})
+       |SELECT doc_id,
+       |  CAST((w + 1) // 2 AS BIGINT) AS width,
+       |  CAST((h + 1) // 2 AS BIGINT) AS height,
+       |  CAST(sum(c) AS BIGINT) AS sum_r,
+       |  CAST(sum((c * 3 + p) % 256) AS BIGINT) AS sum_g,
+       |  CAST(sum((c + p * 7) % 256) AS BIGINT) AS sum_b,
+       |  CAST(count(*) AS BIGINT) AS n_px
+       |FROM v
+       |WHERE (p % w) % 2 = 0 AND (p // w) % 2 = 0
+       |GROUP BY 1, w, h""".stripMargin
 
   /** End-to-end: pack → decode → features DataFrame. */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =

@@ -118,6 +118,88 @@ class Round10AdditionsSpec extends SparkSpec {
       ("s1", "gamma", 60L)))
   }
 
+  // ---- real image decode (VERDICT r9 item 2) ----
+
+  test("bmpBytes -> ImageIO: every pixel round-trips, including row order, BGR, and padding") {
+    import graft.ops.MultimodalOps
+    // 3x2: w*3 = 9 -> one pad byte per row (exercises padding); an
+    // asymmetric pixel function catches any axis flip or bottom-up slip
+    def px(x: Int, y: Int) = (x * 40 + 10, y * 90 + 5, x * 20 + y * 60)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MultimodalOps.bmpBytes(3, 2, px)))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val rgb = img.getRGB(x, y)
+      val got = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      assert(got == px(x, y), s"pixel ($x,$y): $got != ${px(x, y)}")
+    }
+  }
+
+  test("decodeImages: decoded dims and channel sums match the generation formula per doc") {
+    import graft.ops.MultimodalOps
+    val docs = Seq((0L, "abcdefg"), (3L, "Z"), (12L, "pixel data here ok"))
+      .map { case (i, t) => (i, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("bmp_spec").toString
+    try {
+      MultimodalOps.writeBmpFixtureTree(docs, dir)
+      val got = MultimodalOps.decodeImages(spark,
+          spark.read.format("binaryFile").load(dir))
+        .collect().map(d => d.doc_id -> d).toMap
+      Seq((0L, "abcdefg"), (3L, "Z"), (12L, "pixel data here ok")).foreach {
+        case (id, text) =>
+          val w = MultimodalOps.bmpWidth(text.length.toLong)
+          val h = MultimodalOps.bmpHeight(id)
+          val pts = for (y <- 0 until h; x <- 0 until w)
+            yield MultimodalOps.bmpPixel(text, w)(x, y)
+          val d = got(id)
+          assert(d.width == w && d.height == h && d.n_px == w.toLong * h)
+          assert(d.sum_r == pts.map(_._1.toLong).sum)
+          assert(d.sum_g == pts.map(_._2.toLong).sum)
+          assert(d.sum_b == pts.map(_._3.toLong).sum)
+      }
+    } finally graft.ops.FixtureDirs.rmTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("resizeDecoded: 2x nearest-neighbor keeps even (x, y) pixels of the REAL raster") {
+    import graft.ops.MultimodalOps
+    val docs = Seq((5L, "downscale me with real bytes", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("bmp_rs").toString
+    try {
+      MultimodalOps.writeBmpFixtureTree(docs, dir)
+      val files = spark.read.format("binaryFile").load(dir)
+      val d = MultimodalOps.resizeDecoded(spark, files).collect().head
+      val text = "downscale me with real bytes"
+      val w = MultimodalOps.bmpWidth(text.length.toLong)
+      val h = MultimodalOps.bmpHeight(5L)
+      val sampled = for {
+        y <- 0 until h if y % 2 == 0
+        x <- 0 until w if x % 2 == 0
+      } yield MultimodalOps.bmpPixel(text, w)(x, y)
+      assert(d.width == (w + 1) / 2 && d.height == (h + 1) / 2)
+      assert(d.n_px == sampled.size.toLong)
+      assert((d.sum_r, d.sum_g, d.sum_b) ==
+        ((sampled.map(_._1.toLong).sum, sampled.map(_._2.toLong).sum,
+          sampled.map(_._3.toLong).sum)))
+    } finally graft.ops.FixtureDirs.rmTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("decodeImages: an undecodable payload fails LOUDLY, not as silent nulls") {
+    import graft.ops.MultimodalOps
+    val dir = java.nio.file.Files.createTempDirectory("bmp_bad")
+    try {
+      java.nio.file.Files.write(dir.resolve("img_7.bmp"),
+        "this is not a bitmap".getBytes)
+      val ex = intercept[org.apache.spark.SparkException] {
+        MultimodalOps.decodeImages(spark,
+          spark.read.format("binaryFile").load(dir.toString)).collect()
+      }
+      assert(ex.getMessage.contains("undecodable") ||
+        Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
+    } finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
   test("guaranteed bound is overflow-free (ADVICE r9): div form matches exact BigInt semantics at Long extremes") {
     // the old cnt * (capacity+1) form overflows Long once cnt exceeds
     // ~Long.MaxValue/(m+1) (ANSI: query error; non-ANSI: silent wrap to
