@@ -145,14 +145,32 @@ object DedupOps {
     * jaccard ≥ minJaccard.
     */
   def minhashPairs(corpus: DataFrame, minJaccard: Double = 0.5,
-                   cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    minhashPairsShingled(withShingles(corpus), minJaccard, cacheLevel)
+                   cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                   maxBucket: Int = defaultMaxBucket): DataFrame =
+    minhashPairsShingled(withShingles(corpus), minJaccard, cacheLevel, maxBucket)
+
+  /** Hot-bucket candidate cap (VERDICT r9 item 3). A band bucket of B
+    * docs yields B²/2 candidate pairs — the round-9 ladder measured the
+    * clique blowup when a corpus homogenizes (80 → 1.3M pairs at 100×,
+    * PLANS.md split-leakage). The streaming dedup has carried a
+    * hot-bucket cap + loud sentinel since round 8; this is the batch
+    * twin: per (band, band_key) only the `maxBucket` SMALLEST doc_ids
+    * enter the self-join (deterministic truncation), so a degenerate
+    * bucket costs O(cap²) instead of melting an executor. The default
+    * keeps every healthy fixture bucket intact — the cap is a fuse, not
+    * a sampler. Overflow is LOUD, not silent: [[minhashBucketStats]] is
+    * the registered, oracle-checked audit reporting bucket sizes and
+    * dropped counts under the same cap; run it whenever the pair surface
+    * feeds a correctness-sensitive consumer.
+    */
+  val defaultMaxBucket: Int = 1024
 
   /** [[minhashPairs]] over a PRE-SHINGLED corpus (a `shingles` column as
     * [[withShingles]] derives it) — lets a composed caller
     * ([[dedupRecall]]) shingle once for several pipelines (review-2). */
   private[ops] def minhashPairsShingled(shingled: DataFrame, minJaccard: Double,
-                                        cacheLevel: StorageLevel): DataFrame = {
+                                        cacheLevel: StorageLevel,
+                                        maxBucket: Int = defaultMaxBucket): DataFrame = {
     // The shingled+signed corpus is referenced by four plan branches
     // (both self-join sides + both candidate-set joins); without caching,
     // Spark re-scans and re-hashes the corpus once PER REFERENCE (12
@@ -169,9 +187,19 @@ object DedupOps {
       .withColumn("shingle_set", array_distinct(col("shingles")))
       .persist(cacheLevel)
 
-    val bands = sh.select(col("doc_id"), posexplode(expr(
+    val bandsAll = sh.select(col("doc_id"), posexplode(expr(
       "transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * 4 + 1, 4)))")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
+    // hot-bucket fuse: cap each band bucket at maxBucket docs BEFORE the
+    // self-join — counting to the cap is O(bucket) in one keyed window
+    // (keys = #buckets, no parallelism cliff); the quadratic blowup never
+    // materializes. Truncation keeps the smallest doc_ids (deterministic).
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "band_key").orderBy("doc_id")
+    val bands = bandsAll
+      .withColumn("bn", row_number().over(wBucket))
+      .filter(col("bn") <= maxBucket).drop("bn")
 
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -195,6 +223,62 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** BUCKET-SKEW AUDIT for the banded-LSH pair surface — the loud half
+    * of the hot-bucket cap: the top-k band buckets by size, each with
+    * the candidate-pair mass it drives (n·(n−1)/2), the docs the cap
+    * would drop, and the overflow verdict. On a healthy corpus every
+    * `overflowed` is false and `dropped_n` is 0 — the audit PROVES the
+    * cap never bit; on a homogenizing corpus the top rows show exactly
+    * where the quadratic mass concentrates, before the pair join runs.
+    * One bands pass + a count aggregate keyed by bucket; the global
+    * top-k rank runs over bucket-count metadata (the
+    * [[graft.ops.LayoutOps]] inventory-window class), never doc rows.
+    */
+  def minhashBucketStats(corpus: DataFrame, k: Int = 20,
+                         maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val sh = withShingles(corpus)
+      .withColumn("sig", graft.functions.native.minhashSig(col("shingles"), 16))
+    val bands = sh.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * 4 + 1, 4)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_n").desc, col("band").asc, col("band_key").asc)
+    bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("band").cast("long").as("band"), col("band_key"),
+        col("bucket_n"),
+        expr("bucket_n * (bucket_n - 1) div 2").as("cand_pairs"),
+        greatest(col("bucket_n") - maxBucket, lit(0L)).as("dropped_n"),
+        (col("bucket_n") > maxBucket).as("overflowed"))
+  }
+
+  /** Same bands derivation as [[minhashPairsOracle]], aggregated to
+    * bucket sizes with the same cap arithmetic and top-k tiebreak. */
+  def minhashBucketStatsOracle(k: Int = 20,
+                               maxBucket: Int = defaultMaxBucket): String =
+    s"""$corpusShingledCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16), p ->
+       |      list_min(list_transform(shingles, s ->
+       |        ${Hashing.hash64Duck("CAST(p AS VARCHAR) || ':' || s")}))) AS sig
+       |  FROM shingled),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+       |  FROM sigs, range(0, 4) t(b)),
+       |sized AS (
+       |  SELECT band, band_key, CAST(count(*) AS BIGINT) AS bucket_n,
+       |    row_number() OVER (ORDER BY count(*) DESC, band ASC, band_key ASC) AS rn
+       |  FROM bands GROUP BY 1, 2)
+       |SELECT band, band_key, bucket_n,
+       |  CAST(bucket_n * (bucket_n - 1) // 2 AS BIGINT) AS cand_pairs,
+       |  CAST(greatest(bucket_n - $maxBucket, 0) AS BIGINT) AS dropped_n,
+       |  bucket_n > $maxBucket AS overflowed
+       |FROM sized WHERE rn <= $k""".stripMargin
 
   /** SPLIT-LEAKAGE audit — the split-integrity gate a training pipeline
     * runs before shipping data: near-dup pairs whose two documents land
