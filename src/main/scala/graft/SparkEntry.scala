@@ -110,6 +110,12 @@ object SparkEntry {
     "dedup_docs_exact" -> ((s, dir) => DedupOps.exactDedup(DedupOps.augmented(D(s, dir)))),
     "minhash_signatures" -> ((s, dir) => DedupOps.minhashSignatures(DedupOps.augmented(D(s, dir)))),
     "dedup_minhash" -> ((s, dir) => DedupOps.minhashPairs(DedupOps.augmented(D(s, dir)))),
+    // the hot-bucket cap's loud half (VERDICT r10 item 2): top-k band
+    // buckets by size with the candidate-pair mass, drop counts and the
+    // overflow verdict under the same cap the pair surface applies — on
+    // a healthy corpus every row PROVES the cap never bit
+    "minhash_bucket_stats" -> ((s, dir) =>
+      DedupOps.minhashBucketStats(DedupOps.augmented(D(s, dir)))),
     // split-integrity gate: near-dup pairs crossing the train/valid/test
     // hash-split boundary (leaked eval signal the id-hash split cannot
     // see); same corpus as dedup_minhash so the pair surface matches
@@ -142,6 +148,10 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => SimilarityOps.ivfTopK(Tables.embeddings(s, dir))),
     "dedup_embedding" -> ((s, dir) => SimilarityOps.embeddingNearDup(Tables.embeddings(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => SimilarityOps.embeddingNearDupLsh(Tables.embeddings(s, dir))),
+    // embedding twin of minhash_bucket_stats: signature-bucket skew audit
+    // under the same cap the embedding pair surface applies
+    "embedding_bucket_stats" -> ((s, dir) =>
+      SimilarityOps.embeddingBucketStats(Tables.embeddings(s, dir))),
     // embedding-space twin of split_leakage: paraphrase-level leaks the
     // lexical audit cannot see; same corpus as dedup_embedding_lsh
     "split_leakage_semantic" -> ((s, dir) =>
@@ -754,6 +764,7 @@ object SparkEntry {
     "dedup_docs_exact" -> DedupOps.exactDedupSql,
     "minhash_signatures" -> DedupOps.minhashSignaturesOracle,
     "dedup_minhash" -> DedupOps.minhashPairsOracle,
+    "minhash_bucket_stats" -> DedupOps.minhashBucketStatsOracle(),
     "split_leakage" -> DedupOps.splitLeakageOracle,
     "leakage_safe_split" -> DedupOps.leakageSafeSplitOracle,
     "cross_source_dups" -> DedupOps.crossSourceDupMatrixOracle,
@@ -766,6 +777,7 @@ object SparkEntry {
     "ann_ivf" -> SimilarityOps.ivfTopKOracle,
     "dedup_embedding" -> SimilarityOps.embeddingNearDupOracle,
     "dedup_embedding_lsh" -> SimilarityOps.embeddingNearDupLshOracle(),
+    "embedding_bucket_stats" -> SimilarityOps.embeddingBucketStatsOracle(),
     "split_leakage_semantic" -> SimilarityOps.splitLeakageSemanticOracle(),
     "embedding_quantize" -> SimilarityOps.quantizeEmbeddingsOracle,
     "embedding_project" -> SimilarityOps.projectEmbeddingsOracle(),

@@ -365,16 +365,49 @@ object SimilarityOps {
     * threshold is near-1 with probe-1; verification is exact cosine.
     */
   def embeddingNearDupLsh(embeddings: DataFrame, minCos: Double = 0.999,
-                          nPlanes: Int = 8): DataFrame = {
-    val c = withNorm(augmentedEmbeddings(embeddings))
-      .select(col("vec_id"), col("emb"), col("norm"))
-      .withColumn("bucket", bucketExpr(nPlanes))
+                          nPlanes: Int = 8,
+                          maxBucket: Int = DedupOps.defaultMaxBucket): DataFrame = {
+    // hot-bucket fuse (VERDICT r10 item 3 — the embedding-homogeneity
+    // hazard the r9 ladder measured): same overflow-keys-only mechanism
+    // as the lexical pair surface ([[graft.ops.BucketCap.capBuckets]]);
+    // a healthy corpus keeps this exact plan unchanged, a flooded bucket
+    // is truncated to its maxBucket smallest vec_ids (deterministic) and
+    // audited by the registered `embedding_bucket_stats` query.
+    val c = BucketCap.capBuckets(
+      withNorm(augmentedEmbeddings(embeddings))
+        .select(col("vec_id"), col("emb"), col("norm"))
+        .withColumn("bucket", bucketExpr(nPlanes)),
+      Seq("bucket"), "vec_id", maxBucket)
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot("a.emb", "b.emb") / (col("a.norm") * col("b.norm"))).as("score"))
       .filter(col("score") >= minCos)
   }
+
+  /** BUCKET-SKEW AUDIT for the embedding LSH pair surface — the loud
+    * half of its hot-bucket cap and the [[DedupOps.minhashBucketStats]]
+    * twin: top-k signature buckets by population over the SAME augmented
+    * corpus the pair op sees, with the candidate-pair mass each drives,
+    * the vectors the cap would drop, and the overflow verdict. Healthy
+    * corpus ⇒ every `overflowed` false, `dropped_n` 0 — the audit PROVES
+    * the cap never bit. One bucketing pass (map-side DotFold per plane)
+    * + a count aggregate keyed by bucket; top-k via `orderBy.limit`
+    * (TakeOrderedAndProject over bucket-count metadata, never vectors).
+    */
+  def embeddingBucketStats(embeddings: DataFrame, k: Int = 20,
+                           nPlanes: Int = 8,
+                           maxBucket: Int = DedupOps.defaultMaxBucket): DataFrame =
+    withNorm(augmentedEmbeddings(embeddings))
+      .withColumn("bucket", bucketExpr(nPlanes))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .orderBy(col("bucket_n").desc, col("bucket").asc)
+      .limit(k)
+      .select(col("bucket"), col("bucket_n"),
+        expr("bucket_n * (bucket_n - 1) div 2").as("cand_pairs"),
+        greatest(col("bucket_n") - maxBucket, lit(0L)).as("dropped_n"),
+        (col("bucket_n") > maxBucket).as("overflowed"))
 
   /** SEMANTIC split-leakage audit — the embedding-space twin of
     * [[DedupOps.splitLeakage]]: near-identical VECTORS whose ids land in
@@ -743,6 +776,30 @@ object SimilarityOps {
        |FROM bucketed a JOIN bucketed b
        |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${duckDot("a.emb", "b.emb")} / (a.norm * b.norm) >= 0.999""".stripMargin
+
+  /** Same aug/bucketing CTEs as [[embeddingNearDupLshOracle]], aggregated
+    * to bucket sizes with the same cap arithmetic and top-k tiebreak as
+    * [[DedupOps.minhashBucketStatsOracle]]. */
+  def embeddingBucketStatsOracle(k: Int = 20, nPlanes: Int = 8,
+                                 maxBucket: Int = DedupOps.defaultMaxBucket): String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, embedding, label
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM aug),
+       |bucketed AS (
+       |  SELECT vec_id, ${duckBucket(nPlanes)} AS bucket FROM base),
+       |sized AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_n,
+       |    row_number() OVER (ORDER BY count(*) DESC, bucket ASC) AS rn
+       |  FROM bucketed GROUP BY 1)
+       |SELECT bucket, bucket_n,
+       |  CAST(bucket_n * (bucket_n - 1) // 2 AS BIGINT) AS cand_pairs,
+       |  CAST(greatest(bucket_n - $maxBucket, 0) AS BIGINT) AS dropped_n,
+       |  bucket_n > $maxBucket AS overflowed
+       |FROM sized WHERE rn <= $k""".stripMargin
 
   /** Measured ANN RECALL@k — the evaluation operator an ANN deployment
     * tunes its probe/table/cell knobs against: per query, the fraction
