@@ -140,6 +140,12 @@ object SparkEntry {
     "dedup_recall" -> ((s, dir) =>
       DedupOps.dedupRecall(DedupOps.augmented(D(s, dir)))
         .where(coalesce(col("recall"), lit(0.0)) >= 0.0)),
+    // the 100 TB formulation of the recall harness: exhaustive truth
+    // restricted to a content-addressed doc sample (seeded md5 bucket),
+    // so the estimator's quadratic side shrinks with the sample rate
+    "dedup_recall_sampled" -> ((s, dir) =>
+      DedupOps.dedupRecallSampled(DedupOps.augmented(D(s, dir)))
+        .where(coalesce(col("recall"), lit(0.0)) >= 0.0)),
     "simhash" -> ((s, dir) => DedupOps.simhash(DedupOps.augmented(D(s, dir)))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(DedupOps.augmented(D(s, dir)))),
     "dedup_prefix_editdist" -> ((s, dir) => DedupOps.editDistPairs(DedupOps.augmented(D(s, dir)))),
@@ -374,6 +380,18 @@ object SparkEntry {
       MultimodalOps.writeBmpFixtureTree(D(s, dir), fix)
       MultimodalOps.resizeDecoded(s,
         s.read.format("binaryFile").load(fix)).toDF()
+    }),
+    // second container format through the SAME decode gate (r11): the
+    // rasters re-encoded as PNG by ImageIO's writer (deflate, top-down,
+    // chunked — nothing the hand-rolled BMP layout exercises), decoded
+    // by the same executor-side path; the oracle is unchanged because
+    // the pixel formula is container-independent
+    "multimodal_decode_png" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_png", dir)
+      MultimodalOps.writePngFixtureTree(D(s, dir), fix)
+      MultimodalOps.decodeImages(s,
+        s.read.format("binaryFile").load(fix),
+        extPattern = "img_(\\d+)\\.png$").toDF()
     }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
@@ -770,6 +788,7 @@ object SparkEntry {
     "cross_source_dups" -> DedupOps.crossSourceDupMatrixOracle,
     "dedup_ngram_jaccard" -> DedupOps.ngramJaccardOracle,
     "dedup_recall" -> DedupOps.dedupRecallOracle(),
+    "dedup_recall_sampled" -> DedupOps.dedupRecallSampledOracle(),
     "simhash" -> DedupOps.simhashOracle,
     "dedup_simhash" -> DedupOps.simhashPairsOracle,
     "dedup_prefix_editdist" -> DedupOps.editDistPairsOracle(),
@@ -857,6 +876,7 @@ object SparkEntry {
     "multimodal_resize" -> MultimodalOps.resizeOracle,
     "multimodal_manifest" -> MultimodalOps.ingestManifestOracle(),
     "multimodal_decode" -> MultimodalOps.decodeImagesOracle(),
+    "multimodal_decode_png" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "ann_recall" -> SimilarityOps.annRecallOracle(),

@@ -326,6 +326,19 @@ object MultimodalOps {
     (c, (c * 3 + p) % 256, (c + p * 7) % 256)
   }
 
+  /** The formula above indexes UTF-16 code units (`charAt`,
+    * `text.length`) while the DuckDB oracle uses character semantics
+    * (`ascii(substr(...))`, `length(text)`) — identical ONLY over ASCII
+    * text, where chars == code units == bytes on both engines. The
+    * fixture writers enforce that precondition loudly instead of letting
+    * a non-ASCII document produce a silent cross-engine divergence. */
+  private def requireAsciiFixture(id: Long, text: String): Unit =
+    require(text.forall(_ < 128),
+      s"image-fixture pixel formula is defined over ASCII text (char and " +
+        s"byte semantics must agree between Scala and the DuckDB oracle); " +
+        s"doc $id contains non-ASCII — extend bmpPixelsSql to byte " +
+        s"arithmetic before widening the fixture domain")
+
   /** Hand-rolled uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up
     * rows, BGR byte order, rows padded to 4 bytes) — deliberately NOT
     * written through ImageIO, so the decode test has an independent
@@ -378,9 +391,55 @@ object MultimodalOps {
       .select(col("doc_id"), col("text")).collect()
       .foreach { r =>
         val (id, text) = (r.getLong(0), r.getString(1))
+        requireAsciiFixture(id, text)
         val (w, h) = (bmpWidth(text.length.toLong), bmpHeight(id))
         Files.write(base.resolve(s"img_$id.bmp"),
           bmpBytes(w, h, bmpPixel(text, w)))
+      }
+  }
+
+  /** Write the SAME rasters as PNG (`img_<id>.png`) — VERDICT r10 item
+    * 7: the decode gate must see a second container format so the
+    * ImageIO read path is proven general, not specialized to the
+    * hand-rolled BMP header layout. PNG goes through ImageIO's WRITER
+    * (deflate compression, top-down rows, big-endian chunk framing —
+    * none of which the BMP path exercises); the reader then has to undo
+    * a genuinely different encoding, and the DuckDB oracle still
+    * recomputes the expected sums from the generation formula, blind to
+    * both. Same bounded-collect lifecycle as [[writeBmpFixtureTree]]. */
+  def writePngFixtureTree(documents: DataFrame, dir: String,
+                          maxDocId: Long = 256L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val pat = "img_\\d+\\.png".r
+    val old = Files.list(base)
+    try old.forEach { p =>
+      if (pat.pattern.matcher(p.getFileName.toString).matches())
+        Files.delete(p)
+    } finally old.close()
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        requireAsciiFixture(id, text)
+        val (w, h) = (bmpWidth(text.length.toLong), bmpHeight(id))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (pr, pg, pb) = bmpPixel(text, w)(x, y)
+            img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
+            x += 1
+          }
+          y += 1
+        }
+        val ok = javax.imageio.ImageIO.write(img, "png",
+          base.resolve(s"img_$id.png").toFile)
+        require(ok, s"no PNG writer available for doc $id")
       }
   }
 
@@ -391,11 +450,17 @@ object MultimodalOps {
     * real codec (libvips/ffmpeg via JNI) drops into: the per-partition
     * iterator is where codec init amortizes.
     */
-  def decodeImages(spark: SparkSession, files: DataFrame): Dataset[DecodedImage] = {
+  def decodeImages(spark: SparkSession, files: DataFrame,
+                   extPattern: String = "img_(\\d+)\\.bmp$"): Dataset[DecodedImage] = {
     import spark.implicits._
     files
+      // ignore files outside the fixture naming scheme BEFORE the typed
+      // conversion — a stray path would regexp_extract to '' → null
+      // doc_id and fail the Dataset encoder with an opaque null-value
+      // error instead of the loud per-file `undecodable` require below
+      .filter(col("path").rlike(extPattern))
       .select(
-        regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1).cast("long")
+        regexp_extract(col("path"), extPattern, 1).cast("long")
           .as("doc_id"),
         col("content"))
       .as[(Long, Array[Byte])]
@@ -403,7 +468,7 @@ object MultimodalOps {
         batch.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"undecodable BMP for doc $id")
+          require(img != null, s"undecodable image for doc $id")
           var (sr, sg, sb) = (0L, 0L, 0L)
           var y = 0
           while (y < img.getHeight) {
@@ -429,11 +494,13 @@ object MultimodalOps {
     * byte-stride stand-in for images. Same decode batch shape; the
     * resample loop body is where a real resampler drops in.
     */
-  def resizeDecoded(spark: SparkSession, files: DataFrame): Dataset[DecodedImage] = {
+  def resizeDecoded(spark: SparkSession, files: DataFrame,
+                    extPattern: String = "img_(\\d+)\\.bmp$"): Dataset[DecodedImage] = {
     import spark.implicits._
     files
+      .filter(col("path").rlike(extPattern)) // same stray-file guard as decodeImages
       .select(
-        regexp_extract(col("path"), "img_(\\d+)\\.bmp$", 1).cast("long")
+        regexp_extract(col("path"), extPattern, 1).cast("long")
           .as("doc_id"),
         col("content"))
       .as[(Long, Array[Byte])]
@@ -441,7 +508,7 @@ object MultimodalOps {
         batch.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"undecodable BMP for doc $id")
+          require(img != null, s"undecodable image for doc $id")
           val (nw, nh) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var y = 0

@@ -316,8 +316,16 @@ object TextOps {
     */
   def qualityCalibrated(documents: DataFrame, p: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // CONTRACT: null-scored docs (null text) take no part in calibration
+    // — excluded from both the histogram AND the ranked rows. Without
+    // this explicit filter the exclusion would be an ACCIDENT of join
+    // semantics (null = null is false, so the equi-join back to the
+    // histogram drops them) while the histogram still counted them into
+    // n, silently shifting every percentile — a divergence from the
+    // windowed formulation this decomposition must stay bit-identical to.
     val scored = textStats(documents, keep = Seq("source"))
       .select("doc_id", "source", "quality_score")
+      .filter(col("quality_score").isNotNull)
     // one row per distinct (source, score): cnt, #rows strictly below, n
     val hist = scored.groupBy("source", "quality_score")
       .agg(count(lit(1)).as("cnt"))

@@ -107,6 +107,134 @@ class Round11AdditionsSpec extends SparkSpec {
     assert(uncapped.size == 28)
   }
 
+  // ---- sampled recall estimator (VERDICT r10 #4) ----
+
+  /** Near-dup corpus: 30 base docs, every third gets a first-token-dropped
+    * copy — enough planted pairs that a half-rate sample keeps several. */
+  private def nearDupCorpus = {
+    val base = (0L until 30L).map(i =>
+      (i, s"w$i alpha bravo charlie delta echo foxtrot golf_$i hotel india"))
+    val copies = base.filter(_._1 % 3 == 0).map { case (i, t) =>
+      (i + 1000L, t.substring(t.indexOf(' ') + 1))
+    }
+    (base ++ copies).toDF("doc_id", "text")
+  }
+
+  test("dedupRecallSampled brackets the exhaustive recall and shrinks the truth side") {
+    val full = DedupOps.dedupRecall(nearDupCorpus)
+      .select("n_truth", "n_found", "recall")
+      .as[(Long, Long, Double)].head()
+    val sampled = DedupOps.dedupRecallSampled(nearDupCorpus)
+      .select("sample_buckets", "n_truth", "n_found", "recall")
+      .as[(Long, Long, Long, Double)].head()
+    assert(full._1 > 0 && full._3 == 1.0)
+    assert(sampled._1 == 128L)
+    assert(sampled._2 > 0 && sampled._2 < full._1,
+      s"sample must keep SOME but not ALL truth pairs: ${sampled._2} of ${full._1}")
+    // found ⊆ truth on both sides; banding candidacy is pair-local, so a
+    // perfect full-corpus recall must survive restriction to the sample
+    assert(sampled._4 == full._3, s"sampled recall ${sampled._4} != full ${full._3}")
+  }
+
+  // ---- size-bounded broadcast regime for label joins (VERDICT r10 #5) ----
+
+  private def hasBroadcastJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+
+  /** Auto-broadcast would pick BHJ for ANY test-sized table (the desired
+    * size-based selection at scale) and mask the regime's hint — disable
+    * it so the explicit-hint difference is the only selector left. */
+  private def withoutAutoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("leakageSafeSplit: broadcast and shuffle regimes are label-identical; plans differ as selected") {
+    withoutAutoBroadcast {
+      val bcast = DedupOps.leakageSafeSplit(nearDupCorpus)
+      val shuffled = DedupOps.leakageSafeSplit(nearDupCorpus, broadcastMaxLabels = 0L)
+      assert(hasBroadcastJoin(bcast), "under the bound the labels must broadcast")
+      assert(!hasBroadcastJoin(shuffled), "past the bound the join must not broadcast")
+      val a = bcast.as[(Long, String)].collect().sortBy(_._1).toSeq
+      val b = shuffled.as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(a == b, "regimes must assign identical splits")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("dedupCanonical: broadcast and shuffle regimes pick identical representatives") {
+    withoutAutoBroadcast {
+      val clusters = DedupOps.nearDupClusters(nearDupCorpus)
+      val bcast = DedupOps.dedupCanonicalFrom(nearDupCorpus, clusters)
+      val shuffled = DedupOps.dedupCanonicalFrom(nearDupCorpus, clusters,
+        broadcastMaxLabels = 0L)
+      assert(hasBroadcastJoin(bcast) && !hasBroadcastJoin(shuffled))
+      val a = bcast.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      val b = shuffled.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(a == b, "regimes must pick identical representatives")
+      spark.catalog.clearCache()
+    }
+  }
+
+  // ---- second image container through the decode gate (VERDICT r10 #7) ----
+
+  test("PNG fixtures decode to the same formula sums as BMP — the reader is format-general") {
+    import graft.ops.MultimodalOps
+    val fixture = Seq((0L, "abcdefg"), (3L, "Z"), (12L, "pixel data here ok"))
+    val docs = fixture.map { case (i, t) => (i, t, "en", "s") }
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("png_spec").toString
+    try {
+      MultimodalOps.writePngFixtureTree(docs, dir)
+      val got = MultimodalOps.decodeImages(spark,
+          spark.read.format("binaryFile").load(dir),
+          extPattern = "img_(\\d+)\\.png$")
+        .collect().map(d => d.doc_id -> d).toMap
+      fixture.foreach { case (id, text) =>
+        val w = MultimodalOps.bmpWidth(text.length.toLong)
+        val h = MultimodalOps.bmpHeight(id)
+        val pts = for (y <- 0 until h; x <- 0 until w)
+          yield MultimodalOps.bmpPixel(text, w)(x, y)
+        val d = got(id)
+        assert(d.width == w && d.height == h && d.n_px == w.toLong * h)
+        assert((d.sum_r, d.sum_g, d.sum_b) ==
+          ((pts.map(_._1.toLong).sum, pts.map(_._2.toLong).sum,
+            pts.map(_._3.toLong).sum)), s"doc $id channel sums")
+      }
+    } finally graft.ops.FixtureDirs.rmTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("decodeImages ignores stray files outside the fixture naming scheme (ADVICE r10)") {
+    import graft.ops.MultimodalOps
+    val dir = java.nio.file.Files.createTempDirectory("bmp_stray")
+    try {
+      MultimodalOps.writeBmpFixtureTree(
+        Seq((1L, "stray guard doc", "en", "s"))
+          .toDF("doc_id", "text", "lang", "source"), dir.toString)
+      java.nio.file.Files.write(dir.resolve("README.txt"),
+        "not an image".getBytes)
+      val rows = MultimodalOps.decodeImages(spark,
+        spark.read.format("binaryFile").load(dir.toString)).collect()
+      assert(rows.map(_.doc_id).toSeq == Seq(1L),
+        "exactly the one fixture image must decode; the stray file is skipped")
+    } finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
+  test("fixture writers reject non-ASCII text LOUDLY (ADVICE r10: char vs byte semantics)") {
+    import graft.ops.MultimodalOps
+    val dir = java.nio.file.Files.createTempDirectory("bmp_utf8")
+    try {
+      val docs = Seq((2L, "café au lait", "fr", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+      val ex = intercept[IllegalArgumentException] {
+        MultimodalOps.writeBmpFixtureTree(docs, dir.toString)
+      }
+      assert(ex.getMessage.contains("ASCII"))
+    } finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
   test("embeddingBucketStats: flooded bucket audited; healthy corpus all-clear; plans carry no window") {
     val flooded = SimilarityOps.embeddingBucketStats(floodedEmbeddings,
         k = 3, maxBucket = 4)
