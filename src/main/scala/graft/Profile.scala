@@ -727,6 +727,89 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-r11 [factor]` — the round-11 ladder (VERDICT r10
+    // item 6): (a) the REAL-decode family at FILE-count scale — factor ×
+    // 256 BMP fixtures through one binaryFile listing + ImageIO decode +
+    // the 2× resample (decode cost is per-file ⇒ both must be linear);
+    // (b) the capped pair surfaces under a HOMOGENIZED-corpus amplifier —
+    // a flood clique of factor × 2048 byte-identical docs (and identical
+    // vectors) on top of the salted corpus, the regime the hot-bucket
+    // fuse exists for: uncapped, the flood's pair output is quadratic in
+    // factor (C(2048f, 2)); capped, it is pinned at C(1024, 2) while the
+    // linear costs (signatures, the bucket-count pre-pass, the rank over
+    // the flooded keys only) grow with the corpus. The uncapped control
+    // runs at factor ≤ 10 only (at 100× it would emit 2·10¹⁰ pairs — the
+    // cliff the fuse prevents, not a line to record); (c) the r9/r10
+    // latecomers that never got decade lines: k_anonymity,
+    // quality_calibrated (post null-contract fix), cross_source_dups,
+    // heavy_hitters_by_source.
+    if (args.headOption.contains("scale-r11")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      // --- (a) real decode: file-count scaling ---
+      val base256 = docs.filter(col("doc_id") < 256L).select("doc_id", "text")
+      val fileDocs = (0 until factor).map { k =>
+        if (k == 0) base256
+        else base256.select((col("doc_id") + lit(k * 256L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _)
+      val fix = MultimodalOps.fixtureDir(sfDir + s"_r11bmp$factor")
+      t(s"write_bmp_${factor}x256") {
+        MultimodalOps.writeBmpFixtureTree(fileDocs, fix,
+          maxDocId = 256L * factor); 256L * factor
+      }
+      val files = spark.read.format("binaryFile").load(fix)
+      t("multimodal_decode")(MultimodalOps.decodeImages(spark, files)
+        .toDF().where(col("n_px") > 0L).count())
+      t("multimodal_resize_real")(MultimodalOps.resizeDecoded(spark, files)
+        .toDF().where(col("n_px") > 0L).count())
+      // --- (b) capped pair surfaces, homogenized corpus ---
+      val floodText = "the very same homogenized document body repeated " +
+        "verbatim across the whole flood clique of this corpus"
+      val flood = spark.range(factor * 2048L)
+        .select((col("id") + 900000000L).as("doc_id"), lit(floodText).as("text"))
+      val mixed = DedupOps.augmented(docs).unionAll(flood)
+      mixed.persist(); t(s"flooded_docs_${factor}x")(mixed.count())
+      t("minhash_bucket_stats")(DedupOps.minhashBucketStats(mixed).count())
+      t("minhash_pairs_capped")(DedupOps.minhashPairs(mixed).count())
+      if (factor <= 10) {
+        spark.catalog.clearCache(); mixed.persist()
+        t("minhash_pairs_uncapped")(
+          DedupOps.minhashPairs(mixed, maxBucket = Int.MaxValue).count())
+      }
+      spark.catalog.clearCache(); mixed.unpersist()
+      val floodVecs = spark.range(factor * 2048L)
+        .select((col("id") + 900000000L).as("vec_id"),
+          expr("transform(sequence(1, 64), i -> float(0.1))").as("embedding"),
+          lit(0L).as("label"))
+      val mixedEmb = Tables.embeddings(spark, sfDir).unionAll(floodVecs)
+      mixedEmb.persist(); t(s"flooded_emb_${factor}x")(mixedEmb.count())
+      t("embedding_bucket_stats")(
+        SimilarityOps.embeddingBucketStats(mixedEmb).count())
+      t("embedding_lsh_capped")(
+        SimilarityOps.embeddingNearDupLsh(mixedEmb).count())
+      if (factor <= 10) {
+        t("embedding_lsh_uncapped")(SimilarityOps.embeddingNearDupLsh(
+          mixedEmb, maxBucket = Int.MaxValue).count())
+      }
+      mixedEmb.unpersist()
+      // --- (c) latecomers ---
+      val damp = amplifyDocs(docs, factor)
+        .withColumn("lang", concat(lit("l"), col("doc_id") % 3))
+        .withColumn("source", concat(lit("s"), col("doc_id") % 5))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
+      t("k_anonymity")(TextOps.kAnonymityGate(damp).count())
+      t("quality_calibrated")(TextOps.qualityCalibrated(damp)
+        .where(col("pct") >= 0.0).count())
+      t("heavy_hitters_by_source")(
+        FrequencyOps.heavyHittersBySource(damp).count())
+      spark.catalog.clearCache(); damp.persist()
+      t("cross_source_dups")(DedupOps.crossSourceDupMatrix(
+        damp.select("doc_id", "text", "source")).count())
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))
