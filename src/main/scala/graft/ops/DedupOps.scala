@@ -418,16 +418,26 @@ object DedupOps {
     * "independent" sources are partly the same data and their combined
     * mixing weight double-counts it. Input must carry (doc_id, text,
     * source); pairs come from the registered banded-LSH surface
-    * ([[minhashPairs]]), sources are attached by two doc_id equi-joins
-    * (the pair side is output-sized — Spark broadcasts it onto the
-    * corpus-sized map, the corpus never shuffles), and the cell key is
-    * least/greatest so the matrix is orientation-free. max is
+    * ([[minhashPairs]]), and sources are attached in ONE pass over the
+    * corpus-sized id→source map (r11): each pair EXPLODES into its two
+    * doc legs, the legs join the map once, and a pair-keyed aggregate
+    * folds the two tagged legs back into (src_a, src_b). The previous
+    * form ran two per-side equi-joins whose broadcast sides differed
+    * only by alias — no exchange reuse, so the corpus-sized map was
+    * scanned TWICE; at 100 TB that duplicate scan is the dominant term.
+    * The legs side is output-sized (2 × pairs) and the pair-keyed
+    * re-group shuffles legs only, never the corpus. Cell key is
+    * least/greatest so the matrix is orientation-free; max is
     * order-invariant, so the one IEEE division per pair hash-matches. */
   def crossSourceDupMatrix(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val src = corpus.select(col("doc_id"), col("source"))
-    minhashPairs(corpus.select("doc_id", "text"), minJaccard)
-      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
-      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+    val legs = minhashPairs(corpus.select("doc_id", "text"), minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    legs.join(src, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b", "jaccard")
+      .agg(min(when(col("doc_id") === col("doc_a"), col("source"))).as("src_a"),
+        min(when(col("doc_id") === col("doc_b"), col("source"))).as("src_b"))
       .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
         greatest(col("src_a"), col("src_b")).as("source_y"))
       .agg(count(lit(1)).cast("long").as("n_pairs"),

@@ -202,4 +202,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(FrequencyOps.heavyHittersBySource(emptyDocs).isEmpty)
     assert(FrequencyOps.heavyNgrams(emptyDocs).isEmpty)
   }
+
+  test("round-11 additions on empty input degrade cleanly, never throw") {
+    // bucket audits: zero buckets, zero rows — never a limit/window error
+    assert(DedupOps.minhashBucketStats(emptyDocs).isEmpty)
+    assert(SimilarityOps.embeddingBucketStats(emptyEmb).isEmpty)
+    // the fuse's pre-pass on an empty relation: no overflow keys, the
+    // input plan comes back unchanged (and empty)
+    assert(SimilarityOps.embeddingNearDupLsh(emptyEmb).isEmpty)
+    // sampled recall on an empty corpus: one defined summary row with
+    // n_truth = 0 and a NULL (nullif-guarded) recall — same contract as
+    // the exhaustive estimator
+    val r = DedupOps.dedupRecallSampled(emptyDocs).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("n_truth") == 0L
+      && r.head.isNullAt(r.head.fieldIndex("recall")))
+    spark.catalog.clearCache()
+  }
 }
