@@ -810,6 +810,61 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-recall [factor]` — the sampled-recall estimator's
+    // decade proof (VERDICT r10 item 4's measurement half): the
+    // exhaustive harness vs the content-addressed sampled one on the
+    // SAME amplified corpus, with the recall values printed so the
+    // agreement is part of the record. The sampled form's truth side
+    // shrinks quadratically with the sample rate (both endpoints must
+    // land in the sample), which is what lets the evaluation loop run
+    // at corpus scales where the exhaustive form cannot.
+    if (args.headOption.contains("scale-recall")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val amplified = amplifyDocs(DedupOps.augmented(docs), factor)
+      amplified.persist(); t(s"amplify_docs_${factor}x")(amplified.count())
+      def recallLine(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+        t(name) {
+          val r = df.collect().head
+          val i = r.fieldIndex("recall")
+          println(f"[profile] $name%-28s n_truth=${r.getAs[Long]("n_truth")} " +
+            f"n_found=${r.getAs[Long]("n_found")} recall=" +
+            (if (r.isNullAt(i)) "null" else f"${r.getDouble(i)}%.4f"))
+          1L
+        }
+      recallLine("dedup_recall_exhaustive", DedupOps.dedupRecall(amplified))
+      // clearCache drops the pipelines' internal persists AND the
+      // amplified corpus — re-materialize the corpus OUTSIDE the timed
+      // region so each line times the estimator, not the amplifier
+      spark.catalog.clearCache(); amplified.persist(); amplified.count()
+      recallLine("dedup_recall_sampled_128",
+        DedupOps.dedupRecallSampled(amplified))
+      spark.catalog.clearCache(); amplified.persist(); amplified.count()
+      recallLine("dedup_recall_sampled_32",
+        DedupOps.dedupRecallSampled(amplified, sampleBuckets = 32))
+      amplified.unpersist()
+      spark.stop(); return
+    }
+
+    // `Profile scale-recall-stages [factor] [buckets]` — stage
+    // attribution inside the sampled-recall estimator (which sub-stage
+    // stops shrinking with the sample rate).
+    if (args.headOption.contains("scale-recall-stages")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val buckets = if (args.length > 2) args(2).toInt else 32
+      val amplified = amplifyDocs(DedupOps.augmented(docs), factor)
+      amplified.persist(); t(s"amplify_docs_${factor}x")(amplified.count())
+      val sampled = amplified.filter(DedupOps.sampleBucketCol("42") < buckets)
+      t("sampled_count")(sampled.count())
+      t("truth_ngram_jaccard")(DedupOps.ngramJaccardPairs(sampled).count())
+      spark.catalog.clearCache(); amplified.persist(); amplified.count()
+      t("found_minhash_pairs")(DedupOps.minhashPairs(sampled).count())
+      spark.catalog.clearCache(); amplified.persist(); amplified.count()
+      t("recall_full")(DedupOps.dedupRecallSampled(amplified,
+        sampleBuckets = buckets).count())
+      amplified.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))

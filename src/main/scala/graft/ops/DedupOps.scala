@@ -484,16 +484,26 @@ object DedupOps {
     */
   def ngramJaccardPairs(corpus: DataFrame, minJaccard: Double = 0.5,
                         maxShingleDf: Int = 64,
-                        cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+                        cacheLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                        maxHashBuildRows: Long = MaxHashBuildRowsPerPartition): DataFrame =
     ngramJaccardPairsShingled(withShingles(corpus), minJaccard, maxShingleDf,
-      cacheLevel)
+      cacheLevel, maxHashBuildRows)
+
+  /** Per-partition build-row bound for FORCING the shuffle-hash form of
+    * the inverted-index self-join: ~250k (doc_id, shingle) rows ≈
+    * 50–80 MB of UnsafeHashedRelation — inside one task's execution-
+    * memory share on an 8 GB local heap and trivially inside a cluster
+    * executor's. Past it the unspillable forced build is the wrong plan
+    * regardless of heap size; sort-merge spills and finishes. */
+  val MaxHashBuildRowsPerPartition: Long = 250000L
 
   /** [[ngramJaccardPairs]] over a pre-shingled corpus — see
     * [[minhashPairsShingled]]. */
   private[ops] def ngramJaccardPairsShingled(shingled: DataFrame,
                                              minJaccard: Double,
                                              maxShingleDf: Int,
-                                             cacheLevel: StorageLevel): DataFrame = {
+                                             cacheLevel: StorageLevel,
+                                             maxHashBuildRows: Long = MaxHashBuildRowsPerPartition): DataFrame = {
     val inv = shingled
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
     // df-cap via a windowed count: shares the shingle hash partitioning
@@ -510,8 +520,21 @@ object DedupOps {
     // shuffle-hash, not broadcast: both sides are corpus-sized — at scale
     // a broadcast of the inverted index would OOM the executors, and even
     // locally building a 300k-entry map per task loses to a partitioned
-    // hash join on the shingle key.
-    rare.as("x").join(rare.as("y").hint("shuffle_hash"),
+    // hash join on the shingle key. BUT a FORCED hash build cannot spill:
+    // the r11 century ladder measured SparkOutOfMemoryError at 100×
+    // (583k docs → ~17M index rows → ~530k-row UnsafeHashedRelation per
+    // partition, past one 32-task share of an 8 GB heap). Regime-select
+    // the hint by the MEASURED index size — the count materializes the
+    // persist all three join branches consume anyway, a cache-priming
+    // pre-pass, not extra work. Over the per-partition bound, drop the
+    // hint and let Spark plan sort-merge, which SPILLS and finishes.
+    val parts = math.max(
+      shingled.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ySide =
+      if (rare.count() / parts <= maxHashBuildRows)
+        rare.as("y").hint("shuffle_hash")
+      else rare.as("y")
+    rare.as("x").join(ySide,
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))

@@ -178,6 +178,23 @@ class Round11AdditionsSpec extends SparkSpec {
     }
   }
 
+  // ---- spill-safe regime for the inverted-index self-join ----
+
+  test("ngramJaccardPairs: forced shuffle-hash only under the build bound; regimes pair-identical") {
+    def plan(maxRows: Long) = DedupOps.ngramJaccardPairs(nearDupCorpus,
+      maxHashBuildRows = maxRows)
+    val hashed = plan(DedupOps.MaxHashBuildRowsPerPartition)
+    val merged = plan(0L)
+    assert(hashed.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "small index must keep the measured-faster forced hash build")
+    assert(!merged.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "past the bound the unspillable forced build must yield to sort-merge")
+    val a = hashed.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = merged.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b && a.nonEmpty, "regimes must emit identical pairs")
+    spark.catalog.clearCache()
+  }
+
   // ---- second image container through the decode gate (VERDICT r10 #7) ----
 
   test("PNG fixtures decode to the same formula sums as BMP — the reader is format-general") {
