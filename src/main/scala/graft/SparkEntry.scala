@@ -452,6 +452,11 @@ object SparkEntry {
     "gopher_gate" -> ((s, dir) =>
       TextOps.gopherGate(D(s, dir)).where(col("keep") >= 0L)),
     "decontaminate" -> ((s, dir) => DedupOps.decontaminate(D(s, dir))),
+    // span-level localization of the benchmark overlap (r11): the merged
+    // token intervals a surgical pipeline redacts instead of dropping
+    // whole documents, and the redaction itself (row-for-row corpus out)
+    "decontaminate_spans" -> ((s, dir) => DedupOps.decontaminateSpans(D(s, dir))),
+    "decontaminate_surgical" -> ((s, dir) => DedupOps.decontaminateSurgical(D(s, dir))),
     // bloom-prefiltered twin: byte-identical output, broadcast-bloom plan
     "bloom_decontaminate" -> ((s, dir) => DedupOps.bloomDecontaminate(D(s, dir))),
     // fractional per-doc benchmark overlap (decontaminate is the binary
@@ -901,6 +906,8 @@ object SparkEntry {
     "boilerplate_strip" -> DedupOps.boilerplateStripOracle(),
     "gopher_gate" -> TextOps.gopherGateOracle(textStatsSql),
     "decontaminate" -> DedupOps.decontaminateOracle(),
+    "decontaminate_spans" -> DedupOps.decontaminateSpansOracle(),
+    "decontaminate_surgical" -> DedupOps.decontaminateSurgicalOracle(),
     // bloom prefilter + exact confirm ≡ exact decontamination (no false
     // negatives in a Bloom filter), so the oracle is shared verbatim
     "bloom_decontaminate" -> DedupOps.decontaminateOracle(),

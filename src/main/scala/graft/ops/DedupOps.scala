@@ -1111,6 +1111,132 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** B8k-spans — SPAN-LEVEL decontamination audit: WHERE the benchmark
+    * overlap sits, not just which documents carry it. For every training
+    * document, the disjoint token intervals [span_start, span_end]
+    * (1-based, inclusive) covered by benchmark n-grams, overlapping and
+    * adjacent hits merged — the input a surgical pipeline redacts
+    * instead of dropping whole documents ([[decontaminate]] is the
+    * drop-gate; production pipelines prefer redaction when the
+    * contaminated span is a quote inside an otherwise-novel document).
+    *
+    * Scale shape: the benchmark digest set broadcasts exactly as in
+    * [[decontaminate]]; gram POSITIONS are marked map-side by the
+    * broadcast semi-join, so the interval-merge windows run over HIT
+    * positions only — contamination-mass-sized, not corpus-sized — in
+    * one doc_id exchange (the [[substringDedup]] merge idiom, token
+    * space instead of character space).
+    */
+  def decontaminateSpans(documents: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bench = gramDigests(documents.filter(col("doc_id") % 50 === 0), n)
+      .select("g").distinct()
+    val hits = documents.filter(col("doc_id") % 50 =!= 0)
+      .withColumn("toks", split(col("text"), " ", -1))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> md5(concat_ws(' ', slice(toks, i + 1, $n))))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("g"))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .withColumn("e", col("i") + lit(n - 1).cast("long"))
+    val wd = Window.partitionBy("doc_id").orderBy("i")
+    hits
+      .withColumn("prev_max_e",
+        max(col("e")).over(wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newgrp",
+        when(col("prev_max_e").isNull || col("i") > col("prev_max_e") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp",
+        sum(col("newgrp")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("i").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_toks"))
+  }
+
+  /** B8k-surgical — SURGICAL decontamination: the redaction
+    * [[decontaminateSpans]] feeds — every training document re-emitted
+    * with its contaminated token spans removed (clean documents pass
+    * through untouched; a fully-contaminated document becomes the empty
+    * string, NOT a dropped row — the output is the corpus, row-for-row).
+    * Reassembly is map-side per document after one join against the
+    * contamination-sized span table: an indexed `filter` drops the
+    * covered tokens, `concat_ws` restores the single-space form the
+    * tokenizer assumes. Per-token cost is O(spans of that doc) — spans
+    * are merged-disjoint, so a pathological doc costs its contamination
+    * mass, never its length². */
+  def decontaminateSurgical(documents: DataFrame, n: Int = 8): DataFrame = {
+    val spans = decontaminateSpans(documents, n)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("ivs"))
+    documents.filter(col("doc_id") % 50 =!= 0)
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ivs").isNull, col("text")).otherwise(expr(
+          """concat_ws(' ', filter(split(text, ' ', -1),
+            |  (t, p) -> size(filter(ivs,
+            |    iv -> p + 1 >= iv.s AND p + 1 <= iv.e)) = 0))""".stripMargin))
+          .as("text_clean"))
+  }
+
+  /** Positional gram CTE twin of [[gramCtes]] (positions KEPT — spans
+    * need them) + the same interval-merge arithmetic as the Spark side. */
+  private def gramPosCtes(n: Int): String =
+    s"""WITH gpos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |    md5(array_to_string(toks[i:i+${n - 1}], ' ')) AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |       (SELECT unnest(range(1,
+       |          (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) FROM documents)))
+       |        AS i) t
+       |  WHERE len(toks) >= $n AND i <= len(toks) - ${n - 1}),
+       |bench AS (SELECT DISTINCT g FROM gpos WHERE doc_id % 50 = 0),
+       |hits AS (
+       |  SELECT doc_id, i, i + ${n - 1} AS e FROM gpos
+       |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)),
+       |marked AS (
+       |  SELECT doc_id, i, e,
+       |    CASE WHEN i > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS newgrp
+       |  FROM hits),
+       |grouped AS (
+       |  SELECT doc_id, i, e,
+       |    sum(newgrp) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM marked),
+       |spans AS (
+       |  SELECT doc_id, min(i) AS span_start, max(e) AS span_end
+       |  FROM grouped GROUP BY doc_id, grp)""".stripMargin
+
+  def decontaminateSpansOracle(n: Int = 8): String =
+    s"""${gramPosCtes(n)}
+       |SELECT doc_id, span_start, span_end,
+       |  span_end - span_start + 1 AS span_toks
+       |FROM spans""".stripMargin
+
+  def decontaminateSurgicalOracle(n: Int = 8): String =
+    s"""${gramPosCtes(n)},
+       |tok AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i] AS t
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |        WHERE doc_id % 50 <> 0),
+       |       (SELECT unnest(range(1,
+       |          (SELECT CAST(max(len(string_split(text, ' '))) AS BIGINT) FROM documents) + 1))
+       |        AS i) r
+       |  WHERE i <= len(toks)),
+       |kept AS (
+       |  SELECT tok.doc_id, i, t FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = tok.doc_id AND i BETWEEN s.span_start AND s.span_end)),
+       |joined AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(j.text_clean, '') AS text_clean
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+       |LEFT JOIN joined j USING (doc_id)""".stripMargin
+
   /** B8k-frac — FRACTIONAL contamination scoring: [[decontaminate]] is
     * the binary gate; this is the metric pipelines actually report (and
     * threshold more finely than any-overlap): per training document, the

@@ -216,6 +216,9 @@ class EmptyInputSpec extends SparkSpec {
     val r = DedupOps.dedupRecallSampled(emptyDocs).collect()
     assert(r.length == 1 && r.head.getAs[Long]("n_truth") == 0L
       && r.head.isNullAt(r.head.fieldIndex("recall")))
+    // span-level decontamination: no docs, no spans, no redacted rows
+    assert(DedupOps.decontaminateSpans(emptyDocs).isEmpty)
+    assert(DedupOps.decontaminateSurgical(emptyDocs).isEmpty)
     spark.catalog.clearCache()
   }
 }

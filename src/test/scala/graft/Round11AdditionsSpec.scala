@@ -195,6 +195,39 @@ class Round11AdditionsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // ---- span-level / surgical decontamination ----
+
+  test("decontaminateSpans: merged token intervals localize the benchmark overlap exactly") {
+    // doc 0 is the benchmark side (0 % 50 == 0): 9 tokens = two
+    // overlapping 8-grams; doc 1 embeds the 8-token prefix mid-document;
+    // doc 2 carries the whole 9-token run (two hits -> ONE merged span);
+    // doc 3 is clean
+    val docs = Seq(
+      (0L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+      (1L, "t1 t2 t3 b1 b2 b3 b4 b5 b6 b7 b8 t12 t13"),
+      (2L, "x1 b1 b2 b3 b4 b5 b6 b7 b8 b9 x11"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val spans = DedupOps.decontaminateSpans(docs)
+      .select("doc_id", "span_start", "span_end", "span_toks")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 4L, 11L, 8L), (2L, 2L, 10L, 9L)),
+      s"got spans: $spans")
+  }
+
+  test("decontaminateSurgical: spans redacted, clean docs verbatim, full contamination -> empty row") {
+    val docs = Seq(
+      (0L, "b1 b2 b3 b4 b5 b6 b7 b8"),
+      (1L, "t1 t2 t3 b1 b2 b3 b4 b5 b6 b7 b8 t12 t13"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8"), // fully contaminated training doc
+      (3L, "c1 c2 c3")).toDF("doc_id", "text")
+    val out = DedupOps.decontaminateSurgical(docs)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "t1 t2 t3 t12 t13",
+      2L -> "", // row kept, text emptied - the corpus is row-for-row
+      3L -> "c1 c2 c3"), s"got: $out")
+  }
+
   // ---- second image container through the decode gate (VERDICT r10 #7) ----
 
   test("PNG fixtures decode to the same formula sums as BMP — the reader is format-general") {
