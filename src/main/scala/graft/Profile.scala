@@ -845,6 +845,25 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-spans [factor]` — decade lines for the span-level /
+    // surgical decontamination pair. The amplifier preserves the
+    // %-50 bench/train split (copy shifts are multiples of 50) and the
+    // positional salt keeps cross-copy grams disjoint, so the benchmark
+    // digest broadcast grows linearly and hit mass stays bounded; the
+    // gram-digest scan dominates and must be linear.
+    if (args.headOption.contains("scale-spans")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val damp = amplifyDocs(DedupOps.augmented(docs), factor)
+      damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
+      t("decontaminate_spans")(DedupOps.decontaminateSpans(damp).count())
+      spark.catalog.clearCache(); damp.persist(); damp.count()
+      // same count-prune guard as the registered query
+      t("decontaminate_surgical")(DedupOps.decontaminateSurgical(damp)
+        .where(length(col("text_clean")) >= 0).count())
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile scale-recall-stages [factor] [buckets]` — stage
     // attribution inside the sampled-recall estimator (which sub-stage
     // stops shrinking with the sample rate).

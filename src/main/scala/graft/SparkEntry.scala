@@ -456,7 +456,12 @@ object SparkEntry {
     // token intervals a surgical pipeline redacts instead of dropping
     // whole documents, and the redaction itself (row-for-row corpus out)
     "decontaminate_spans" -> ((s, dir) => DedupOps.decontaminateSpans(D(s, dir))),
-    "decontaminate_surgical" -> ((s, dir) => DedupOps.decontaminateSurgical(D(s, dir))),
+    // the length guard is the count-prune no-op (caught by `Profile
+    // count-prune`: a bare count() lets Catalyst drop BOTH joins and
+    // would time a pruned plan, not the redaction)
+    "decontaminate_surgical" -> ((s, dir) =>
+      DedupOps.decontaminateSurgical(D(s, dir))
+        .where(length(col("text_clean")) >= 0)),
     // bloom-prefiltered twin: byte-identical output, broadcast-bloom plan
     "bloom_decontaminate" -> ((s, dir) => DedupOps.bloomDecontaminate(D(s, dir))),
     // fractional per-doc benchmark overlap (decontaminate is the binary
