@@ -393,6 +393,18 @@ object SparkEntry {
         s.read.format("binaryFile").load(fix),
         extPattern = "img_(\\d+)\\.png$").toDF()
     }),
+    // REAL audio (round 12): deterministic 16-bit PCM WAV fixtures
+    // hand-rolled from documents by byte arithmetic, decoded
+    // executor-side through javax.sound.sampled; the oracle recomputes
+    // frame counts + exact per-channel sample sums + observed range
+    // from the generation formula — encoder, JDK decoder, and DuckDB
+    // must three-way agree on every sample
+    "multimodal_decode_wav" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_wav", dir)
+      MultimodalOps.writeWavFixtureTree(D(s, dir), fix)
+      MultimodalOps.decodeAudio(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+    }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     // measured recall@k of probe-1 LSH vs the exact brute-force top-k —
@@ -887,6 +899,7 @@ object SparkEntry {
     "multimodal_manifest" -> MultimodalOps.ingestManifestOracle(),
     "multimodal_decode" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_png" -> MultimodalOps.decodeImagesOracle(),
+    "multimodal_decode_wav" -> MultimodalOps.decodeAudioOracle(),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "ann_recall" -> SimilarityOps.annRecallOracle(),

@@ -530,8 +530,24 @@ object DedupOps {
     // hint and let Spark plan sort-merge, which SPILLS and finishes.
     val parts = math.max(
       shingled.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // Regime-select on the MEASURED MAX per-shuffle-partition build size,
+    // not the skew-blind average count/parts (ADVICE r11): a shingle-key
+    // distribution where some partitions carry several times the mean
+    // could still force the unspillable hash build past the bound.
+    // `pmod(hash(shingle), parts)` IS HashPartitioning's partition-id
+    // arithmetic (Murmur3, seed 42), so this probe computes the exact
+    // build-side row count of every shuffle partition of the join below;
+    // the max is the largest UnsafeHashedRelation any task would build.
+    // Still one aggregate over the persist all three join branches
+    // consume anyway (primes the cache exactly as the old count() did);
+    // the partial aggregation bounds the exchange at `parts` rows.
+    val maxPartRows = rare
+      .groupBy(pmod(hash(col("shingle")), lit(parts)).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max("__n"), lit(0L)).as("m"))
+      .head().getLong(0)
     val ySide =
-      if (rare.count() / parts <= maxHashBuildRows)
+      if (maxPartRows <= maxHashBuildRows)
         rare.as("y").hint("shuffle_hash")
       else rare.as("y")
     rare.as("x").join(ySide,
@@ -1173,11 +1189,17 @@ object DedupOps {
     documents.filter(col("doc_id") % 50 =!= 0)
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("ivs").isNull, col("text")).otherwise(expr(
-          """concat_ws(' ', filter(split(text, ' ', -1),
-            |  (t, p) -> size(filter(ivs,
-            |    iv -> p + 1 >= iv.s AND p + 1 <= iv.e)) = 0))""".stripMargin))
-          .as("text_clean"))
+        // coalesce, not a bare when: a null-text doc has no grams, so its
+        // ivs is null and the when-branch would pass the NULL through —
+        // and the registered query's length guard would then DROP the row
+        // while the oracle emits it as '' (ADVICE r11). The row-for-row
+        // contract says every training doc survives; null text ≡ ''.
+        coalesce(
+          when(col("ivs").isNull, col("text")).otherwise(expr(
+            """concat_ws(' ', filter(split(text, ' ', -1),
+              |  (t, p) -> size(filter(ivs,
+              |    iv -> p + 1 >= iv.s AND p + 1 <= iv.e)) = 0))""".stripMargin)),
+          lit("")).as("text_clean"))
   }
 
   /** Positional gram CTE twin of [[gramCtes]] (positions KEPT — spans

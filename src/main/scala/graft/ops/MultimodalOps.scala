@@ -25,6 +25,15 @@ case class ResizedAsset(doc_id: Long, orig_len: Long, new_len: Long,
 case class DecodedImage(doc_id: Long, width: Long, height: Long,
                         sum_r: Long, sum_g: Long, sum_b: Long, n_px: Long)
 
+/** A REAL decoded audio clip's stats: format metadata + exact
+  * per-channel sample sums (integer sums — bitwise hash-stable) and
+  * the sample range actually observed (pins signed 16-bit handling:
+  * an unsigned or byte-swapped read shifts min/max violently).
+  */
+case class DecodedAudio(doc_id: Long, n_channels: Long, sample_rate: Long,
+                        n_frames: Long, sum_ch0: Long, sum_ch1: Long,
+                        min_sample: Long, max_sample: Long)
+
 /** Multimodal column operators (SURVEY.md §7 B11).
   *
   * [[decodeStub]] is the GENERIC opaque-payload featurizer (length /
@@ -569,6 +578,178 @@ object MultimodalOps {
        |FROM v
        |WHERE (p % w) % 2 = 0 AND (p // w) % 2 = 0
        |GROUP BY 1, w, h""".stripMargin
+
+  // --------------------------------------------------------------------
+  // REAL audio decode (VERDICT r11 item 1): the `.aud` modality gets the
+  // same treatment images got in r10/r11 — deterministic 16-bit PCM WAV
+  // fixtures generated from the documents table by pure byte arithmetic
+  // (hand-rolled RIFF/WAVE/fmt/data framing — deliberately NOT written
+  // through javax.sound, so the decode test has an independent encoder
+  // on the other side), decoded executor-side through the JDK's
+  // javax.sound.sampled WAV reader (zero new dependencies, headless-
+  // safe: parsing a WAV touches no audio device). The DuckDB oracle
+  // recomputes frame counts + exact per-channel sample sums from the
+  // generation formula over `documents` — three-way agreement, so a
+  // byte misplaced anywhere (header field, frame interleave order,
+  // little-endian sample packing, sign handling) breaks the gate.
+  // --------------------------------------------------------------------
+
+  /** Fixture clip geometry + sample formula — ONE definition shared by
+    * the writer, the spec, and (as SQL, below) the oracle. Frame f of
+    * channel ch takes the text's char at (f·channels + ch) mod n; the
+    * multipliers are chosen so c·523 overflows 16 bits for most ASCII
+    * codes — the % 65536 genuinely wraps, so samples land on BOTH sides
+    * of zero and the signed round trip is exercised, not just the
+    * positive half. Channel count alternates mono/stereo by doc_id so
+    * the interleave order is under test, not a constant. */
+  def wavChannels(docId: Long): Int = (1L + docId % 2L).toInt
+  def wavFrames(nChars: Long): Int = (1L + nChars % 29L).toInt
+  val WavSampleRate: Int = 8000
+  def wavSample(text: String, channels: Int)(f: Int, ch: Int): Int = {
+    val c = text.charAt((f * channels + ch) % text.length).toInt & 0xff
+    ((c * 523 + f * 1031 + ch * 1733) % 65536) - 32768
+  }
+
+  /** Hand-rolled canonical 44-byte PCM WAV (RIFF little-endian, fmt
+    * chunk of 16, 16-bit signed samples interleaved by frame). */
+  def wavBytes(channels: Int, sampleRate: Int, frames: Int,
+               sample: (Int, Int) => Int): Array[Byte] = {
+    val dataSize = frames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+      .putInt(36 + dataSize)
+      .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+    buf.put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+      .putInt(16).putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    buf.put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+      .putInt(dataSize)
+    var f = 0
+    while (f < frames) {
+      var ch = 0
+      while (ch < channels) {
+        buf.putShort(sample(f, ch).toShort)
+        ch += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Write the WAV fixture tree (`aud_<id>.wav`, doc_id < maxDocId,
+    * non-empty text). Same bounded-collect + rebuild lifecycle as
+    * [[writeBmpFixtureTree]]. */
+  def writeWavFixtureTree(documents: DataFrame, dir: String,
+                          maxDocId: Long = 256L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val pat = "aud_\\d+\\.wav".r
+    val old = Files.list(base)
+    try old.forEach { p =>
+      if (pat.pattern.matcher(p.getFileName.toString).matches())
+        Files.delete(p)
+    } finally old.close()
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        requireAsciiFixture(id, text)
+        val chn = wavChannels(id)
+        Files.write(base.resolve(s"aud_$id.wav"),
+          wavBytes(chn, WavSampleRate, wavFrames(text.length.toLong),
+            wavSample(text, chn)))
+      }
+  }
+
+  /** Decode a `binaryFile` frame of WAVs through javax.sound.sampled,
+    * executor-side, per-partition batches — same shape as
+    * [[decodeImages]]: blobs ride the scan and are dropped at decode;
+    * only (doc_id, format, sums) metadata ever reaches an exchange. At
+    * 100 TB a real codec (ffmpeg via JNI) drops into the same iterator.
+    */
+  def decodeAudio(spark: SparkSession, files: DataFrame,
+                  extPattern: String = "aud_(\\d+)\\.wav$"): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    files
+      .filter(col("path").rlike(extPattern)) // stray-file guard, as decodeImages
+      .select(
+        regexp_extract(col("path"), extPattern, 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+              s"doc $id decoded to unexpected format $fmt — the gate is " +
+                "defined over 16-bit little-endian signed PCM")
+            val chn = fmt.getChannels
+            val frameSize = fmt.getFrameSize
+            val data = ais.readAllBytes()
+            val nFrames = data.length / frameSize
+            var (s0, s1) = (0L, 0L)
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var f = 0
+            while (f < nFrames) {
+              var ch = 0
+              while (ch < chn) {
+                val off = f * frameSize + ch * 2
+                // little-endian signed 16-bit reassembly — the .toShort
+                // narrowing IS the sign handling under test
+                val v = (((data(off) & 0xff) | (data(off + 1) << 8)).toShort).toLong
+                if (ch == 0) s0 += v else s1 += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                ch += 1
+              }
+              f += 1
+            }
+            DecodedAudio(id, chn.toLong, fmt.getSampleRate.toLong,
+              nFrames.toLong, s0, s1, mn, mx)
+          } finally ais.close()
+        }
+      }
+  }
+
+  /** Oracle: expected format + exact per-channel sums + observed sample
+    * range from the generation formula — agreement means
+    * wavBytes → javax.sound decode round-tripped every sample of every
+    * clip. Interleave index i = f·chn + ch, so f = i // chn,
+    * ch = i % chn, and the char index (f·chn + ch) mod n = i mod n. */
+  def decodeAudioOracle(maxDocId: Long = 256L): String =
+    s"""WITH v AS (
+       |  SELECT doc_id, chn, fr, i % chn AS ch,
+       |    ((ascii(substr(text, CAST(i % n AS INT) + 1, 1)) * 523
+       |      + (i // chn) * 1031 + (i % chn) * 1733) % 65536) - 32768 AS s
+       |  FROM (
+       |    SELECT doc_id, text, n, chn, fr, unnest(range(0, fr * chn)) AS i
+       |    FROM (
+       |      SELECT doc_id, text, length(text) AS n,
+       |        1 + (doc_id % 2) AS chn, 1 + (length(text) % 29) AS fr
+       |      FROM documents
+       |      WHERE doc_id < $maxDocId AND text IS NOT NULL
+       |        AND length(text) > 0)))
+       |SELECT doc_id,
+       |  CAST(chn AS BIGINT) AS n_channels,
+       |  CAST($WavSampleRate AS BIGINT) AS sample_rate,
+       |  CAST(fr AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN ch = 0 THEN s ELSE 0 END) AS BIGINT) AS sum_ch0,
+       |  CAST(sum(CASE WHEN ch = 1 THEN s ELSE 0 END) AS BIGINT) AS sum_ch1,
+       |  CAST(min(s) AS BIGINT) AS min_sample,
+       |  CAST(max(s) AS BIGINT) AS max_sample
+       |FROM v GROUP BY doc_id, chn, fr""".stripMargin
 
   /** End-to-end: pack → decode → features DataFrame. */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =

@@ -373,11 +373,19 @@ object SimilarityOps {
     // a healthy corpus keeps this exact plan unchanged, a flooded bucket
     // is truncated to its maxBucket smallest vec_ids (deterministic) and
     // audited by the registered `embedding_bucket_stats` query.
-    val c = BucketCap.capBuckets(
-      withNorm(augmentedEmbeddings(embeddings))
-        .select(col("vec_id"), col("emb"), col("norm"))
-        .withColumn("bucket", bucketExpr(nPlanes)),
-      Seq("bucket"), "vec_id", maxBucket)
+    // PERSISTED before the fuse (ADVICE r11): capBuckets's eager
+    // overflow pre-pass would otherwise recompute the full
+    // augment+norm+bucket pipeline (a corpus scan with per-plane dot
+    // products) a second time even when healthy — the minhash twin
+    // amortizes its pre-pass through the persisted `sh` cache, and this
+    // projection (vec_id, emb, norm, bucket) is the same narrow shape.
+    // Caller contract as everywhere: Verify/Bench clearCache() between
+    // queries; long-lived sessions drop the cache after consuming.
+    val proj = withNorm(augmentedEmbeddings(embeddings))
+      .select(col("vec_id"), col("emb"), col("norm"))
+      .withColumn("bucket", bucketExpr(nPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = BucketCap.capBuckets(proj, Seq("bucket"), "vec_id", maxBucket)
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

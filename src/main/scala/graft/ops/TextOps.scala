@@ -347,7 +347,8 @@ object TextOps {
   }
 
   def qualityCalibratedOracle(p: Double = 0.5): String =
-    s"""WITH scored AS (${textStatsSql(Seq("source"))}),
+    s"""WITH scored0 AS (${textStatsSql(Seq("source"))}),
+       |scored AS (SELECT * FROM scored0 WHERE quality_score IS NOT NULL),
        |r AS (
        |  SELECT doc_id, source, quality_score,
        |    row_number() OVER (PARTITION BY source

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, MultimodalOps}
+
+/** Round 12: the VERDICT r11 fix list — real audio decode through the
+  * three-way gate (hand-rolled PCM WAV encoder vs javax.sound decoder vs
+  * the DuckDB formula oracle), and the ADVICE r11 latent-null fixes
+  * (surgical decontamination's row-for-row contract over null text).
+  */
+class Round12AdditionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withTempDir[T](body: java.nio.file.Path => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav_spec")
+    try body(dir)
+    finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
+  private def decodeDir(dir: java.nio.file.Path) =
+    MultimodalOps.decodeAudio(spark,
+      spark.read.format("binaryFile").load(dir.toString)).collect().toSeq
+
+  test("WAV round trip pins the FULL signed 16-bit sample range (VERDICT r11 #1)") {
+    // Every boundary of the signed 16-bit domain, hand-encoded mono:
+    // an unsigned read maps -32768 -> 32768 (sum off by 65536), a
+    // byte-swapped read scrambles every value — both break exact sums.
+    val samples = Array(-32768, 32767, 0, -1, 1)
+    withTempDir { dir =>
+      java.nio.file.Files.write(dir.resolve("aud_7.wav"),
+        MultimodalOps.wavBytes(1, MultimodalOps.WavSampleRate,
+          samples.length, (f, _) => samples(f)))
+      val out = decodeDir(dir)
+      assert(out.size == 1)
+      val d = out.head
+      assert(d.doc_id == 7L && d.n_channels == 1L && d.sample_rate == 8000L)
+      assert(d.n_frames == samples.length.toLong)
+      assert(d.sum_ch0 == samples.map(_.toLong).sum && d.sum_ch1 == 0L)
+      assert(d.min_sample == -32768L, "Short.MinValue must survive the round trip")
+      assert(d.max_sample == 32767L, "Short.MaxValue must survive the round trip")
+    }
+  }
+
+  test("WAV stereo decode separates interleaved channels exactly") {
+    // ch0 and ch1 get disjoint value ranges: a swapped or mis-strided
+    // interleave read moves mass between the per-channel sums.
+    withTempDir { dir =>
+      java.nio.file.Files.write(dir.resolve("aud_2.wav"),
+        MultimodalOps.wavBytes(2, MultimodalOps.WavSampleRate, 3,
+          (f, ch) => if (ch == 0) 100 + f else -(200 + f)))
+      val d = decodeDir(dir).head
+      assert(d.n_channels == 2L && d.n_frames == 3L)
+      assert(d.sum_ch0 == 303L && d.sum_ch1 == -603L)
+    }
+  }
+
+  test("WAV fixture tree: decoded stats match the generation formula, mono and stereo") {
+    // doc 0 -> mono, doc 1 -> stereo (wavChannels alternates by id); the
+    // formula recomputation here is the Scala third of the three-way
+    // gate (DuckDB recomputes it blind in the registered oracle).
+    val docs = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    withTempDir { dir =>
+      MultimodalOps.writeWavFixtureTree(docs, dir.toString)
+      val out = decodeDir(dir).map(d => d.doc_id -> d).toMap
+      assert(out.keySet == Set(0L, 1L))
+      for ((id, text) <- Seq(0L -> "the quick brown fox jumps over the lazy dog",
+        1L -> "pack my box with five dozen liquor jugs")) {
+        val chn = MultimodalOps.wavChannels(id)
+        val fr = MultimodalOps.wavFrames(text.length.toLong)
+        val s = MultimodalOps.wavSample(text, chn) _
+        val all = for (f <- 0 until fr; ch <- 0 until chn) yield (ch, s(f, ch).toLong)
+        val d = out(id)
+        assert(d.n_channels == chn.toLong && d.n_frames == fr.toLong)
+        assert(d.sum_ch0 == all.collect { case (0, v) => v }.sum)
+        assert(d.sum_ch1 == all.collect { case (1, v) => v }.sum)
+        assert(d.min_sample == all.map(_._2).min && d.max_sample == all.map(_._2).max)
+        assert(d.min_sample < 0L && d.max_sample > 0L,
+          "the multiplier must wrap 16 bits so both signs are exercised")
+      }
+    }
+  }
+
+  test("decontaminateSurgicalStream: batch parity, stateless in Append mode (VERDICT r11 #2)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // benchmark doc 0 (0 % 50 == 0) + four training shapes: embedded
+    // contamination, full contamination, clean, and sub-n short
+    val bench = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val train = Seq(
+      (1L, s"t1 t2 $bench t12 t13"), // contaminated mid-document
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8"), // fully contaminated -> ''
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"), // clean -> verbatim
+      (4L, "short doc")) // < n tokens: verbatim
+    val batch = DedupOps.decontaminateSurgical(
+      ((0L, bench) +: train).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    val digests = bench.split(" ").sliding(8)
+      .map(w => graft.functions.Hashing.md5Hex(w.mkString(" "))).toSet
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingOps.decontaminateSurgicalStream(
+      spark, input.toDF().toDF("doc_id", "text"), digests)
+    // Append mode start proves zero streaming state (an aggregate or
+    // join would demand Update/Complete or a watermark)
+    val query = out.writeStream.format("memory").queryName("surgical_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      input.addData(train: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("surgical_stream")
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch,
+        "stream and batch surgical decontamination must agree row-for-row")
+      assert(streamed(2L) == "" && streamed(3L) == train(2)._2)
+    } finally query.stop()
+  }
+
+  test("decontaminateSurgical: a null-text training doc survives as '' (ADVICE r11)") {
+    // doc 0 is benchmark-side (0 % 50 == 0); docs 1 (null text) and 2
+    // are training-side. Row-for-row contract: BOTH training docs come
+    // back; the null-text one as the empty string, exactly as the
+    // oracle's coalesce(text_clean, '') emits it.
+    val docs = Seq((0L, Option("b1 b2 b3 b4 b5 b6 b7 b8")),
+      (1L, Option.empty[String]),
+      (2L, Option("c1 c2 c3 c4 c5 c6 c7 c8 c9")))
+      .toDF("doc_id", "text")
+    val out = DedupOps.decontaminateSurgical(docs)
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L), "every training doc must survive")
+    assert(out(1L) == "", "null text must clean to '' — not null, not a dropped row")
+    assert(out(2L) == "c1 c2 c3 c4 c5 c6 c7 c8 c9")
+  }
+}
