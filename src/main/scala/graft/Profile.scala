@@ -839,6 +839,9 @@ object Profile {
       recallLine("dedup_recall_sampled_128",
         DedupOps.dedupRecallSampled(amplified))
       spark.catalog.clearCache(); amplified.persist(); amplified.count()
+      recallLine("dedup_recall_sampled_64",
+        DedupOps.dedupRecallSampled(amplified, sampleBuckets = 64))
+      spark.catalog.clearCache(); amplified.persist(); amplified.count()
       recallLine("dedup_recall_sampled_32",
         DedupOps.dedupRecallSampled(amplified, sampleBuckets = 32))
       amplified.unpersist()
@@ -881,6 +884,62 @@ object Profile {
       t("recall_full")(DedupOps.dedupRecallSampled(amplified,
         sampleBuckets = buckets).count())
       amplified.unpersist()
+      spark.stop(); return
+    }
+
+    // `Profile scale-r12 [factor]` — decade lines for the round-12
+    // newcomers and the VERDICT r11 item-6 latecomers: PNG + WAV decode
+    // (file-count scaling, the scale-r11 BMP idiom — decode cost is
+    // per-byte, so the line must be flat-per-file), leakage_safe_split
+    // under BOTH label-join regimes, and the incremental ANN query
+    // (delta vs persisted codes; amplifyEmbeddings spreads copies across
+    // buckets, so per-delta candidate counts stay bounded and the line
+    // must be linear).
+    if (args.headOption.contains("scale-r12")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val base256 = docs.filter(col("doc_id") < 256L).select("doc_id", "text")
+      val fileDocs = (0 until factor).map { k =>
+        if (k == 0) base256
+        else base256.select((col("doc_id") + lit(k * 256L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _)
+      val fixPng = MultimodalOps.fixtureDir(sfDir + s"_r12png$factor")
+      t(s"write_png_${factor}x256") {
+        MultimodalOps.writePngFixtureTree(fileDocs, fixPng,
+          maxDocId = 256L * factor); 256L * factor
+      }
+      t("multimodal_decode_png")(MultimodalOps.decodeImages(spark,
+          spark.read.format("binaryFile").load(fixPng),
+          extPattern = "img_(\\d+)\\.png$")
+        .toDF().where(col("n_px") > 0L).count())
+      val fixWav = MultimodalOps.fixtureDir(sfDir + s"_r12wav$factor")
+      t(s"write_wav_${factor}x256") {
+        MultimodalOps.writeWavFixtureTree(fileDocs, fixWav,
+          maxDocId = 256L * factor); 256L * factor
+      }
+      t("multimodal_decode_wav")(MultimodalOps.decodeAudio(spark,
+          spark.read.format("binaryFile").load(fixWav))
+        .toDF().where(col("n_frames") > 0L).count())
+      // --- leakage-safe split, both label regimes ---
+      val damp = amplifyDocs(DedupOps.augmented(docs), factor)
+      damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
+      t("leakage_safe_split_bcast")(DedupOps.leakageSafeSplit(damp).count())
+      spark.catalog.clearCache(); damp.persist(); damp.count()
+      t("leakage_safe_split_shuffle")(
+        DedupOps.leakageSafeSplit(damp, broadcastMaxLabels = 0L).count())
+      spark.catalog.clearCache(); damp.unpersist()
+      // --- incremental ANN: delta queries the persisted spine ---
+      val embAmp = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
+      embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
+      val baseSide = embAmp.filter(PqOps.annSplitIsIndex())
+      val cbInc = PqOps.trainCodebook(baseSide)
+      val spine = PqOps.annIndex(baseSide, cbInc)
+        .persist()
+      t("ann_index_build")(spine.count())
+      t("ann_index_incremental")(PqOps.annIndexIncremental(spine,
+          embAmp.filter(!PqOps.annSplitIsIndex()), cbInc)
+        .where(col("adc_dist").isNull || col("adc_dist") >= -1e100).count())
+      spine.unpersist(); embAmp.unpersist()
       spark.stop(); return
     }
 

@@ -167,6 +167,21 @@ object SparkEntry {
     "ann_project_rerank" -> ((s, dir) => SimilarityOps.annProjectRerank(Tables.embeddings(s, dir))),
     // the vector-side flagship composite (corpus_prep's embedding sibling)
     "embedding_pipeline" -> ((s, dir) => SimilarityOps.embeddingPipeline(Tables.embeddings(s, dir))),
+    // persisted ANN index lifecycle (VERDICT r11 item 5): the index side
+    // (codebook seeds + 3 of every 4 later vectors) is encoded once into
+    // the (vec_id, bucket, codes) spine; the delta then queries it via
+    // bucket-routed ADC against the FROZEN codebook — no raw index
+    // vectors are re-read. The null-accepting guard is the count-prune
+    // no-op (adc_dist is bounded far above -1e100; a tighter >= 0 could
+    // drop a row on a -1e-18 FP residue the oracle would keep).
+    "ann_index_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(PqOps.annSplitIsIndex())
+      val cb = PqOps.trainCodebook(base)
+      PqOps.annIndexIncremental(PqOps.annIndex(base, cb),
+        emb.filter(!PqOps.annSplitIsIndex()), cb)
+        .where(col("adc_dist").isNull || col("adc_dist") >= -1e100)
+    }),
     "embedding_pq" -> ((s, dir) => PqOps.pqEncode(Tables.embeddings(s, dir))),
     "ann_pq_adc" -> ((s, dir) => PqOps.annPqAdc(Tables.embeddings(s, dir))),
     "ann_ivf_pq" -> ((s, dir) => PqOps.annIvfPq(Tables.embeddings(s, dir))),
@@ -824,6 +839,7 @@ object SparkEntry {
     "embedding_project" -> SimilarityOps.projectEmbeddingsOracle(),
     "ann_project_rerank" -> SimilarityOps.annProjectRerankOracle(),
     "embedding_pipeline" -> SimilarityOps.embeddingPipelineOracle(),
+    "ann_index_incremental" -> PqOps.annIndexIncrementalOracle(),
     "embedding_pq" -> PqOps.pqEncodeOracle(),
     "ann_pq_adc" -> PqOps.annPqAdcOracle(),
     "ann_ivf_pq" -> PqOps.annIvfPqOracle(),

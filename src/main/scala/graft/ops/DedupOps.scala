@@ -1927,6 +1927,15 @@ object DedupOps {
     * whether 4×4 banding suffices at their similarity threshold.
     * One summary row: (n_truth, n_found, recall); the division is the
     * single IEEE op, nullif-guarded for an empty truth set.
+    *
+    * DEPLOYMENT CONTRACT (VERDICT r11 item 4): this exhaustive form is
+    * a FIXTURE-SCALE ground-truth check — its truth side is quadratic
+    * in pair mass (the term that OOMed the pre-fix 100× ladder and
+    * still costs ~225 s at 100× locally). Production evaluation is
+    * [[dedupRecallSampled]]: same estimator over a content-addressed
+    * doc sample, truth-side pair mass shrinking quadratically with the
+    * sample rate, `sampleBuckets` as the recall-vs-cost knob (the
+    * 32/64/128 sweep is driver-tracked in PLANS.md).
     */
   def dedupRecall(corpus: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     // shingle ONCE for both pipelines (review-2: the composed query

@@ -483,4 +483,157 @@ object PqOps {
        |      FROM scored)
        |WHERE rank <= $topK""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Persisted ANN index lifecycle (VERDICT r11 item 5): the embedding
+  // twin of the lexical signature-index family — [[annIndex]] is what a
+  // pipeline writes to parquet once per corpus slice (the
+  // [[DedupOps.signatureIndex]] analogue), [[annIndexIncremental]]
+  // queries a DELTA of later-arriving vectors against it without ever
+  // touching the indexed slice's raw vectors (the
+  // [[DedupOps.dedupIncremental]] analogue), and
+  // [[graft.streaming.StreamingSemantic]]'s foreachBatch loop maintains
+  // it batch-over-batch.
+  // --------------------------------------------------------------------
+
+  /** The persisted ANN INDEX for a corpus slice: one row per vector —
+    * (vec_id, bucket, codes): the hyperplane-LSH routing bucket plus the
+    * m PQ codes against a FROZEN codebook. Self-contained for ADC
+    * (codes + the broadcast codebook reconstruct every codeword a query
+    * needs), m longs + one bucket per vector — raw vectors are never
+    * read again after indexing. Entirely map-side.
+    */
+  def annIndex(embeddings: DataFrame, cb: Array[Array[Seq[Double]]],
+               nPlanes: Int = 8): DataFrame = {
+    requireGeometry(cb.length, math.max(cb(0).length, 1))
+    val m = cb.length
+    val subDim = 64 / m
+    val corpus = withEmb(embeddings)
+    if (cb(0).isEmpty)
+      return corpus.select(col("vec_id"), lit(0L).as("bucket"),
+        array().cast("array<bigint>").as("codes")).limit(0)
+    encodeWide(corpus, cb, subDim)
+      .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
+      .select(col("vec_id"), col("bucket"),
+        array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
+  }
+
+  /** B9-incremental — query a DELTA slice (today's vectors) against a
+    * persisted [[annIndex]] (the corpus so far) WITHOUT re-reading or
+    * re-encoding the indexed corpus — the production append shape at
+    * 100 TB: the index is append-only parquet, the codebook is frozen
+    * (re-training would invalidate every stored code), and admitting
+    * 100 GB of new vectors must not re-scan 100 TB of old ones.
+    *
+    * Candidates share the delta vector's LSH bucket (probe-1, the same
+    * routing as [[SimilarityOps.embeddingNearDupLsh]]); each candidate
+    * is scored by ASYMMETRIC distance computation from the index row's
+    * CODES alone — Σ_s ((xs·xs − 2·xs·c_s) + c_s·c_s), the delta's raw
+    * subvector against the candidate's reconstructed codeword — so
+    * verification needs nothing but the index row and the broadcast
+    * codebook. Output: one row per delta vector — (vec_id, nn_id,
+    * adc_dist) with the ADC-nearest index vector (ties to the smaller
+    * nn_id) and nn_id = -1 / null dist when its bucket has no index
+    * entries yet.
+    *
+    * Scale shape: the join is bucket-keyed (bounded buckets — the
+    * degenerate-bucket regime belongs to the fuse on the pair surface,
+    * not here, because the delta side is increment-sized); the index
+    * side moves (vec_id, bucket, m codes) rows, never vectors; the
+    * codeword lookup is a literal-array element_at (broadcast metadata,
+    * codegen'd); the per-pair fold is m strict left-assoc additions —
+    * bit-identical to the oracle's ordered list_reduce.
+    */
+  def annIndexIncremental(index: DataFrame, delta: DataFrame,
+                          cb: Array[Array[Seq[Double]]],
+                          nPlanes: Int = 8): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("bucket", "codes", "vec_id")),
+      s"index must be an annIndex (vec_id, bucket, codes); got ${index.columns.mkString(",")}")
+    requireGeometry(cb.length, math.max(cb(0).length, 1))
+    val m = cb.length
+    val subDim = 64 / m
+    val d = withEmb(delta)
+      .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
+      .select(col("vec_id").as("q_id"), col("emb"), col("bucket"))
+    val idx = index.select(col("vec_id").as("nn_id"), col("bucket"), col("codes"))
+    val dist = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      val xs = slice(col("emb"), s * subDim + 1, subDim)
+      val cs = element_at(typedlit(cb(s).toSeq),
+        (element_at(col("codes"), s + 1) + 1).cast("int"))
+      acc + ((dot(xs, xs) - lit(2.0) * dot(xs, cs)) + dot(cs, cs))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("nn_id").asc)
+    val best = d.join(idx, Seq("bucket"))
+      .withColumn("adc_dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("nn_id"), col("adc_dist"))
+    delta.select(col("vec_id"))
+      .join(best.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"),
+        col("adc_dist"))
+  }
+
+  /** The registered index/delta partition: codebook seeds (vec_id < k)
+    * are always index-side — training on the index IS the frozen-
+    * codebook contract — and every 4th later vector "arrives" as the
+    * delta, so the split scales with the corpus at any SF. */
+  def annSplitIsIndex(k: Int = 16): Column =
+    col("vec_id") < k || col("vec_id") % 4 =!= 0
+
+  /** Oracle: same codebook derivation and code assignment as
+    * [[pqEncodeOracle]] restricted to the index side, same hyperplane
+    * buckets as [[SimilarityOps.duckBucket]], ADC terms per subspace
+    * summed by an ORDERED fold, min-distance pick with the same
+    * tiebreak, and a LEFT join so bucket-orphan delta vectors keep
+    * their (-1, null) row. */
+  def annIndexIncrementalOracle(m: Int = 4, k: Int = 16,
+                                nPlanes: Int = 8): String = {
+    val subDim = 64 / m
+    def dotR(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${subDim + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s, emb[CAST(s * $subDim + 1 AS INT):CAST(s * $subDim + $subDim AS INT)] AS xs
+       |  FROM base, (SELECT unnest(range(0, $m)) AS s)),
+       |cb AS (SELECT s, vec_id AS code, xs AS cs FROM subs WHERE vec_id < $k),
+       |idists AS (
+       |  SELECT d.vec_id, d.s, c.code,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS dist
+       |  FROM subs d JOIN cb c ON d.s = c.s
+       |  WHERE d.vec_id < $k OR d.vec_id % 4 <> 0),
+       |icodes AS (
+       |  SELECT vec_id, s, code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                     ORDER BY dist ASC, code ASC) AS rn
+       |        FROM idists)
+       |  WHERE rn = 1),
+       |bucketed AS (
+       |  SELECT vec_id, ${SimilarityOps.duckBucket(nPlanes)} AS bucket FROM base),
+       |terms AS (
+       |  SELECT d.vec_id AS q_id, w.vec_id AS nn_id, w.s,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS term
+       |  FROM subs d
+       |  JOIN bucketed db ON db.vec_id = d.vec_id
+       |  JOIN icodes w ON w.s = d.s
+       |  JOIN bucketed wb ON wb.vec_id = w.vec_id AND wb.bucket = db.bucket
+       |  JOIN cb c ON c.s = w.s AND c.code = w.code
+       |  WHERE d.vec_id >= $k AND d.vec_id % 4 = 0),
+       |scored AS (
+       |  SELECT q_id, nn_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY s)),
+       |                (acc, x) -> acc + x) AS adc_dist
+       |  FROM terms GROUP BY q_id, nn_id),
+       |best AS (
+       |  SELECT q_id, nn_id, adc_dist
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                                     ORDER BY adc_dist ASC, nn_id ASC) AS rn
+       |        FROM scored)
+       |  WHERE rn = 1)
+       |SELECT d.vec_id, CAST(coalesce(b.nn_id, -1) AS BIGINT) AS nn_id,
+       |  b.adc_dist
+       |FROM (SELECT vec_id FROM base WHERE vec_id >= $k AND vec_id % 4 = 0) d
+       |LEFT JOIN best b ON b.q_id = d.vec_id""".stripMargin
+  }
 }
