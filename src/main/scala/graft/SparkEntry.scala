@@ -420,6 +420,15 @@ object SparkEntry {
       MultimodalOps.decodeAudio(s,
         s.read.format("binaryFile").load(fix)).toDF()
     }),
+    // 2x temporal downsample over the decoded samples — the audio
+    // resize_real sibling; the oracle re-derives even-frame sums from
+    // the generation formula
+    "multimodal_resample_wav" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_wav", dir)
+      MultimodalOps.writeWavFixtureTree(D(s, dir), fix)
+      MultimodalOps.resampleAudio(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+    }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     // measured recall@k of probe-1 LSH vs the exact brute-force top-k —
@@ -916,6 +925,7 @@ object SparkEntry {
     "multimodal_decode" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_png" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_wav" -> MultimodalOps.decodeAudioOracle(),
+    "multimodal_resample_wav" -> MultimodalOps.resampleAudioOracle(),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "ann_recall" -> SimilarityOps.annRecallOracle(),

@@ -723,6 +723,89 @@ object MultimodalOps {
       }
   }
 
+  /** 2× temporal downsample over REAL decoded audio (keep even frames —
+    * the nearest-neighbor resampler every pipeline runs before a
+    * heavier codec), emitting the downsampled frame count + exact
+    * per-channel sums — the audio sibling of [[resizeDecoded]]. Same
+    * decode batch shape; a real resampler (windowed sinc) drops into
+    * the loop body.
+    */
+  def resampleAudio(spark: SparkSession, files: DataFrame,
+                    extPattern: String = "aud_(\\d+)\\.wav$"): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    files
+      .filter(col("path").rlike(extPattern))
+      .select(
+        regexp_extract(col("path"), extPattern, 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+              s"doc $id decoded to unexpected format $fmt")
+            val chn = fmt.getChannels
+            val frameSize = fmt.getFrameSize
+            val data = ais.readAllBytes()
+            val nFrames = data.length / frameSize
+            val outFrames = (nFrames + 1) / 2
+            var (s0, s1) = (0L, 0L)
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var f = 0
+            while (f < nFrames) {
+              if (f % 2 == 0) {
+                var ch = 0
+                while (ch < chn) {
+                  val off = f * frameSize + ch * 2
+                  val v = (((data(off) & 0xff) | (data(off + 1) << 8)).toShort).toLong
+                  if (ch == 0) s0 += v else s1 += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  ch += 1
+                }
+              }
+              f += 1
+            }
+            DecodedAudio(id, chn.toLong, fmt.getSampleRate.toLong / 2L,
+              outFrames.toLong, s0, s1, mn, mx)
+          } finally ais.close()
+        }
+      }
+  }
+
+  /** Oracle for the decoded-audio 2× downsample: same formula filtered
+    * to even frames (i // chn even), halved nominal rate. */
+  def resampleAudioOracle(maxDocId: Long = 256L): String =
+    s"""WITH v AS (
+       |  SELECT doc_id, chn, fr, i % chn AS ch, i // chn AS f,
+       |    ((ascii(substr(text, CAST(i % n AS INT) + 1, 1)) * 523
+       |      + (i // chn) * 1031 + (i % chn) * 1733) % 65536) - 32768 AS s
+       |  FROM (
+       |    SELECT doc_id, text, n, chn, fr, unnest(range(0, fr * chn)) AS i
+       |    FROM (
+       |      SELECT doc_id, text, length(text) AS n,
+       |        1 + (doc_id % 2) AS chn, 1 + (length(text) % 29) AS fr
+       |      FROM documents
+       |      WHERE doc_id < $maxDocId AND text IS NOT NULL
+       |        AND length(text) > 0)))
+       |SELECT doc_id,
+       |  CAST(chn AS BIGINT) AS n_channels,
+       |  CAST(${WavSampleRate / 2} AS BIGINT) AS sample_rate,
+       |  CAST((fr + 1) // 2 AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN ch = 0 THEN s ELSE 0 END) AS BIGINT) AS sum_ch0,
+       |  CAST(sum(CASE WHEN ch = 1 THEN s ELSE 0 END) AS BIGINT) AS sum_ch1,
+       |  CAST(min(s) AS BIGINT) AS min_sample,
+       |  CAST(max(s) AS BIGINT) AS max_sample
+       |FROM v WHERE f % 2 = 0
+       |GROUP BY doc_id, chn, fr""".stripMargin
+
   /** Oracle: expected format + exact per-channel sums + observed sample
     * range from the generation formula — agreement means
     * wavBytes → javax.sound decode round-tripped every sample of every

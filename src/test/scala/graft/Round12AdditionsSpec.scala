@@ -82,6 +82,38 @@ class Round12AdditionsSpec extends SparkSpec {
     }
   }
 
+  test("resampleAudio keeps exactly the even frames (sums, count, range)") {
+    val frames = Array(10, -20, 30, -40, 50) // kept: 10, 30, 50
+    withTempDir { dir =>
+      java.nio.file.Files.write(dir.resolve("aud_4.wav"),
+        MultimodalOps.wavBytes(1, MultimodalOps.WavSampleRate,
+          frames.length, (f, _) => frames(f)))
+      val d = MultimodalOps.resampleAudio(spark,
+        spark.read.format("binaryFile").load(dir.toString)).collect().head
+      assert(d.n_frames == 3L && d.sample_rate == 4000L)
+      assert(d.sum_ch0 == 90L && d.sum_ch1 == 0L)
+      assert(d.min_sample == 10L && d.max_sample == 50L,
+        "range must be over KEPT samples only — dropped frames must not leak in")
+    }
+  }
+
+  test("qualityCalibrated excludes null-scored docs from n AND the ranked rows") {
+    // doc 2 has null text -> null quality_score; with 3 non-null docs the
+    // percentiles must be 0, 0.5, 1 (n=3), not quartiles of n=4
+    val docs = Seq(
+      (0L, Option("alpha words here for the first document body")),
+      (1L, Option("beta words and some more filler tokens to vary the score")),
+      (2L, Option.empty[String]),
+      (3L, Option("gamma a third scored document with its own shape")))
+      .toDF("doc_id", "text").withColumn("source", lit("s1"))
+      .withColumn("lang", lit("en"))
+    val out = graft.ops.TextOps.qualityCalibrated(docs, p = 0.0)
+      .select("doc_id", "pct").as[(Long, Double)].collect().toMap
+    assert(!out.contains(2L), "a null-scored doc must not rank")
+    assert(out.values.toSeq.sorted == Seq(0.0, 0.5, 1.0),
+      s"percentiles must calibrate against n=3 scored docs, got $out")
+  }
+
   // ---- persisted ANN index lifecycle (VERDICT r11 #5) ----
 
   /** Deterministic irregular 64-dim vector for id i. */
