@@ -191,4 +191,33 @@ object StreamingSemantic {
       graft.ops.PqOps.annIndex(vecs, cb, nPlanes)
         .write.mode("append").parquet(indexDir)
     }
+
+  /** Periodic COMPACTION for the [[annIndexLoop]] spine — the embedding
+    * twin of [[StreamingDedup.compactSignatureIndex]], same contracts:
+    * the loop appends one codes-sized parquet slice per trigger forever,
+    * so compaction rewrites the index as `numFiles` large files with
+    * exact `distinct()` collapsing at-least-once re-appends (codes are
+    * DETERMINISTIC functions of the vector and the frozen codebook, so
+    * a re-delivered batch appends byte-identical (vec_id, bucket, codes)
+    * rows and distinct removes precisely those). `dropBefore` is the
+    * same id-watermark retention horizon. Crash-safe publish via
+    * [[graft.sources.SnapshotSwap]]; run only while the appending loop
+    * is quiescent. One (vec_id, bucket, m codes)-shaped shuffle — never
+    * raw vectors; safe at any index size. Returns (before, after).
+    */
+  def compactAnnIndex(spark: SparkSession, indexDir: String,
+                      numFiles: Int = 8,
+                      dropBefore: Option[Long] = None): (Long, Long) = {
+    graft.sources.SnapshotSwap.recover(spark, indexDir)
+    val idx = spark.read.parquet(indexDir)
+    require(idx.columns.sorted.sameElements(Array("bucket", "codes", "vec_id")),
+      s"index must be an annIndex (vec_id, bucket, codes); got ${idx.columns.mkString(",")}")
+    val before = idx.count()
+    val kept = dropBefore.fold(idx)(h => idx.filter(col("vec_id") >= h)).distinct()
+    val tmp = graft.sources.SnapshotSwap.nextPath(indexDir)
+    kept.repartition(numFiles).write.mode("overwrite").parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+    graft.sources.SnapshotSwap.publish(spark, indexDir)
+    (before, after)
+  }
 }
