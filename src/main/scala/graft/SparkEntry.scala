@@ -429,6 +429,17 @@ object SparkEntry {
       MultimodalOps.resampleAudio(s,
         s.read.format("binaryFile").load(fix)).toDF()
     }),
+    // REAL multi-frame container (round 12): animated GIF through
+    // ImageIO's sequence writer/reader — the frame sampler decodes ONLY
+    // every 2nd frame index; the oracle recomputes each sampled frame's
+    // gray sum from the per-(frame, pixel) formula, blind to the
+    // container
+    "multimodal_frames_real" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_gif", dir)
+      MultimodalOps.writeGifFixtureTree(D(s, dir), fix)
+      MultimodalOps.sampleFramesReal(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+    }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     // measured recall@k of probe-1 LSH vs the exact brute-force top-k —
@@ -926,6 +937,7 @@ object SparkEntry {
     "multimodal_decode_png" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_wav" -> MultimodalOps.decodeAudioOracle(),
     "multimodal_resample_wav" -> MultimodalOps.resampleAudioOracle(),
+    "multimodal_frames_real" -> MultimodalOps.sampleFramesRealOracle(),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "ann_recall" -> SimilarityOps.annRecallOracle(),

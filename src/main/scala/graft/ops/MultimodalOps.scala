@@ -34,6 +34,12 @@ case class DecodedAudio(doc_id: Long, n_channels: Long, sample_rate: Long,
                         n_frames: Long, sum_ch0: Long, sum_ch1: Long,
                         min_sample: Long, max_sample: Long)
 
+/** One REAL decoded (and stride-sampled) video frame's stats: frame
+  * index within its container, dims, exact gray-value sum.
+  */
+case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Long,
+                        height: Long, sum_gray: Long)
+
 /** Multimodal column operators (SURVEY.md §7 B11).
   *
   * [[decodeStub]] is the GENERIC opaque-payload featurizer (length /
@@ -833,6 +839,173 @@ object MultimodalOps {
        |  CAST(min(s) AS BIGINT) AS min_sample,
        |  CAST(max(s) AS BIGINT) AS max_sample
        |FROM v GROUP BY doc_id, chn, fr""".stripMargin
+
+  // --------------------------------------------------------------------
+  // REAL video-container frame sampling (round 12): the `.vid` modality
+  // gets a real MULTI-FRAME decode — animated GIF through the JDK's
+  // ImageIO sequence writer/reader (zero new dependencies; a real video
+  // codec is a JNI drop-in for the same iterator). Frames are grayscale
+  // rasters from a per-(frame, pixel) formula over `documents`; the
+  // sampler reads ONLY every `stride`-th frame index from the container
+  // — the pruning step that keeps decode cost linear in SAMPLED frames
+  // — and the DuckDB oracle recomputes each sampled frame's dims + exact
+  // gray sum from the formula, blind to the container.
+  // --------------------------------------------------------------------
+
+  /** Fixture container geometry + pixel formula — ONE definition for
+    * writer, spec, and oracle. Frame f's pixel p (row-major) takes the
+    * text's char at (f·w·h + p) mod n, so frames differ and a frame-
+    * order or frame-count mistake shifts the sums. Gray-only rasters:
+    * the GIF palette represents 256 grays exactly (an RGB quantization
+    * would not round-trip bitwise). */
+  def gifWidth(nChars: Long): Int = (1L + nChars % 9L).toInt
+  def gifHeight(docId: Long): Int = (1L + docId % 5L).toInt
+  def gifFrames(docId: Long): Int = (1L + docId % 4L).toInt
+  def gifPixel(text: String, w: Int, h: Int)(f: Int, p: Int): Int = {
+    val c = text.charAt((f * w * h + p) % text.length).toInt & 0xff
+    (c * 7 + f * 13 + p * 3) % 256
+  }
+
+  /** Multi-frame GIF bytes via ImageIO's SEQUENCE writer — the
+    * independent encoder on the other side of the decode gate. */
+  def gifBytes(w: Int, h: Int, nFrames: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      // interlacing OFF: the JDK's interlaced GIF write→read round trip
+      // returns rows in a garbled order (spec-caught: a 4×4 ramp came
+      // back with rows 0/2/1/<blank>), so the gate pins the
+      // non-progressive path a pipeline would use anyway
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      // an EXPLICIT 256-gray IndexColorModel: the JDK GIF writer encodes
+      // an indexed image's own palette losslessly, but QUANTIZES
+      // non-indexed inputs (TYPE_BYTE_GRAY included) to a default
+      // palette — spec-caught as a 1447-vs-1970 gray-sum mismatch
+      val grays = Array.tabulate(256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var p = 0
+        while (p < w * h) {
+          raster.setSample(p % w, p / w, 0, px(f, p))
+          p += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Write the GIF fixture tree (`vid_<id>.gif`). Same bounded-collect
+    * + rebuild lifecycle as [[writeWavFixtureTree]]. */
+  def writeGifFixtureTree(documents: DataFrame, dir: String,
+                          maxDocId: Long = 256L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val pat = "vid_\\d+\\.gif".r
+    val old = Files.list(base)
+    try old.forEach { p =>
+      if (pat.pattern.matcher(p.getFileName.toString).matches())
+        Files.delete(p)
+    } finally old.close()
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        requireAsciiFixture(id, text)
+        val (w, h) = (gifWidth(text.length.toLong), gifHeight(id))
+        Files.write(base.resolve(s"vid_$id.gif"),
+          gifBytes(w, h, gifFrames(id), gifPixel(text, w, h)))
+      }
+  }
+
+  /** Stride-sample REAL container frames: decode ONLY frame indices
+    * 0, stride, 2·stride… of each GIF via ImageIO's multi-image reader
+    * — the production pruning shape ([[sampleFrames]]'s byte-stride
+    * stand-in, now on real frames): skipped frames are never rasterized,
+    * so decode cost is linear in SAMPLED frames. Executor-side
+    * per-partition batches; blobs dropped at decode.
+    */
+  def sampleFramesReal(spark: SparkSession, files: DataFrame, stride: Int = 2,
+                       extPattern: String = "vid_(\\d+)\\.gif$"): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    files
+      .filter(col("path").rlike(extPattern)) // stray-file guard
+      .select(
+        regexp_extract(col("path"), extPattern, 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { f =>
+              val img = reader.read(f)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += (img.getRGB(x, y) & 0xff).toLong // gray: r=g=b
+                  x += 1
+                }
+                y += 1
+              }
+              DecodedFrame(id, f.toLong, img.getWidth.toLong,
+                img.getHeight.toLong, sum)
+            }
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }
+  }
+
+  /** Oracle: every sampled frame's dims + exact gray sum from the
+    * generation formula — agreement means the sequence write → multi-
+    * image read round-tripped every pixel of every SAMPLED frame and
+    * skipped exactly the others. */
+  def sampleFramesRealOracle(maxDocId: Long = 256L, stride: Int = 2): String =
+    s"""WITH v AS (
+       |  SELECT doc_id, w, h, i // (w * h) AS f,
+       |    (ascii(substr(text, CAST(i % n AS INT) + 1, 1)) * 7
+       |      + (i // (w * h)) * 13 + (i % (w * h)) * 3) % 256 AS g
+       |  FROM (
+       |    SELECT doc_id, text, n, w, h, unnest(range(0, fr * w * h)) AS i
+       |    FROM (
+       |      SELECT doc_id, text, length(text) AS n,
+       |        1 + (length(text) % 9) AS w, 1 + (doc_id % 5) AS h,
+       |        1 + (doc_id % 4) AS fr
+       |      FROM documents
+       |      WHERE doc_id < $maxDocId AND text IS NOT NULL
+       |        AND length(text) > 0)))
+       |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(sum(g) AS BIGINT) AS sum_gray
+       |FROM v WHERE f % $stride = 0
+       |GROUP BY doc_id, f, w, h""".stripMargin
 
   /** End-to-end: pack → decode → features DataFrame. */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =

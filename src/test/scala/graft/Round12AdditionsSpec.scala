@@ -97,6 +97,27 @@ class Round12AdditionsSpec extends SparkSpec {
     }
   }
 
+  test("GIF multi-frame round trip: sampled frames match the formula; odd frames skipped") {
+    val text = "the quick brown fox jumps over the lazy dog tonight again"
+    // doc 3: 4 frames (3 % 4 + 1), frames 0 and 2 sampled at stride 2
+    val docs = Seq((3L, text)).toDF("doc_id", "text")
+    withTempDir { dir =>
+      MultimodalOps.writeGifFixtureTree(docs, dir.toString)
+      val out = MultimodalOps.sampleFramesReal(spark,
+        spark.read.format("binaryFile").load(dir.toString)).collect()
+        .map(d => d.frame_idx -> d).toMap
+      assert(out.keySet == Set(0L, 2L), s"stride-2 must keep frames 0,2 of 4: ${out.keySet}")
+      val (w, h) = (MultimodalOps.gifWidth(text.length.toLong), MultimodalOps.gifHeight(3L))
+      for (f <- Seq(0, 2)) {
+        val expected = (0 until w * h)
+          .map(p => MultimodalOps.gifPixel(text, w, h)(f, p).toLong).sum
+        assert(out(f.toLong).width == w.toLong && out(f.toLong).height == h.toLong)
+        assert(out(f.toLong).sum_gray == expected,
+          s"frame $f gray sum must round-trip the 256-gray palette exactly")
+      }
+    }
+  }
+
   test("qualityCalibrated excludes null-scored docs from n AND the ranked rows") {
     // doc 2 has null text -> null quality_score; with 3 non-null docs the
     // percentiles must be 0, 0.5, 1 (n=3), not quartiles of n=4
