@@ -920,6 +920,14 @@ object Profile {
       t("multimodal_decode_wav")(MultimodalOps.decodeAudio(spark,
           spark.read.format("binaryFile").load(fixWav))
         .toDF().where(col("n_frames") > 0L).count())
+      val fixGif = MultimodalOps.fixtureDir(sfDir + s"_r12gif$factor")
+      t(s"write_gif_${factor}x256") {
+        MultimodalOps.writeGifFixtureTree(fileDocs, fixGif,
+          maxDocId = 256L * factor); 256L * factor
+      }
+      t("multimodal_frames_real")(MultimodalOps.sampleFramesReal(spark,
+          spark.read.format("binaryFile").load(fixGif))
+        .toDF().where(col("sum_gray") >= 0L).count())
       // --- leakage-safe split, both label regimes ---
       val damp = amplifyDocs(DedupOps.augmented(docs), factor)
       damp.persist(); t(s"amplify_docs_${factor}x")(damp.count())
