@@ -497,6 +497,18 @@ object DedupOps {
     * regardless of heap size; sort-merge spills and finishes. */
   val MaxHashBuildRowsPerPartition: Long = 250000L
 
+  /** Headroom divisor applied to [[MaxHashBuildRowsPerPartition]] while
+    * AQE partition coalescing is enabled (ADVICE r12): coalescing can
+    * merge several probed shuffle partitions into one task, so the probe
+    * below under-measures the worst merged build by the coalesce factor.
+    * 4 is a heuristic, not a proof — the advisory partition-size target
+    * (64 MB default) stops a merge after a handful of partitions of this
+    * (long, short-string) row shape — chosen so the mid-scale regime
+    * that measured the shuffle-hash win (10x, ~53k rows/partition) still
+    * selects the hint while the merged worst case stays inside the
+    * measured OOM bound. */
+  val AqeCoalesceHeadroom: Long = 4L
+
   /** [[ngramJaccardPairs]] over a pre-shingled corpus — see
     * [[minhashPairsShingled]]. */
   private[ops] def ngramJaccardPairsShingled(shingled: DataFrame,
@@ -535,19 +547,29 @@ object DedupOps {
     // distribution where some partitions carry several times the mean
     // could still force the unspillable hash build past the bound.
     // `pmod(hash(shingle), parts)` IS HashPartitioning's partition-id
-    // arithmetic (Murmur3, seed 42), so this probe computes the exact
-    // build-side row count of every shuffle partition of the join below;
-    // the max is the largest UnsafeHashedRelation any task would build.
-    // Still one aggregate over the persist all three join branches
-    // consume anyway (primes the cache exactly as the old count() did);
-    // the partial aggregation bounds the exchange at `parts` rows.
+    // arithmetic (Murmur3, seed 42), so this probe counts the build rows
+    // of every shuffle partition of the PRE-COALESCE map-output layout —
+    // exact for that layout, but NOT necessarily for the tasks that run:
+    // AQE's partition coalescing (on by default) can merge several small
+    // probed partitions into one task, whose forced build is their SUM
+    // (ADVICE r12). When coalescing is live the decision therefore adds
+    // a headroom factor: the advisory byte target stops a merge after a
+    // few partitions of this row shape, and 4x keeps the worst merged
+    // build comfortably inside the measured bound. Still one aggregate
+    // over the persist all three join branches consume anyway (primes
+    // the cache exactly as the old count() did); the partial aggregation
+    // bounds the exchange at `parts` rows.
     val maxPartRows = rare
       .groupBy(pmod(hash(col("shingle")), lit(parts)).as("__p"))
       .agg(count(lit(1)).as("__n"))
       .agg(coalesce(max("__n"), lit(0L)).as("m"))
       .head().getLong(0)
+    val sconf = shingled.sparkSession.sessionState.conf
+    val coalesceLive = sconf.adaptiveExecutionEnabled && sconf.coalesceShufflePartitionsEnabled
+    val buildBound =
+      if (coalesceLive) maxHashBuildRows / AqeCoalesceHeadroom else maxHashBuildRows
     val ySide =
-      if (maxPartRows <= maxHashBuildRows)
+      if (maxPartRows <= buildBound)
         rare.as("y").hint("shuffle_hash")
       else rare.as("y")
     rare.as("x").join(ySide,

@@ -366,7 +366,9 @@ object SimilarityOps {
     */
   def embeddingNearDupLsh(embeddings: DataFrame, minCos: Double = 0.999,
                           nPlanes: Int = 8,
-                          maxBucket: Int = DedupOps.defaultMaxBucket): DataFrame = {
+                          maxBucket: Int = DedupOps.defaultMaxBucket,
+                          cacheLevel: org.apache.spark.storage.StorageLevel =
+                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // hot-bucket fuse (VERDICT r10 item 3 — the embedding-homogeneity
     // hazard the r9 ladder measured): same overflow-keys-only mechanism
     // as the lexical pair surface ([[graft.ops.BucketCap.capBuckets]]);
@@ -379,12 +381,18 @@ object SimilarityOps {
     // products) a second time even when healthy — the minhash twin
     // amortizes its pre-pass through the persisted `sh` cache, and this
     // projection (vec_id, emb, norm, bucket) is the same narrow shape.
-    // Caller contract as everywhere: Verify/Bench clearCache() between
-    // queries; long-lived sessions drop the cache after consuming.
+    // CACHE LIFECYCLE (ADVICE r12) — explicitly the minhash twin's: the
+    // entry cannot be unpersisted here (the returned plan still reads
+    // it, and the eager overflow pre-pass is the only part consumed
+    // inside this call), so the CALLER owns it — Verify/Bench
+    // clearCache() between queries; a long-lived session passes
+    // `cacheLevel = StorageLevel.NONE`-equivalent semantics by calling
+    // spark.catalog.clearCache() (or unpersisting via
+    // spark.sharedState.cacheManager) after materializing the pairs.
     val proj = withNorm(augmentedEmbeddings(embeddings))
       .select(col("vec_id"), col("emb"), col("norm"))
       .withColumn("bucket", bucketExpr(nPlanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(cacheLevel)
     val c = BucketCap.capBuckets(proj, Seq("bucket"), "vec_id", maxBucket)
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -190,7 +190,16 @@ object StreamingOps {
     * benchmark-covered token spans removed, matching
     * [[graft.ops.DedupOps.decontaminateSurgical]] document-for-document
     * (clean docs verbatim, fully-contaminated docs become '', null text
-    * cleans to '' — the row-for-row contract). Same stateless shape as
+    * cleans to '' — the row-for-row contract). CALLER CONTRACT (ADVICE
+    * r12): feed TRAINING documents only — this operator redacts
+    * everything it receives, so the batch parity claim holds for the
+    * training stream, not for a stream that still carries benchmark
+    * docs. The batch twin's `doc_id % 50` routing is the registered
+    * query's FIXTURE convention, not an operator semantic (the digests
+    * here are an arbitrary caller-supplied eval set), so benchmark-side
+    * routing belongs upstream: `stream.filter(...)` with whatever
+    * predicate identifies the caller's eval corpus. Same stateless
+    * shape as
     * [[decontaminateStream]]: the eval-set digests broadcast once per
     * executor, marking + interval coverage + reassembly are all local
     * to one document (a boolean coverage mask IS the merged-interval

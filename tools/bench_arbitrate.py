@@ -13,9 +13,15 @@ same query set), picks the most recent surface by default, and emits:
   - stdout — the markdown arbitration table BASELINE.md embeds, so the
     prose table is GENERATED from the artifact instead of hand-written
     (VERDICT r11 item 3).
+  - optionally (--diff-prior + --diff-out, VERDICT r12 item 4) a
+    round-over-round BENCH_DIFF artifact: this arbitration's per-query
+    min vs a prior round's BENCH_ARBITRATION.json, flagging >1.5x
+    regressions — the "no query regressed" claim as a machine check.
 
 Usage: python3 tools/bench_arbitrate.py [--runs BENCH_RUNS.jsonl]
            [--surface HASH] [--out BENCH_ARBITRATION.json] [--top N]
+           [--diff-prior BENCH_ARBITRATION_rPREV.json]
+           [--diff-out BENCH_DIFF_rN.json] [--regress-factor 1.5]
 """
 import argparse
 import json
@@ -31,6 +37,12 @@ def main():
     ap.add_argument("--out", default="BENCH_ARBITRATION.json")
     ap.add_argument("--top", type=int, default=10,
                     help="rows in the stdout table (slowest by min)")
+    ap.add_argument("--diff-prior", default=None,
+                    help="prior round's BENCH_ARBITRATION.json to diff against")
+    ap.add_argument("--diff-out", default=None,
+                    help="where to write the round-over-round diff artifact")
+    ap.add_argument("--regress-factor", type=float, default=1.5,
+                    help="flag queries whose min grew by more than this factor")
     args = ap.parse_args()
 
     runs = []
@@ -49,6 +61,12 @@ def main():
         sys.exit(f"no full-run records in {args.runs}")
 
     surface = args.surface or runs[-1].get("surface_hash")
+    if surface is None:
+        # Legacy records (pre-surface_hash Bench) carry no surface; don't
+        # silently group them under None and crash on surface[:12] below
+        # (ADVICE r12) — the fix is a Bench rerun, say so.
+        sys.exit("most recent run has no surface_hash (legacy record); "
+                 "re-run graft.Bench or pass --surface explicitly")
     sel = [r for r in runs if r.get("surface_hash") == surface]
     if not sel:
         sys.exit(f"no runs with surface_hash={surface}")
@@ -101,6 +119,49 @@ def main():
         v = per_query[n]
         rm = " / ".join(f"{x:.2f}" for x in v["run_medians"])
         print(f"| {n} | {v['min']:.2f} | {v['median']:.2f} | {rm} |")
+
+    # Round-over-round regression diff (VERDICT r12 item 4): per-query min
+    # vs the prior arbitration's min. min-of-N is the agreed arbitration
+    # under hypervisor steal (BASELINE.md), so the diff compares the two
+    # rounds' arbitrated numbers, not raw single runs.
+    if args.diff_prior:
+        if not args.diff_out:
+            sys.exit("--diff-prior requires --diff-out")
+        with open(args.diff_prior) as f:
+            prior = json.load(f)
+        prior_q = prior.get("per_query_sec", {})
+        common = [n for n in names if n in prior_q]
+        added = [n for n in names if n not in prior_q]
+        removed = [n for n in prior_q if n not in per_query]
+        rows = {}
+        regressions = []
+        for n in common:
+            cur, prev = per_query[n]["min"], prior_q[n]["min"]
+            ratio = cur / prev if prev > 0 else None
+            rows[n] = {"prior_min": prev, "min": cur, "ratio": ratio}
+            if ratio is not None and ratio > args.regress_factor:
+                regressions.append(n)
+        diff = {
+            "surface_hash": surface,
+            "prior_surface_hash": prior.get("surface_hash"),
+            "regress_factor": args.regress_factor,
+            "n_common": len(common),
+            "n_added": len(added),
+            "n_removed": len(removed),
+            "added": sorted(added),
+            "removed": sorted(removed),
+            "regressions": sorted(regressions),
+            "total_min_sec": summary["total_min_of_runs_sec"],
+            "prior_total_min_sec": prior.get("total_min_of_runs_sec"),
+            "per_query": rows,
+        }
+        with open(args.diff_out, "w") as f:
+            json.dump(diff, f, indent=1, sort_keys=True)
+        print()
+        print(f"Diff vs {args.diff_prior}: {len(common)} common, "
+              f"{len(added)} added, {len(removed)} removed; "
+              f"{len(regressions)} regression(s) > {args.regress_factor}x"
+              + (": " + ", ".join(sorted(regressions)) if regressions else ""))
 
 
 if __name__ == "__main__":
