@@ -547,14 +547,49 @@ object PqOps {
   def annIndexIncremental(index: DataFrame, delta: DataFrame,
                           cb: Array[Array[Seq[Double]]],
                           nPlanes: Int = 8): DataFrame = {
+    val d = withEmb(delta)
+      .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
+      .select(col("vec_id").as("q_id"), col("emb"), col("bucket"))
+    annIndexIncrementalProbed(index, delta, d, cb)
+  }
+
+  /** MULTI-PROBE [[annIndexIncremental]] — the recall lever for the
+    * persisted-index path (VERDICT r12 item 1's "if the number is low"
+    * branch — it is, see PLANS.md): each delta vector probes its own
+    * bucket PLUS every hamming-1 neighbor (the [[SimilarityOps
+    * .lshTopKMultiProbe]] expansion), so the ADC candidate set grows
+    * (nPlanes+1)× and a nearest index vector separated by ONE hyperplane
+    * is no longer an automatic miss. Probe buckets are pairwise distinct
+    * and an index row has exactly one bucket, so no (q, nn) pair is
+    * scored twice — no dedup step needed before the min pick. Same
+    * output contract: orphans (no index row in ANY probed bucket) keep
+    * their loud (-1, null) row.
+    */
+  def annIndexIncrementalMultiProbe(index: DataFrame, delta: DataFrame,
+                                    cb: Array[Array[Seq[Double]]],
+                                    nPlanes: Int = 8): DataFrame = {
+    val probeArr = array((col("bucket") +: (0 until nPlanes)
+      .map(p => expr(s"bucket ^ ${1L << p}"))): _*)
+    val d = withEmb(delta)
+      .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
+      .select(col("vec_id").as("q_id"), col("emb"),
+        explode(probeArr).as("bucket"))
+    annIndexIncrementalProbed(index, delta, d, cb)
+  }
+
+  /** Shared core of the incremental path: join the delta's PROBE rows
+    * (q_id, emb, bucket — one per probed bucket) to the index on the
+    * bucket key, ADC-score each candidate from its codes + the broadcast
+    * codebook, keep the min per delta vector, and LEFT-join back so
+    * orphans survive as (-1, null). */
+  private def annIndexIncrementalProbed(index: DataFrame, delta: DataFrame,
+                                        probes: DataFrame,
+                                        cb: Array[Array[Seq[Double]]]): DataFrame = {
     require(index.columns.sorted.sameElements(Array("bucket", "codes", "vec_id")),
       s"index must be an annIndex (vec_id, bucket, codes); got ${index.columns.mkString(",")}")
     requireGeometry(cb.length, math.max(cb(0).length, 1))
     val m = cb.length
     val subDim = 64 / m
-    val d = withEmb(delta)
-      .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
-      .select(col("vec_id").as("q_id"), col("emb"), col("bucket"))
     val idx = index.select(col("vec_id").as("nn_id"), col("bucket"), col("codes"))
     val dist = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
       val xs = slice(col("emb"), s * subDim + 1, subDim)
@@ -563,7 +598,7 @@ object PqOps {
       acc + ((dot(xs, xs) - lit(2.0) * dot(xs, cs)) + dot(cs, cs))
     }
     val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("nn_id").asc)
-    val best = d.join(idx, Seq("bucket"))
+    val best = probes.join(idx, Seq("bucket"))
       .withColumn("adc_dist", dist)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -588,7 +623,20 @@ object PqOps {
     * tiebreak, and a LEFT join so bucket-orphan delta vectors keep
     * their (-1, null) row. */
   def annIndexIncrementalOracle(m: Int = 4, k: Int = 16,
-                                nPlanes: Int = 8): String = {
+                                nPlanes: Int = 8): String =
+    annIndexIncrementalOracleCond(m, k, nPlanes, "wb.bucket = db.bucket")
+
+  /** Multi-probe twin: hamming distance ≤ 1 between the candidate's and
+    * the delta's buckets — an INDEPENDENT formulation (xor + popcount)
+    * of the Spark side's probe-array explode, so agreement cross-checks
+    * the expansion rather than mirroring it. */
+  def annIndexIncrementalMultiProbeOracle(m: Int = 4, k: Int = 16,
+                                          nPlanes: Int = 8): String =
+    annIndexIncrementalOracleCond(m, k, nPlanes,
+      "bit_count(xor(wb.bucket, db.bucket)) <= 1")
+
+  private def annIndexIncrementalOracleCond(m: Int, k: Int, nPlanes: Int,
+                                            bucketCond: String): String = {
     val subDim = 64 / m
     def dotR(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -617,7 +665,7 @@ object PqOps {
        |  FROM subs d
        |  JOIN bucketed db ON db.vec_id = d.vec_id
        |  JOIN icodes w ON w.s = d.s
-       |  JOIN bucketed wb ON wb.vec_id = w.vec_id AND wb.bucket = db.bucket
+       |  JOIN bucketed wb ON wb.vec_id = w.vec_id AND $bucketCond
        |  JOIN cb c ON c.s = w.s AND c.code = w.code
        |  WHERE d.vec_id >= $k AND d.vec_id % 4 = 0),
        |scored AS (

@@ -888,6 +888,119 @@ object SimilarityOps {
     recallAtK(cosineTopK(embeddings, nQueries, k),
       annProjectRerank(embeddings, nQueries, k))
 
+  /** Measured recall@1 of the PERSISTED-INDEX incremental ANN path
+    * (VERDICT r12 item 1) — the last retrieval path without a quality
+    * number: truth = the EXACT squared-L2 nearest index vector per delta
+    * vector (brute force over raw vectors, the same exhaustive-truth
+    * contract as [[graft.ops.DedupOps.dedupRecall]] — an evaluation
+    * operator, not a production query); found =
+    * [[graft.ops.PqOps.annIndexIncremental]]'s probe-1 ADC pick over the
+    * persisted codes. Same [[recallAtK]] arithmetic as the other recall
+    * queries (LEFT join keeps every delta vector visible), so a
+    * bucket-orphan delta row — (nn_id = -1, null dist) — can never match
+    * a truth row and COUNTS AS A MISS, exactly the failure mode probe-1
+    * routing owns. Index/delta split, codebook derivation, and bucket
+    * routing are [[graft.ops.PqOps.annSplitIsIndex]]'s registered
+    * convention, so this measures the exact configuration
+    * `ann_index_incremental` ships.
+    *
+    * Scale shape: the found side is the audited incremental path
+    * (bucket-keyed join, codes only); the truth side is delta × index
+    * exhaustive — quadratic BY DESIGN, priced on the evaluation corpus
+    * (the sampled-recall estimator is the production pattern when even
+    * the evaluation corpus outgrows it).
+    */
+  def annRecallIncremental(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+                           nPlanes: Int = 8): DataFrame =
+    annRecallIncrementalWith(embeddings, m, k, nPlanes,
+      PqOps.annIndexIncremental(_, _, _, nPlanes))
+
+  /** Recall@1 of the MULTI-PROBE incremental path — the measured lift
+    * the hamming-1 expansion buys over [[annRecallIncremental]]'s
+    * probe-1 routing (the probe-1 number is chance-level on this
+    * near-orthogonal synthetic corpus — see PLANS.md). Candidate set is
+    * a strict superset of probe-1's, so this recall dominates it BY
+    * CONSTRUCTION (the Round13 spec asserts it). */
+  def annRecallIncrementalMultiProbe(embeddings: DataFrame, m: Int = 4,
+                                     k: Int = 16, nPlanes: Int = 8): DataFrame =
+    annRecallIncrementalWith(embeddings, m, k, nPlanes,
+      PqOps.annIndexIncrementalMultiProbe(_, _, _, nPlanes))
+
+  private def annRecallIncrementalWith(embeddings: DataFrame, m: Int, k: Int,
+                                       nPlanes: Int,
+                                       retrieve: (DataFrame, DataFrame,
+                                         Array[Array[Seq[Double]]]) => DataFrame): DataFrame = {
+    val base = embeddings.filter(PqOps.annSplitIsIndex(k))
+    val delta = embeddings.filter(!PqOps.annSplitIsIndex(k))
+    val cb = PqOps.trainCodebook(base, m, k)
+    if (cb(0).isEmpty)
+      return embeddings.select(col("vec_id").as("q_id"),
+        lit(0.0).as("recall_at_k")).limit(0)
+    val idx = base.withColumn("i_emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id").as("nn_id"), col("i_emb"))
+    val q = delta.withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id").as("q_id"), col("emb"))
+    // exact truth: same (x·x − 2·x·y) + y·y composition (strict left
+    // folds) as the ADC distance, full 64 dims, ties to the smaller nn_id
+    val distT = (graft.functions.native.dotFold(col("emb"), col("emb"))
+      - lit(2.0) * graft.functions.native.dotFold(col("emb"), col("i_emb"))) +
+      graft.functions.native.dotFold(col("i_emb"), col("i_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("nn_id").asc)
+    // index/delta are disjoint by the split predicate, so no
+    // self-exclusion is needed; the query (delta) side broadcasts — the
+    // corpus-sized index never shuffles, same shape as cosineTopK
+    val truth = idx.crossJoin(broadcast(q))
+      .withColumn("dist", distT)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("nn_id").as("vec_id"))
+    val approx = retrieve(PqOps.annIndex(base, cb, nPlanes), delta, cb)
+      .select(col("vec_id").as("q_id"), col("nn_id").as("vec_id"))
+    recallAtK(truth, approx)
+  }
+
+  /** Truth = the same exhaustive cross join + min-distance pick in SQL
+    * (ORDERED folds, identical composition and tiebreak); found =
+    * [[graft.ops.PqOps.annIndexIncrementalOracle]] verbatim, re-keyed to
+    * (q_id, vec_id) — its LEFT-join orphan rows carry nn_id = -1, which
+    * matches no truth row: misses, by the same arithmetic. */
+  def annRecallIncrementalOracle(m: Int = 4, k: Int = 16,
+                                 nPlanes: Int = 8): String =
+    annRecallIncrementalOracleWith(m, k,
+      PqOps.annIndexIncrementalOracle(m, k, nPlanes))
+
+  def annRecallIncrementalMultiProbeOracle(m: Int = 4, k: Int = 16,
+                                           nPlanes: Int = 8): String =
+    annRecallIncrementalOracleWith(m, k,
+      PqOps.annIndexIncrementalMultiProbeOracle(m, k, nPlanes))
+
+  private def annRecallIncrementalOracleWith(m: Int, k: Int,
+                                             incrementalSql: String): String = {
+    def dotR(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
+    val truthSql =
+      s"""WITH tbase AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |tidx AS (SELECT vec_id AS nn_id, emb AS i_emb FROM tbase
+         |         WHERE vec_id < $k OR vec_id % 4 <> 0),
+         |tq AS (SELECT vec_id AS q_id, emb FROM tbase
+         |       WHERE vec_id >= $k AND vec_id % 4 = 0),
+         |tdists AS (
+         |  SELECT tq.q_id, tidx.nn_id,
+         |    (${dotR("tq.emb", "tq.emb")} - 2.0 * ${dotR("tq.emb", "tidx.i_emb")}) + ${dotR("tidx.i_emb", "tidx.i_emb")} AS dist
+         |  FROM tq, tidx)
+         |SELECT q_id, nn_id AS vec_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |                                   ORDER BY dist ASC, nn_id ASC) AS rn
+         |      FROM tdists)
+         |WHERE rn = 1""".stripMargin
+    val approxSql =
+      s"""SELECT vec_id AS q_id, nn_id AS vec_id FROM (
+         |$incrementalSql
+         |) inc""".stripMargin
+    recallAtKOracle(truthSql, approxSql)
+  }
+
   /** The ONE recall@k computation, shared by all four registered recall
     * queries so a tuned config can never be scored by different
     * arithmetic than the baseline: LEFT join truth→approx on (q_id,
