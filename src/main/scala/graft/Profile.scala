@@ -951,6 +951,107 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-r13 [factor]` — the ANN index MAINTENANCE LOOP
+    // end-to-end (VERDICT r12 item 5): seed spine + 10 file-source
+    // micro-batches through the REAL annIndexLoop (each batch queries
+    // the persisted codes, then appends its own) + one compaction. The
+    // compactSignatureIndex ladder precedent, embedding side. Driven by
+    // a files stream (maxFilesPerTrigger=1), NOT MemoryStream — vectors
+    // never collect to the driver, so the drive itself is scale-shaped.
+    // Checks: total loop time ~linear in factor, per-batch verdicts
+    // complete (= delta count), file count bounded by compaction
+    // (10 appended slices -> numFiles), rows before/after identical
+    // (appends are deterministic, no replay in this drive).
+    if (args.headOption.contains("scale-r13")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val nBatches = 10
+      val embAmp = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
+      embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
+      val baseSide = embAmp.filter(PqOps.annSplitIsIndex())
+      val delta = embAmp.filter(!PqOps.annSplitIsIndex())
+        .select(col("vec_id").cast("long"), col("embedding"))
+      val cb = PqOps.trainCodebook(baseSide)
+      val root = java.nio.file.Files.createTempDirectory("graft_r13_annloop")
+      try {
+        val indexDir = root.resolve("index").toString
+        t("ann_index_seed") {
+          PqOps.annIndex(baseSide, cb).write.mode("overwrite").parquet(indexDir)
+          spark.read.parquet(indexDir).count()
+        }
+        val streamDir = root.resolve("stream")
+        java.nio.file.Files.createDirectories(streamDir)
+        t(s"write_${nBatches}_slices") {
+          (0 until nBatches).foreach { k =>
+            val stage = root.resolve(s"stage_$k")
+            delta.filter(pmod(col("vec_id"), lit(nBatches)) === k)
+              .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+            val part = java.nio.file.Files.list(stage)
+              .filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().orElseThrow()
+            java.nio.file.Files.move(part,
+              streamDir.resolve(f"slice_$k%02d.parquet"))
+            FixtureDirs.rmTree(stage)
+          }
+          delta.count()
+        }
+        var verdictRows = 0L
+        var batches = 0L
+        val stream = spark.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamingSemantic.annIndexLoop(
+          spark, stream, indexDir, cb) { (batch, _) =>
+          verdictRows += batch.count(); batches += 1
+        }.start()
+        q.processAllAvailable(); q.stop()
+        println(f"[profile] ann_loop_${nBatches}batches       ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$verdictRows (batches=$batches)")
+        def parquetFiles(dir: String): Long = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+          finally s.close()
+        }
+        val filesBefore = parquetFiles(indexDir)
+        var beforeAfter = (0L, 0L)
+        t("compact_ann_index") {
+          beforeAfter = graft.streaming.StreamingSemantic
+            .compactAnnIndex(spark, indexDir, numFiles = 8)
+          beforeAfter._2
+        }
+        println(s"[profile] index files $filesBefore -> ${parquetFiles(indexDir)}; " +
+          s"rows ${beforeAfter._1} -> ${beforeAfter._2}")
+      } finally FixtureDirs.rmTree(root)
+      embAmp.unpersist()
+      spark.stop(); return
+    }
+
+    // `Profile scale-bpe [factor] [nMerges]` — the BPE training regime
+    // price sheet (VERDICT r12 item 2): the driver-side regime
+    // (bpeTrainAuto's under-bound branch: ONE histogram collect + a
+    // plain Scala loop) vs the distributed loop (2 Spark jobs per
+    // merge) at tokenizer-ish merge counts, on the salted amplified
+    // corpus (amplifyDocs' positional salts supply fresh vocabulary, so
+    // the merge supply doesn't exhaust at the fixture's 31 base words).
+    // Also asserts merge-list parity at full depth — the spec's fixture
+    // parity, re-proven at scale.
+    if (args.headOption.contains("scale-bpe")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val nMerges = if (args.length > 2) args(2).toInt else 1000
+      val damp = amplifyDocs(docs, factor).persist()
+      t(s"amplify_docs_${factor}x")(damp.count())
+      t("word_hist_rows")(BpeOps.wordFreq(damp).count())
+      var local: Seq[(String, String)] = Seq.empty
+      t(s"bpe_local_$nMerges") {
+        local = BpeOps.bpeTrainAuto(damp, nMerges); local.length.toLong
+      }
+      var dist: Seq[(String, String)] = Seq.empty
+      t(s"bpe_distributed_$nMerges") {
+        dist = BpeOps.bpeTrain(damp, nMerges); dist.length.toLong
+      }
+      println(s"[profile] merge parity at depth ${local.length}: ${local == dist}")
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))

@@ -429,6 +429,18 @@ object SparkEntry {
       MultimodalOps.resampleAudio(s,
         s.read.format("binaryFile").load(fix)).toDF()
     }),
+    // SECOND audio container (round 13): the same clips companded to
+    // G.711 μ-law (hand-rolled encoder, fmt tag 7), expanded back to
+    // 16-bit PCM by javax.sound's codec executor-side; the oracle
+    // recomputes the companding round trip from the generation formula
+    // in pure integer SQL — proving the audio gate is
+    // container-independent the way PNG proved it for BMP
+    "multimodal_decode_ulaw" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_ulaw", dir)
+      MultimodalOps.writeUlawFixtureTree(D(s, dir), fix)
+      MultimodalOps.decodeAudioCompanded(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+    }),
     // REAL multi-frame container (round 12): animated GIF through
     // ImageIO's sequence writer/reader — the frame sampler decodes ONLY
     // every 2nd frame index; the oracle recomputes each sampled frame's
@@ -969,6 +981,7 @@ object SparkEntry {
     "multimodal_decode_png" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_wav" -> MultimodalOps.decodeAudioOracle(),
     "multimodal_resample_wav" -> MultimodalOps.resampleAudioOracle(),
+    "multimodal_decode_ulaw" -> MultimodalOps.decodeUlawOracle(),
     "multimodal_frames_real" -> MultimodalOps.sampleFramesRealOracle(),
     "multimodal_frames_stride3" -> MultimodalOps.sampleFramesRealOracle(stride = 3),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),

@@ -73,6 +73,15 @@ object BpeOps {
 
   /** Train `nMerges` BPE merges; returns the ordered merge list. Stops
     * early when no adjacent pair is left (fully-merged vocabulary).
+    *
+    * This is the DISTRIBUTED regime — 2 Spark jobs per merge round. At
+    * tokenizer-realistic merge counts (32k) that is ~64k driver-bound
+    * job launches, so [[bpeTrainAuto]] is the production entry point:
+    * it collects the vocabulary-sized histogram once when it fits under
+    * a size bound and trains driver-side ([[bpeTrainLocal]] — identical
+    * merges by construction), falling back to this loop only when the
+    * vocabulary itself is too large to collect (VERDICT r12 item 2; the
+    * [[graft.ops.DedupOps.sizedClusterLabels]] regime idiom).
     */
   def bpeTrain(documents: DataFrame, nMerges: Int): Seq[(String, String)] = {
     val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
@@ -101,6 +110,106 @@ object BpeOps {
     }
     wf.unpersist()
     merges.toSeq
+  }
+
+  /** Greedy left-to-right non-overlapping merge of (a, b) in a plain
+    * Scala symbol array — the driver-side twin of [[mergePair]]'s
+    * Column fold (same semantics: after a merge the new token `a+b` is
+    * the fold's last element, so it never immediately re-pairs as `a`).
+    */
+  private[graft] def mergePairLocal(syms: Array[String], a: String,
+                                    b: String): Array[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-side merge loop over a COLLECTED word histogram —
+    * merge-for-merge identical to [[bpeTrain]] by construction: same
+    * frequency-weighted adjacent-pair counts, same (count DESC, pair
+    * ASC) tie-break, same greedy rewrite, same early stop. One process,
+    * zero Spark jobs — the regime for every histogram that fits on the
+    * driver (BPE state is vocabulary-sized, never corpus-sized).
+    */
+  def bpeTrainLocal(hist: Seq[(String, Long)],
+                    nMerges: Int): Seq[(String, String)] = {
+    // CODE-POINT split + UTF-8-byte tie-break: Spark's substring()
+    // walks code points and its string sort is UTF8String byte order —
+    // a UTF-16 charAt/compareTo local loop would diverge from the
+    // distributed regime on supplementary-plane vocabulary.
+    var words = hist.iterator
+      .map { case (w, f) =>
+        (w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))), f)
+      }.toArray
+    def utf8Cmp(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val (syms, f) = words(wi)
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // (count DESC, a ASC, b ASC) — bpeTrain's orderBy, exactly
+        val (a, b) = counts.iterator.reduce { (p, q) =>
+          val ((pa, pb), pc) = p; val ((qa, qb), qc) = q
+          val c =
+            if (pc != qc) java.lang.Long.compare(qc, pc)
+            else {
+              val ca = utf8Cmp(pa, qa)
+              if (ca != 0) ca else utf8Cmp(pb, qb)
+            }
+          if (c <= 0) p else q
+        }._1
+        merges += ((a, b))
+        words = words.map { case (syms, f) =>
+          (mergePairLocal(syms, a, b), f)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Size-bounded REGIME-SELECTED training (VERDICT r12 item 2) — the
+    * production entry point. The word histogram is vocabulary-sized
+    * metadata (millions of rows at web scale, not billions of docs):
+    * count it once (an eager pre-pass over the persisted histogram —
+    * not wasted, the collect consumes the same materialization) and
+    * when it fits under `maxHistRows`, collect it and train driver-side
+    * in plain Scala — nMerges=32k is then a tight local loop instead of
+    * ~64k Spark jobs. Past the bound, fall back to the distributed
+    * [[bpeTrain]] loop, which never holds more than one 1-row argmax on
+    * the driver. Both regimes produce the identical merge list
+    * (BpeRegimeSpec pins parity on the fixture corpus).
+    */
+  def bpeTrainAuto(documents: DataFrame, nMerges: Int,
+                   maxHistRows: Long = 4000000L): Seq[(String, String)] = {
+    val wf = wordFreq(documents).persist()
+    try {
+      if (wf.count() <= maxHistRows)
+        bpeTrainLocal(
+          wf.collect().iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
+          nMerges)
+      else bpeTrain(documents, nMerges)
+    } finally wf.unpersist()
   }
 
   /** Segment the (space-tokenized) corpus vocabulary with a learned merge

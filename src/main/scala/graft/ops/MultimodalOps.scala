@@ -841,6 +841,216 @@ object MultimodalOps {
        |FROM v GROUP BY doc_id, chn, fr""".stripMargin
 
   // --------------------------------------------------------------------
+  // SECOND audio container (round 13, VERDICT r12 item 3): G.711 μ-law
+  // WAV — the COMPANDED sibling of the PCM gate, proving the audio
+  // oracle is container-independent the way PNG proved it for BMP. The
+  // fixture writer companding is HAND-ROLLED (ITU-T G.711, public spec:
+  // sign/clip-32635/bias-132, segment = highest-bit position, 4-bit
+  // mantissa, ones-complement), written as WAVE_FORMAT_MULAW (fmt tag
+  // 7, 8 bits/sample); the executor-side decode converts ULAW → 16-bit
+  // PCM through javax.sound.sampled's codec — an INDEPENDENT
+  // implementation of the same public table (probed: the JDK decode
+  // agrees with the standard formula on all 256 codes; pinned in
+  // Round13AudioSpec) — and the DuckDB oracle recomputes the companding
+  // ROUND TRIP from the generation formula in pure integer SQL. A bias
+  // slip, a segment-boundary off-by-one, or a mantissa shift anywhere
+  // breaks three-way agreement on some sample (the formula's samples
+  // cover both signs and all eight segments).
+  // --------------------------------------------------------------------
+
+  /** Hand-rolled G.711 μ-law ENCODE: 16-bit signed PCM → 8-bit code.
+    * Classic algorithm: sign bit, clip magnitude at 32635, bias by 132,
+    * exponent = highest-set-bit segment of the biased magnitude,
+    * mantissa = next 4 bits, ones-complement the packed byte. */
+  def ulawEncode(x: Int): Int = {
+    val sign = if (x < 0) 0x80 else 0
+    val mag = math.min(math.abs(x), 32635) + 132
+    var e = 7
+    var mask = 0x4000
+    while ((mag & mask) == 0 && e > 0) { e -= 1; mask >>= 1 }
+    val m = (mag >> (e + 3)) & 0x0f
+    (~(sign | (e << 4) | m)) & 0xff
+  }
+
+  /** Standard G.711 μ-law DECODE (the published table as a formula) —
+    * the spec pins that javax.sound's codec agrees on all 256 codes;
+    * executor-side decode goes through the JDK, never this. */
+  def ulawDecode(code: Int): Int = {
+    val u = (~code) & 0xff
+    val e = (u >> 4) & 7
+    val m = u & 0x0f
+    val mag = (((m << 3) + 0x84) << e) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Hand-rolled μ-law WAV container: RIFF with fmt tag 7
+    * (WAVE_FORMAT_MULAW), 8 bits/sample, one code byte per sample,
+    * frames interleaved by channel — the companded twin of [[wavBytes]].
+    */
+  def ulawWavBytes(channels: Int, sampleRate: Int, frames: Int,
+                   sample: (Int, Int) => Int): Array[Byte] = {
+    val dataSize = frames * channels
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+      .putInt(36 + dataSize)
+      .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+    buf.put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+      .putInt(16).putShort(7) // WAVE_FORMAT_MULAW
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels) // byte rate: 1 code byte per sample
+      .putShort(channels.toShort) // block align
+      .putShort(8) // bits per sample
+    buf.put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+      .putInt(dataSize)
+    var f = 0
+    while (f < frames) {
+      var ch = 0
+      while (ch < channels) {
+        buf.put(ulawEncode(sample(f, ch)).toByte)
+        ch += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Write the μ-law fixture tree (`ul_<id>.wav`) — SAME clip geometry
+    * and sample formula as [[writeWavFixtureTree]], companded through
+    * [[ulawEncode]]; same bounded-collect lifecycle. */
+  def writeUlawFixtureTree(documents: DataFrame, dir: String,
+                           maxDocId: Long = 256L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val pat = "ul_\\d+\\.wav".r
+    val old = Files.list(base)
+    try old.forEach { p =>
+      if (pat.pattern.matcher(p.getFileName.toString).matches())
+        Files.delete(p)
+    } finally old.close()
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        requireAsciiFixture(id, text)
+        val chn = wavChannels(id)
+        Files.write(base.resolve(s"ul_$id.wav"),
+          ulawWavBytes(chn, WavSampleRate, wavFrames(text.length.toLong),
+            wavSample(text, chn)))
+      }
+  }
+
+  /** Decode a `binaryFile` frame of COMPANDED (μ-law) WAVs: the JDK
+    * parses the ULAW container, then `AudioSystem.getAudioInputStream`
+    * converts to 16-bit little-endian signed PCM — the conversion step
+    * every companded-telephony ingest runs — and the same summing loop
+    * as [[decodeAudio]] runs over the expanded samples. Blobs ride the
+    * scan; only metadata reaches an exchange. */
+  def decodeAudioCompanded(spark: SparkSession, files: DataFrame,
+                           extPattern: String = "ul_(\\d+)\\.wav$"): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    files
+      .filter(col("path").rlike(extPattern))
+      .select(
+        regexp_extract(col("path"), extPattern, 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val in = raw.getFormat
+            require(in.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.ULAW &&
+              in.getSampleSizeInBits == 8,
+              s"doc $id container is not 8-bit μ-law: $in")
+            val chn = in.getChannels
+            val pcm = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              in.getSampleRate, 16, chn, chn * 2, in.getSampleRate, false)
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(pcm, raw)
+            val frameSize = chn * 2
+            val data = ais.readAllBytes()
+            val nFrames = data.length / frameSize
+            var (s0, s1) = (0L, 0L)
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var f = 0
+            while (f < nFrames) {
+              var ch = 0
+              while (ch < chn) {
+                val off = f * frameSize + ch * 2
+                val v = (((data(off) & 0xff) | (data(off + 1) << 8)).toShort).toLong
+                if (ch == 0) s0 += v else s1 += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                ch += 1
+              }
+              f += 1
+            }
+            DecodedAudio(id, chn.toLong, in.getSampleRate.toLong,
+              nFrames.toLong, s0, s1, mn, mx)
+          } finally raw.close()
+        }
+      }
+  }
+
+  /** Oracle for the companded decode: the SAME generation formula as
+    * [[decodeAudioOracle]], each sample pushed through the G.711
+    * encode→decode ROUND TRIP in pure integer SQL (no float log — the
+    * segment is an 8-way integer CASE, so boundaries are exact):
+    * mag = min(|s|, 32635) + 132; p = 2^segment via the highest-bit
+    * CASE; mantissa = (mag / 8p) mod 16; reconstruction
+    * (8·mantissa + 132)·p − 132, sign reapplied. */
+  def decodeUlawOracle(maxDocId: Long = 256L): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, chn, fr, i % chn AS ch,
+       |    ((ascii(substr(text, CAST(i % n AS INT) + 1, 1)) * 523
+       |      + (i // chn) * 1031 + (i % chn) * 1733) % 65536) - 32768 AS s
+       |  FROM (
+       |    SELECT doc_id, text, n, chn, fr, unnest(range(0, fr * chn)) AS i
+       |    FROM (
+       |      SELECT doc_id, text, length(text) AS n,
+       |        1 + (doc_id % 2) AS chn, 1 + (length(text) % 29) AS fr
+       |      FROM documents
+       |      WHERE doc_id < $maxDocId AND text IS NOT NULL
+       |        AND length(text) > 0))),
+       |seg AS (
+       |  SELECT doc_id, chn, fr, ch, s,
+       |    least(abs(s), 32635) + 132 AS mag
+       |  FROM raw),
+       |v AS (
+       |  SELECT doc_id, chn, fr, ch,
+       |    CASE WHEN s < 0 THEN -d ELSE d END AS s
+       |  FROM (
+       |    SELECT doc_id, chn, fr, ch, s,
+       |      (((mag // (8 * p)) % 16) * 8 + 132) * p - 132 AS d
+       |    FROM (
+       |      SELECT *, CASE WHEN mag >= 16384 THEN 128
+       |                     WHEN mag >= 8192 THEN 64
+       |                     WHEN mag >= 4096 THEN 32
+       |                     WHEN mag >= 2048 THEN 16
+       |                     WHEN mag >= 1024 THEN 8
+       |                     WHEN mag >= 512 THEN 4
+       |                     WHEN mag >= 256 THEN 2
+       |                     ELSE 1 END AS p
+       |      FROM seg)))
+       |SELECT doc_id,
+       |  CAST(chn AS BIGINT) AS n_channels,
+       |  CAST($WavSampleRate AS BIGINT) AS sample_rate,
+       |  CAST(fr AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN ch = 0 THEN s ELSE 0 END) AS BIGINT) AS sum_ch0,
+       |  CAST(sum(CASE WHEN ch = 1 THEN s ELSE 0 END) AS BIGINT) AS sum_ch1,
+       |  CAST(min(s) AS BIGINT) AS min_sample,
+       |  CAST(max(s) AS BIGINT) AS max_sample
+       |FROM v GROUP BY doc_id, chn, fr""".stripMargin
+
+  // --------------------------------------------------------------------
   // REAL video-container frame sampling (round 12): the `.vid` modality
   // gets a real MULTI-FRAME decode — animated GIF through the JDK's
   // ImageIO sequence writer/reader (zero new dependencies; a real video

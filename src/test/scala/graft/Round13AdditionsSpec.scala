@@ -128,4 +128,126 @@ class Round13AdditionsSpec extends SparkSpec {
       assert(got == exp)
     } finally graft.ops.FixtureDirs.rmTree(dir)
   }
+
+  // ---- second audio container: G.711 mu-law (VERDICT r12 #3) ----
+
+  /** Minimal mu-law WAV with RAW code bytes (no companding) — the spec's
+    * probe container for pinning the JDK decode table itself. */
+  private def rawUlawWav(codes: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + codes.length).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(7).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes).putInt(codes.length).put(codes)
+    buf.array()
+  }
+
+  test("JDK ULAW->PCM codec agrees with the standard G.711 decode formula on all 256 codes") {
+    val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(
+        rawUlawWav(Array.tabulate(256)(_.toByte))))
+    val pcm = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, raw)
+    val out = dec.readAllBytes()
+    assert(out.length == 512)
+    for (c <- 0 until 256) {
+      val jdk = (((out(2 * c) & 0xff) | (out(2 * c + 1) << 8)).toShort).toInt
+      assert(jdk == MultimodalOps.ulawDecode(c),
+        s"code $c: jdk=$jdk formula=${MultimodalOps.ulawDecode(c)}")
+    }
+  }
+
+  test("mu-law companding round-trip tolerance contract over the full 16-bit range") {
+    // max error 644 comes from the clip: |x| in (32635, 32768] all land
+    // on the top reconstruction point 32124; within the unclipped range
+    // the worst cell is the top segment's half-step 512; zero is exact
+    var worst = 0
+    var worstUnclipped = 0
+    var x = -32768
+    while (x <= 32767) {
+      val rt = MultimodalOps.ulawDecode(MultimodalOps.ulawEncode(x))
+      assert(x == 0 || rt == 0 || (rt < 0) == (x < 0),
+        s"sign flipped: $x -> $rt")
+      val err = math.abs(rt - x)
+      if (err > worst) worst = err
+      if (math.abs(x) <= 32635 && err > worstUnclipped) worstUnclipped = err
+      x += 1
+    }
+    assert(MultimodalOps.ulawDecode(MultimodalOps.ulawEncode(0)) == 0)
+    assert(worst == 644, s"global worst-case drifted: $worst (contract: 644)")
+    assert(worstUnclipped <= 512,
+      s"unclipped worst-case $worstUnclipped exceeds the top-segment half-step")
+  }
+
+  test("decodeAudioCompanded end-to-end: writer -> JDK expand matches the Scala round-trip recompute") {
+    val docs = Seq((0L, "companded fixture zero"), (1L, "stereo interleave one!"),
+      (3L, "a"), (5L, "~~~ high codes ~~~")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ulaw_spec")
+    try {
+      MultimodalOps.writeUlawFixtureTree(docs, dir.toString)
+      val got = MultimodalOps.decodeAudioCompanded(spark,
+          spark.read.format("binaryFile").load(dir.toString))
+        .collect().map(d => d.doc_id -> d).toMap
+      for ((id, text) <- Seq((0L, "companded fixture zero"),
+        (1L, "stereo interleave one!"), (3L, "a"), (5L, "~~~ high codes ~~~"))) {
+        val chn = MultimodalOps.wavChannels(id)
+        val fr = MultimodalOps.wavFrames(text.length.toLong)
+        val s = (f: Int, ch: Int) => MultimodalOps.ulawDecode(
+          MultimodalOps.ulawEncode(
+            MultimodalOps.wavSample(text, chn)(f, ch))).toLong
+        val all = for (f <- 0 until fr; ch <- 0 until chn) yield (ch, s(f, ch))
+        val d = got(id)
+        assert(d.n_channels == chn && d.n_frames == fr &&
+          d.sample_rate == MultimodalOps.WavSampleRate)
+        assert(d.sum_ch0 == all.filter(_._1 == 0).map(_._2).sum)
+        assert(d.sum_ch1 == all.filter(_._1 == 1).map(_._2).sum)
+        assert(d.min_sample == all.map(_._2).min)
+        assert(d.max_sample == all.map(_._2).max)
+      }
+    } finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
+  // ---- size-bounded driver-side BPE training regime (VERDICT r12 #2) ----
+
+  private val bpeCorpus = Seq(
+    "low low low low low",
+    "lower lower widest widest widest",
+    "newest newest newest newest newest newest")
+  private def bpeDocs = bpeCorpus.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("bpeTrainLocal matches the distributed loop merge-for-merge (including exhaustion)") {
+    import graft.ops.BpeOps
+    val hist = bpeCorpus.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    // 200 >> the merge supply: both regimes must stop at the same point
+    val local = BpeOps.bpeTrainLocal(hist, 200)
+    val dist = BpeOps.bpeTrain(bpeDocs, 200)
+    assert(local == dist)
+    assert(local.nonEmpty && local.length < 200, "fixture must exhaust early")
+  }
+
+  test("bpeTrainAuto: both regime branches produce the identical merge list") {
+    import graft.ops.BpeOps
+    val under = BpeOps.bpeTrainAuto(bpeDocs, 16) // vocab 5 << 4M: local
+    val over = BpeOps.bpeTrainAuto(bpeDocs, 16, maxHistRows = 0L) // forced distributed
+    assert(under == over)
+    assert(under == BpeOps.bpeTrain(bpeDocs, 16))
+  }
+
+  test("bpe regime parity holds on supplementary-plane vocabulary (code points, UTF-8 tie-break)") {
+    import graft.ops.BpeOps
+    // U+1D54F is outside the BMP: a UTF-16 charAt split would cut the
+    // surrogate pair in half and diverge from Spark's substring()
+    val weird = Seq("𝕏a𝕏a", "𝕏a𝕏a",
+      "za za", "￮￮q")
+    val docs = weird.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hist = weird.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    assert(BpeOps.bpeTrainLocal(hist, 8) == BpeOps.bpeTrain(docs, 8))
+  }
 }
