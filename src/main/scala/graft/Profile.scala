@@ -965,6 +965,22 @@ object Profile {
     if (args.headOption.contains("scale-r13")) {
       val factor = if (args.length > 1) args(1).toInt else 10
       val nBatches = 10
+      // --- mu-law decode at file-count scale (the scale-r12 WAV idiom:
+      // decode cost is per-byte, so the line must be flat-per-file) ---
+      val base256 = docs.filter(col("doc_id") < 256L).select("doc_id", "text")
+      val fileDocs = (0 until factor).map { k =>
+        if (k == 0) base256
+        else base256.select((col("doc_id") + lit(k * 256L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionAll _)
+      val fixUl = MultimodalOps.fixtureDir(sfDir + s"_r13ul$factor")
+      t(s"write_ulaw_${factor}x256") {
+        MultimodalOps.writeUlawFixtureTree(fileDocs, fixUl,
+          maxDocId = 256L * factor); 256L * factor
+      }
+      t("multimodal_decode_ulaw")(MultimodalOps.decodeAudioCompanded(spark,
+          spark.read.format("binaryFile").load(fixUl))
+        .toDF().where(col("n_frames") > 0L).count())
       val embAmp = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
       embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
       val baseSide = embAmp.filter(PqOps.annSplitIsIndex())

@@ -85,8 +85,18 @@ object BpeOps {
     */
   def bpeTrain(documents: DataFrame, nMerges: Int): Seq[(String, String)] = {
     val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-    var wf = wordFreq(documents).select(col("freq"), chars.as("syms")).persist()
-    wf.count()
+    // localCheckpoint, NOT persist: a persist keeps the full Catalyst
+    // plan, so each round's rewrite stacks one more mergePair fold onto
+    // the lineage — planning cost grows linearly per round and the
+    // accumulated tree OOMs the driver near merge ~600 (caught by the
+    // scale-bpe price ladder, round 13). Eager localCheckpoint cuts the
+    // plan to a constant-size LogicalRDD every round. Caveat (the
+    // standard localCheckpoint contract): blocks are MEMORY_AND_DISK on
+    // the executors with lineage gone, so an executor loss aborts the
+    // loop — acceptable for a training job (rerun), and the collected
+    // driver-side regime is the production path anyway.
+    var wf = wordFreq(documents)
+      .select(col("freq"), chars.as("syms")).localCheckpoint()
     val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
@@ -102,15 +112,26 @@ object BpeOps {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = wf.select(col("freq"), mergePair(col("syms"), a, b).as("syms")).persist()
-        next.count()
-        wf.unpersist()
+        val next = wf.select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+          .localCheckpoint()
+        freeCheckpoint(wf)
         wf = next
       }
     }
-    wf.unpersist()
+    freeCheckpoint(wf)
     merges.toSeq
   }
+
+  /** Drop a localCheckpoint's cached blocks (the checkpointed RDD sits
+    * behind a LogicalRDD; Dataset.unpersist only clears CacheManager
+    * entries, never checkpoint blocks — without this each round leaks
+    * one histogram-sized block set for the session's lifetime). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
 
   /** Greedy left-to-right non-overlapping merge of (a, b) in a plain
     * Scala symbol array — the driver-side twin of [[mergePair]]'s
