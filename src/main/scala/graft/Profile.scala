@@ -981,6 +981,15 @@ object Profile {
       t("multimodal_decode_ulaw")(MultimodalOps.decodeAudioCompanded(spark,
           spark.read.format("binaryFile").load(fixUl))
         .toDF().where(col("n_frames") > 0L).count())
+      val fixAl = MultimodalOps.fixtureDir(sfDir + s"_r13al$factor")
+      t(s"write_alaw_${factor}x256") {
+        MultimodalOps.writeAlawFixtureTree(fileDocs, fixAl,
+          maxDocId = 256L * factor); 256L * factor
+      }
+      t("multimodal_decode_alaw")(MultimodalOps.decodeAudioCompanded(spark,
+          spark.read.format("binaryFile").load(fixAl),
+          extPattern = "al_(\\d+)\\.wav$")
+        .toDF().where(col("n_frames") > 0L).count())
       val embAmp = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
       embAmp.persist(); t(s"amplify_emb_${factor}x")(embAmp.count())
       val baseSide = embAmp.filter(PqOps.annSplitIsIndex())

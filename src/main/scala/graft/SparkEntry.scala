@@ -441,6 +441,17 @@ object SparkEntry {
       MultimodalOps.decodeAudioCompanded(s,
         s.read.format("binaryFile").load(fix)).toDF()
     }),
+    // THIRD audio container: a-law — the other G.711 companding law
+    // (fmt tag 6; XOR-0x55 toggling, inverted sign convention, mid-rise
+    // zero cell). A decode path that quietly reused the mu-law table
+    // would fail every fixture here
+    "multimodal_decode_alaw" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_alaw", dir)
+      MultimodalOps.writeAlawFixtureTree(D(s, dir), fix)
+      MultimodalOps.decodeAudioCompanded(s,
+        s.read.format("binaryFile").load(fix),
+        extPattern = "al_(\\d+)\\.wav$").toDF()
+    }),
     // REAL multi-frame container (round 12): animated GIF through
     // ImageIO's sequence writer/reader — the frame sampler decodes ONLY
     // every 2nd frame index; the oracle recomputes each sampled frame's
@@ -982,6 +993,7 @@ object SparkEntry {
     "multimodal_decode_wav" -> MultimodalOps.decodeAudioOracle(),
     "multimodal_resample_wav" -> MultimodalOps.resampleAudioOracle(),
     "multimodal_decode_ulaw" -> MultimodalOps.decodeUlawOracle(),
+    "multimodal_decode_alaw" -> MultimodalOps.decodeAlawOracle(),
     "multimodal_frames_real" -> MultimodalOps.sampleFramesRealOracle(),
     "multimodal_frames_stride3" -> MultimodalOps.sampleFramesRealOracle(stride = 3),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),

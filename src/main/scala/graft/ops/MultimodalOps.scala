@@ -942,12 +942,14 @@ object MultimodalOps {
       }
   }
 
-  /** Decode a `binaryFile` frame of COMPANDED (μ-law) WAVs: the JDK
-    * parses the ULAW container, then `AudioSystem.getAudioInputStream`
-    * converts to 16-bit little-endian signed PCM — the conversion step
-    * every companded-telephony ingest runs — and the same summing loop
-    * as [[decodeAudio]] runs over the expanded samples. Blobs ride the
-    * scan; only metadata reaches an exchange. */
+  /** Decode a `binaryFile` frame of COMPANDED (μ-law or a-law) WAVs:
+    * the JDK parses the companded container, then
+    * `AudioSystem.getAudioInputStream` converts to 16-bit little-endian
+    * signed PCM — the conversion step every companded-telephony ingest
+    * runs — and the same summing loop as [[decodeAudio]] runs over the
+    * expanded samples. The container's fmt tag decides WHICH G.711
+    * expansion the JDK applies; the decode plumbing is one path. Blobs
+    * ride the scan; only metadata reaches an exchange. */
   def decodeAudioCompanded(spark: SparkSession, files: DataFrame,
                            extPattern: String = "ul_(\\d+)\\.wav$"): Dataset[DecodedAudio] = {
     import spark.implicits._
@@ -964,10 +966,12 @@ object MultimodalOps {
             new java.io.ByteArrayInputStream(bytes))
           try {
             val in = raw.getFormat
-            require(in.getEncoding ==
-              javax.sound.sampled.AudioFormat.Encoding.ULAW &&
+            require((in.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+              in.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.ALAW) &&
               in.getSampleSizeInBits == 8,
-              s"doc $id container is not 8-bit μ-law: $in")
+              s"doc $id container is not 8-bit G.711: $in")
             val chn = in.getChannels
             val pcm = new javax.sound.sampled.AudioFormat(
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -1038,6 +1042,150 @@ object MultimodalOps {
        |                     WHEN mag >= 1024 THEN 8
        |                     WHEN mag >= 512 THEN 4
        |                     WHEN mag >= 256 THEN 2
+       |                     ELSE 1 END AS p
+       |      FROM seg)))
+       |SELECT doc_id,
+       |  CAST(chn AS BIGINT) AS n_channels,
+       |  CAST($WavSampleRate AS BIGINT) AS sample_rate,
+       |  CAST(fr AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN ch = 0 THEN s ELSE 0 END) AS BIGINT) AS sum_ch0,
+       |  CAST(sum(CASE WHEN ch = 1 THEN s ELSE 0 END) AS BIGINT) AS sum_ch1,
+       |  CAST(min(s) AS BIGINT) AS min_sample,
+       |  CAST(max(s) AS BIGINT) AS max_sample
+       |FROM v GROUP BY doc_id, chn, fr""".stripMargin
+
+  // --------------------------------------------------------------------
+  // THIRD audio container (round 13): G.711 A-LAW — the other half of
+  // the companding pair. Same three-way gate as μ-law (hand-rolled
+  // encoder, fmt tag 6; JDK expansion, probed table-identical to the
+  // standard formula on all 256 codes; integer-SQL round-trip oracle),
+  // but a DIFFERENT quantizer: XOR-0x55 bit toggling, inverted sign
+  // convention (bit 7 set = positive), a mid-rise cell around zero (no
+  // zero output — 0 reconstructs to +8), and a 512 worst-case error vs
+  // μ-law's 644. A gate that quietly reused the μ-law table would fail
+  // every a-law fixture.
+  // --------------------------------------------------------------------
+
+  /** Hand-rolled G.711 a-law ENCODE: 16-bit signed PCM → 8-bit code. */
+  def alawEncode(x: Int): Int = {
+    val mag = math.min(math.abs(x), 32767)
+    val a =
+      if (mag < 256) mag >> 4
+      else {
+        var seg = 7
+        var bound = 16384
+        while (mag < bound) { seg -= 1; bound >>= 1 }
+        (seg << 4) | ((mag >> (seg + 3)) & 0x0f)
+      }
+    ((if (x >= 0) a | 0x80 else a) ^ 0x55) & 0xff
+  }
+
+  /** Standard G.711 a-law DECODE (the published table as a formula) —
+    * Round13AdditionsSpec pins the JDK codec against it on all 256
+    * codes; executor-side decode goes through the JDK, never this. */
+  def alawDecode(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= (seg - 1) }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Hand-rolled a-law WAV container: fmt tag 6 (WAVE_FORMAT_ALAW),
+    * 8 bits/sample — the byte layout twin of [[ulawWavBytes]]. */
+  def alawWavBytes(channels: Int, sampleRate: Int, frames: Int,
+                   sample: (Int, Int) => Int): Array[Byte] = {
+    val dataSize = frames * channels
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+      .putInt(36 + dataSize)
+      .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+    buf.put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+      .putInt(16).putShort(6) // WAVE_FORMAT_ALAW
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels)
+      .putShort(channels.toShort)
+      .putShort(8)
+    buf.put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+      .putInt(dataSize)
+    var f = 0
+    while (f < frames) {
+      var ch = 0
+      while (ch < channels) {
+        buf.put(alawEncode(sample(f, ch)).toByte)
+        ch += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Write the a-law fixture tree (`al_<id>.wav`) — same geometry and
+    * sample formula, companded through [[alawEncode]]. */
+  def writeAlawFixtureTree(documents: DataFrame, dir: String,
+                           maxDocId: Long = 256L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val pat = "al_\\d+\\.wav".r
+    val old = Files.list(base)
+    try old.forEach { p =>
+      if (pat.pattern.matcher(p.getFileName.toString).matches())
+        Files.delete(p)
+    } finally old.close()
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        requireAsciiFixture(id, text)
+        val chn = wavChannels(id)
+        Files.write(base.resolve(s"al_$id.wav"),
+          alawWavBytes(chn, WavSampleRate, wavFrames(text.length.toLong),
+            wavSample(text, chn)))
+      }
+  }
+
+  /** Oracle for the a-law decode: generation formula → a-law
+    * encode→decode round trip in pure integer SQL. Segment 0 is the
+    * mid-rise cell ((mag/16)·16 + 8 — never zero); segments 1..7 use
+    * p = 2^(seg−1) from the highest-bit CASE, mantissa
+    * (mag / 16p) mod 16, reconstruction (16·mantissa + 264)·p. Sign is
+    * the INPUT's sign (a-law's bit-7-positive convention folds away in
+    * the round trip), with x = 0 reconstructing to +8. */
+  def decodeAlawOracle(maxDocId: Long = 256L): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, chn, fr, i % chn AS ch,
+       |    ((ascii(substr(text, CAST(i % n AS INT) + 1, 1)) * 523
+       |      + (i // chn) * 1031 + (i % chn) * 1733) % 65536) - 32768 AS s
+       |  FROM (
+       |    SELECT doc_id, text, n, chn, fr, unnest(range(0, fr * chn)) AS i
+       |    FROM (
+       |      SELECT doc_id, text, length(text) AS n,
+       |        1 + (doc_id % 2) AS chn, 1 + (length(text) % 29) AS fr
+       |      FROM documents
+       |      WHERE doc_id < $maxDocId AND text IS NOT NULL
+       |        AND length(text) > 0))),
+       |seg AS (
+       |  SELECT doc_id, chn, fr, ch, s,
+       |    least(abs(s), 32767) AS mag
+       |  FROM raw),
+       |v AS (
+       |  SELECT doc_id, chn, fr, ch,
+       |    CASE WHEN s >= 0 THEN d ELSE -d END AS s
+       |  FROM (
+       |    SELECT doc_id, chn, fr, ch, s,
+       |      CASE WHEN mag < 256 THEN (mag // 16) * 16 + 8
+       |           ELSE (((mag // (16 * p)) % 16) * 16 + 264) * p END AS d
+       |    FROM (
+       |      SELECT *, CASE WHEN mag >= 16384 THEN 64
+       |                     WHEN mag >= 8192 THEN 32
+       |                     WHEN mag >= 4096 THEN 16
+       |                     WHEN mag >= 2048 THEN 8
+       |                     WHEN mag >= 1024 THEN 4
+       |                     WHEN mag >= 512 THEN 2
        |                     ELSE 1 END AS p
        |      FROM seg)))
        |SELECT doc_id,

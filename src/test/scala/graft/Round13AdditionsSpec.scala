@@ -210,6 +210,91 @@ class Round13AdditionsSpec extends SparkSpec {
     } finally graft.ops.FixtureDirs.rmTree(dir)
   }
 
+  // ---- third audio container: G.711 a-law ----
+
+  /** Minimal a-law WAV with RAW code bytes (fmt tag 6). */
+  private def rawAlawWav(codes: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + codes.length).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(6).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes).putInt(codes.length).put(codes)
+    buf.array()
+  }
+
+  test("JDK ALAW->PCM codec agrees with the standard G.711 decode formula on all 256 codes") {
+    val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(
+        rawAlawWav(Array.tabulate(256)(_.toByte))))
+    val pcm = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, raw)
+    val out = dec.readAllBytes()
+    assert(out.length == 512)
+    for (c <- 0 until 256) {
+      val jdk = (((out(2 * c) & 0xff) | (out(2 * c + 1) << 8)).toShort).toInt
+      assert(jdk == MultimodalOps.alawDecode(c),
+        s"code $c: jdk=$jdk formula=${MultimodalOps.alawDecode(c)}")
+    }
+  }
+
+  test("a-law companding round-trip tolerance contract: worst 512, mid-rise zero cell, no zero output") {
+    var worst = 0
+    var x = -32768
+    while (x <= 32767) {
+      val rt = MultimodalOps.alawDecode(MultimodalOps.alawEncode(x))
+      assert(rt != 0, "a-law is mid-rise: it has no zero reconstruction")
+      assert((rt > 0) == (x >= 0), s"sign contract broken: $x -> $rt")
+      val err = math.abs(rt - x)
+      if (err > worst) worst = err
+      x += 1
+    }
+    assert(MultimodalOps.alawDecode(MultimodalOps.alawEncode(0)) == 8,
+      "zero lands on the +8 mid-rise point")
+    assert(worst == 512, s"worst-case drifted: $worst (contract: 512)")
+  }
+
+  test("decodeAudioCompanded dispatches on the container: a-law fixtures expand through the a-law table") {
+    val docs = Seq((0L, "alaw zero doc"), (1L, "alaw stereo doc!"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_alaw_spec")
+    try {
+      MultimodalOps.writeAlawFixtureTree(docs, dir.toString)
+      val got = MultimodalOps.decodeAudioCompanded(spark,
+          spark.read.format("binaryFile").load(dir.toString),
+          extPattern = "al_(\\d+)\\.wav$")
+        .collect().map(d => d.doc_id -> d).toMap
+      for ((id, text) <- Seq((0L, "alaw zero doc"), (1L, "alaw stereo doc!"))) {
+        val chn = MultimodalOps.wavChannels(id)
+        val fr = MultimodalOps.wavFrames(text.length.toLong)
+        val s = (f: Int, ch: Int) => MultimodalOps.alawDecode(
+          MultimodalOps.alawEncode(
+            MultimodalOps.wavSample(text, chn)(f, ch))).toLong
+        val all = for (f <- 0 until fr; ch <- 0 until chn) yield (ch, s(f, ch))
+        val d = got(id)
+        assert(d.n_channels == chn && d.n_frames == fr)
+        assert(d.sum_ch0 == all.filter(_._1 == 0).map(_._2).sum)
+        assert(d.sum_ch1 == all.filter(_._1 == 1).map(_._2).sum)
+        assert(d.min_sample == all.map(_._2).min &&
+          d.max_sample == all.map(_._2).max)
+      }
+      // cross-law guard: the same PCM companded by the two laws must NOT
+      // expand to identical sums (a decode path that reused one table
+      // for both containers would produce exactly that)
+      val ulDir = java.nio.file.Files.createTempDirectory("graft_xlaw")
+      try {
+        MultimodalOps.writeUlawFixtureTree(docs, ulDir.toString)
+        val ul = MultimodalOps.decodeAudioCompanded(spark,
+            spark.read.format("binaryFile").load(ulDir.toString))
+          .collect().map(d => d.doc_id -> d.sum_ch0).toMap
+        assert((0L to 1L).exists(id => ul(id) != got(id).sum_ch0),
+          "mu-law and a-law expansions of the same clips cannot all agree")
+      } finally graft.ops.FixtureDirs.rmTree(ulDir)
+    } finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
   // ---- size-bounded driver-side BPE training regime (VERDICT r12 #2) ----
 
   private val bpeCorpus = Seq(
