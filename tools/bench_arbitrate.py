@@ -43,6 +43,11 @@ def main():
                     help="where to write the round-over-round diff artifact")
     ap.add_argument("--regress-factor", type=float, default=1.5,
                     help="flag queries whose min grew by more than this factor")
+    ap.add_argument("--min-delta", type=float, default=0.25,
+                    help="absolute floor (s) for a ratio flag to count as a "
+                         "regression: sub-quarter-second queries swing >1.5x "
+                         "on fixture-write/scan-listing jitter alone; "
+                         "ratio-only hits are still listed (ratio_flags)")
     args = ap.parse_args()
 
     runs = []
@@ -135,22 +140,28 @@ def main():
         removed = [n for n in prior_q if n not in per_query]
         rows = {}
         regressions = []
+        ratio_flags = []
         for n in common:
             cur, prev = per_query[n]["min"], prior_q[n]["min"]
             ratio = cur / prev if prev > 0 else None
             rows[n] = {"prior_min": prev, "min": cur, "ratio": ratio}
             if ratio is not None and ratio > args.regress_factor:
-                regressions.append(n)
+                if cur - prev > args.min_delta:
+                    regressions.append(n)
+                else:
+                    ratio_flags.append(n)
         diff = {
             "surface_hash": surface,
             "prior_surface_hash": prior.get("surface_hash"),
             "regress_factor": args.regress_factor,
+            "min_delta_sec": args.min_delta,
             "n_common": len(common),
             "n_added": len(added),
             "n_removed": len(removed),
             "added": sorted(added),
             "removed": sorted(removed),
             "regressions": sorted(regressions),
+            "ratio_flags_under_delta": sorted(ratio_flags),
             "total_min_sec": summary["total_min_of_runs_sec"],
             "prior_total_min_sec": prior.get("total_min_of_runs_sec"),
             "per_query": rows,
@@ -160,8 +171,11 @@ def main():
         print()
         print(f"Diff vs {args.diff_prior}: {len(common)} common, "
               f"{len(added)} added, {len(removed)} removed; "
-              f"{len(regressions)} regression(s) > {args.regress_factor}x"
-              + (": " + ", ".join(sorted(regressions)) if regressions else ""))
+              f"{len(regressions)} regression(s) > {args.regress_factor}x "
+              f"and > {args.min_delta}s"
+              + (": " + ", ".join(sorted(regressions)) if regressions else "")
+              + (f"; ratio-only flags under the delta floor: "
+                 + ", ".join(sorted(ratio_flags)) if ratio_flags else ""))
 
 
 if __name__ == "__main__":
