@@ -1077,6 +1077,57 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile recall-inc-sweep` — the incremental-ANN recall/cost knob
+    // sheet: probe-1 recall is chance-level on the near-orthogonal
+    // synthetic corpus (PLANS.md), so quantify BOTH levers a deployment
+    // would turn — bucket coarseness (nPlanes 8/6/4: fewer planes →
+    // bigger buckets → more candidates scored) and probing width
+    // (probe-1 vs hamming-1 multi-probe) — with the MEASURED mean
+    // candidate count per delta vector next to each recall, so the
+    // trade is priced, not asserted. Runs at the registered sf0.01
+    // geometry (m=4, k=16).
+    if (args.headOption.contains("recall-inc-sweep")) {
+      val emb = Tables.embeddings(spark, sfDir)
+      val base = emb.filter(PqOps.annSplitIsIndex())
+      val nDelta = emb.filter(!PqOps.annSplitIsIndex()).count().max(1L)
+      for (planes <- Seq(8, 6, 4)) {
+        val cb = PqOps.trainCodebook(base)
+        val idxBuckets = PqOps.annIndex(base, cb, planes)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        val deltaBuckets = PqOps.annIndex(
+            emb.filter(!PqOps.annSplitIsIndex()), cb, planes)
+          .select(col("bucket").as("d_bucket"))
+        val cand1 = deltaBuckets.join(idxBuckets,
+            col("d_bucket") === col("bucket"), "left")
+          .agg(sum(coalesce(col("n"), lit(0L)))).head().getLong(0)
+        val candMp = (0 until planes).map { bit =>
+          deltaBuckets.join(idxBuckets,
+              col("d_bucket").bitwiseXOR(lit(1L << bit)) === col("bucket"), "left")
+            .agg(sum(coalesce(col("n"), lit(0L)))).head().getLong(0)
+        }.sum + cand1
+        val r1 = SimilarityOps.annRecallIncremental(emb, nPlanes = planes)
+          .agg(avg("recall_at_k")).head().getDouble(0)
+        val rmp = SimilarityOps.annRecallIncrementalMultiProbe(emb, nPlanes = planes)
+          .agg(avg("recall_at_k")).head().getDouble(0)
+        println(f"[profile] recall_inc planes=$planes " +
+          f"probe1=$r1%.4f (cand/q=${cand1.toDouble / nDelta}%.1f)  " +
+          f"multiprobe=$rmp%.4f (cand/q=${candMp.toDouble / nDelta}%.1f)")
+      }
+      // Codebook-CAPACITY section: routing sweeps above show recall does
+      // NOT track candidate mass — the ADC distance itself is the
+      // bottleneck when m·log2(k) bits can't separate near-orthogonal
+      // vectors. Sweep (m, k) at fixed planes=8.
+      for ((m, k) <- Seq((4, 16), (8, 16), (8, 64), (16, 64))) {
+        val r1 = SimilarityOps.annRecallIncremental(emb, m = m, k = k)
+          .agg(avg("recall_at_k")).head().getDouble(0)
+        val rmp = SimilarityOps.annRecallIncrementalMultiProbe(emb, m = m, k = k)
+          .agg(avg("recall_at_k")).head().getDouble(0)
+        println(f"[profile] recall_inc m=$m k=$k (${m * (32 - Integer.numberOfLeadingZeros(k - 1))}%d code bits) " +
+          f"probe1=$r1%.4f multiprobe=$rmp%.4f")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("codegen-debug")) {
       val df = spark.range(1000000).groupBy(expr("id % 7").as("k"))
         .agg(sum("id").as("s"))
