@@ -125,8 +125,11 @@ object BpeOps {
   /** Drop a localCheckpoint's cached blocks (the checkpointed RDD sits
     * behind a LogicalRDD; Dataset.unpersist only clears CacheManager
     * entries, never checkpoint blocks — without this each round leaks
-    * one histogram-sized block set for the session's lifetime). */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * one histogram-sized block set for the session's lifetime).
+    * Round13AdditionsSpec pins that the match actually fires (a Spark
+    * upgrade changing the checkpoint plan shape would silently fall to
+    * the no-op branch and re-open the leak). */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

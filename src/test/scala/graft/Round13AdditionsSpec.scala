@@ -323,6 +323,20 @@ class Round13AdditionsSpec extends SparkSpec {
     assert(under == BpeOps.bpeTrain(bpeDocs, 16))
   }
 
+  test("freeCheckpoint releases localCheckpoint blocks (the per-merge-round lifecycle)") {
+    import graft.ops.BpeOps
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = Seq((1L, "a"), (2L, "b")).toDF("id", "v").localCheckpoint()
+    ck.count()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "localCheckpoint must register a persistent RDD")
+    BpeOps.freeCheckpoint(ck)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(!after.contains(_)),
+      "freeCheckpoint's LogicalRDD match no longer fires — the per-round " +
+        "checkpoint-block leak is back (Spark plan shape changed?)")
+  }
+
   test("bpe regime parity holds on supplementary-plane vocabulary (code points, UTF-8 tie-break)") {
     import graft.ops.BpeOps
     // U+1D54F is outside the BMP: a UTF-16 charAt split would cut the
