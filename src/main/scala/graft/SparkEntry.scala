@@ -441,6 +441,17 @@ object SparkEntry {
       MultimodalOps.decodeAudioCompanded(s,
         s.read.format("binaryFile").load(fix)).toDF()
     }),
+    // CORRUPT-BLOB QUARANTINE: the good mu-law tree + one junk blob +
+    // one empty-data container; every file gets a verdict row — 'ok'
+    // with stats or 'corrupt' with nulls. One bad upload among billions
+    // routes to a table instead of killing the ingest
+    "multimodal_decode_quarantine" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_ulawq", dir)
+      MultimodalOps.writeUlawFixtureTree(D(s, dir), fix)
+      MultimodalOps.writeCorruptAudioFixtures(fix)
+      MultimodalOps.decodeAudioLenient(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+    }),
     // THIRD audio container: a-law — the other G.711 companding law
     // (fmt tag 6; XOR-0x55 toggling, inverted sign convention, mid-rise
     // zero cell). A decode path that quietly reused the mu-law table
@@ -994,6 +1005,7 @@ object SparkEntry {
     "multimodal_resample_wav" -> MultimodalOps.resampleAudioOracle(),
     "multimodal_decode_ulaw" -> MultimodalOps.decodeUlawOracle(),
     "multimodal_decode_alaw" -> MultimodalOps.decodeAlawOracle(),
+    "multimodal_decode_quarantine" -> MultimodalOps.decodeLenientOracle(),
     "multimodal_frames_real" -> MultimodalOps.sampleFramesRealOracle(),
     "multimodal_frames_stride3" -> MultimodalOps.sampleFramesRealOracle(stride = 3),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),

@@ -40,6 +40,17 @@ case class DecodedAudio(doc_id: Long, n_channels: Long, sample_rate: Long,
 case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Long,
                         height: Long, sum_gray: Long)
 
+/** One blob's LENIENT decode verdict: `status` is "ok" (stats
+  * populated) or "corrupt" (stats null) — the quarantine row shape, so
+  * one bad byte among billions of files routes to a table instead of
+  * killing the job.
+  */
+case class LenientAudio(doc_id: Long, status: String,
+                        n_channels: Option[Long], sample_rate: Option[Long],
+                        n_frames: Option[Long], sum_ch0: Option[Long],
+                        sum_ch1: Option[Long], min_sample: Option[Long],
+                        max_sample: Option[Long])
+
 /** Multimodal column operators (SURVEY.md §7 B11).
   *
   * [[decodeStub]] is the GENERIC opaque-payload featurizer (length /
@@ -1197,6 +1208,123 @@ object MultimodalOps {
        |  CAST(min(s) AS BIGINT) AS min_sample,
        |  CAST(max(s) AS BIGINT) AS max_sample
        |FROM v GROUP BY doc_id, chn, fr""".stripMargin
+
+  // --------------------------------------------------------------------
+  // CORRUPT-BLOB QUARANTINE (round 13): the constraint-quarantine idiom
+  // (StatsOps.constraintRoute) applied to real codecs. At 100 TB one
+  // truncated upload among billions of files MUST route to a quarantine
+  // table, not kill the job — decodeAudio/decodeAudioCompanded fail
+  // fast by design (fixture trees are ours), but an INGEST decode needs
+  // the lenient twin. Every blob gets exactly one verdict row: "ok"
+  // with full stats, or "corrupt" with null stats — corrupt means the
+  // JDK refused the container, the payload violates the G.711 policy,
+  // or the data section is empty (zero frames would otherwise emit a
+  // garbage min/max sentinel row — caught by review while building
+  // this path).
+  // --------------------------------------------------------------------
+
+  /** Deterministic corrupt fixtures for the quarantine gate: one
+    * not-a-RIFF junk blob and one VALID header whose data section is
+    * empty — two distinct failure modes (parse refusal vs empty
+    * stream). Written AFTER the good tree, ids above the doc range. */
+  def writeCorruptAudioFixtures(dir: String, junkId: Long = 300L,
+                                emptyId: Long = 301L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    Files.write(base.resolve(s"ul_$junkId.wav"),
+      "NOT A RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    Files.write(base.resolve(s"ul_$emptyId.wav"),
+      ulawWavBytes(1, WavSampleRate, 0, (_, _) => 0))
+  }
+
+  /** LENIENT companded decode: same per-blob work as
+    * [[decodeAudioCompanded]], but each blob's failure is ITS OWN
+    * verdict row ("corrupt", null stats) instead of a task failure —
+    * the decode is per-blob-independent, so the catch boundary is the
+    * blob, and a single bad byte quarantines one row out of billions.
+    */
+  def decodeAudioLenient(spark: SparkSession, files: DataFrame,
+                         extPattern: String = "ul_(\\d+)\\.wav$"): Dataset[LenientAudio] = {
+    import spark.implicits._
+    files
+      .filter(col("path").rlike(extPattern))
+      .select(
+        regexp_extract(col("path"), extPattern, 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          try {
+            val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val in = raw.getFormat
+              require((in.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.ULAW ||
+                in.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.ALAW) &&
+                in.getSampleSizeInBits == 8,
+                s"doc $id container is not 8-bit G.711: $in")
+              val chn = in.getChannels
+              val pcm = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                in.getSampleRate, 16, chn, chn * 2, in.getSampleRate, false)
+              val ais = javax.sound.sampled.AudioSystem
+                .getAudioInputStream(pcm, raw)
+              val frameSize = chn * 2
+              val data = ais.readAllBytes()
+              val nFrames = data.length / frameSize
+              require(nFrames > 0, s"doc $id has an empty data section")
+              var (s0, s1) = (0L, 0L)
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              var f = 0
+              while (f < nFrames) {
+                var ch = 0
+                while (ch < chn) {
+                  val off = f * frameSize + ch * 2
+                  val v = (((data(off) & 0xff) | (data(off + 1) << 8)).toShort).toLong
+                  if (ch == 0) s0 += v else s1 += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  ch += 1
+                }
+                f += 1
+              }
+              LenientAudio(id, "ok", Some(chn.toLong),
+                Some(in.getSampleRate.toLong), Some(nFrames.toLong),
+                Some(s0), Some(s1), Some(mn), Some(mx))
+            } finally raw.close()
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              LenientAudio(id, "corrupt", None, None, None, None, None,
+                None, None)
+          }
+        }
+      }
+  }
+
+  /** Oracle: the μ-law round-trip formula rows tagged 'ok' UNION the
+    * two literal quarantine rows — the corrupt verdicts are part of the
+    * CONTRACT, not a side effect. */
+  def decodeLenientOracle(maxDocId: Long = 256L, junkId: Long = 300L,
+                          emptyId: Long = 301L): String =
+    s"""WITH good AS (${decodeUlawOracle(maxDocId)})
+       |SELECT doc_id, 'ok' AS status, n_channels, sample_rate, n_frames,
+       |  sum_ch0, sum_ch1, min_sample, max_sample
+       |FROM good
+       |UNION ALL
+       |SELECT v.id AS doc_id, 'corrupt' AS status,
+       |  CAST(NULL AS BIGINT) AS n_channels,
+       |  CAST(NULL AS BIGINT) AS sample_rate,
+       |  CAST(NULL AS BIGINT) AS n_frames,
+       |  CAST(NULL AS BIGINT) AS sum_ch0,
+       |  CAST(NULL AS BIGINT) AS sum_ch1,
+       |  CAST(NULL AS BIGINT) AS min_sample,
+       |  CAST(NULL AS BIGINT) AS max_sample
+       |FROM (VALUES ($junkId), ($emptyId)) AS v(id)""".stripMargin
 
   // --------------------------------------------------------------------
   // REAL video-container frame sampling (round 12): the `.vid` modality

@@ -295,6 +295,45 @@ class Round13AdditionsSpec extends SparkSpec {
     } finally graft.ops.FixtureDirs.rmTree(dir)
   }
 
+  // ---- corrupt-blob quarantine (round 13) ----
+
+  test("decodeAudioLenient quarantines junk / empty / policy-violating blobs; good blobs keep exact stats") {
+    val docs = Seq((0L, "good clip zero"), (1L, "good stereo one!"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_quarantine")
+    try {
+      MultimodalOps.writeUlawFixtureTree(docs, dir.toString)
+      MultimodalOps.writeCorruptAudioFixtures(dir.toString)
+      // a third failure mode: a VALID container that violates the G.711
+      // ingest policy (16-bit PCM where companded audio is expected)
+      java.nio.file.Files.write(dir.resolve("ul_302.wav"),
+        MultimodalOps.wavBytes(1, MultimodalOps.WavSampleRate, 3, (_, _) => 1000))
+      val got = MultimodalOps.decodeAudioLenient(spark,
+          spark.read.format("binaryFile").load(dir.toString))
+        .collect().map(d => d.doc_id -> d).toMap
+      assert(got.keySet == Set(0L, 1L, 300L, 301L, 302L),
+        "every blob gets exactly one verdict row")
+      for (id <- Seq(300L, 301L, 302L)) {
+        assert(got(id).status == "corrupt" && got(id).n_frames.isEmpty &&
+          got(id).sum_ch0.isEmpty, s"blob $id must quarantine with null stats")
+      }
+      for ((id, text) <- Seq((0L, "good clip zero"), (1L, "good stereo one!"))) {
+        val chn = MultimodalOps.wavChannels(id)
+        val fr = MultimodalOps.wavFrames(text.length.toLong)
+        val s = (f: Int, ch: Int) => MultimodalOps.ulawDecode(
+          MultimodalOps.ulawEncode(
+            MultimodalOps.wavSample(text, chn)(f, ch))).toLong
+        val all = for (f <- 0 until fr; ch <- 0 until chn) yield (ch, s(f, ch))
+        val d = got(id)
+        assert(d.status == "ok" && d.n_channels.contains(chn.toLong) &&
+          d.n_frames.contains(fr.toLong))
+        assert(d.sum_ch0.contains(all.filter(_._1 == 0).map(_._2).sum))
+        assert(d.min_sample.contains(all.map(_._2).min) &&
+          d.max_sample.contains(all.map(_._2).max))
+      }
+    } finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
   // ---- size-bounded driver-side BPE training regime (VERDICT r12 #2) ----
 
   private val bpeCorpus = Seq(
