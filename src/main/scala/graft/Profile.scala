@@ -1010,9 +1010,12 @@ object Profile {
             val stage = root.resolve(s"stage_$k")
             delta.filter(pmod(col("vec_id"), lit(nBatches)) === k)
               .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-            val part = java.nio.file.Files.list(stage)
-              .filter(p => p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().orElseThrow()
+            val listing = java.nio.file.Files.list(stage)
+            val part =
+              try listing
+                .filter(p => p.getFileName.toString.endsWith(".parquet"))
+                .findFirst().orElseThrow()
+              finally listing.close()
             java.nio.file.Files.move(part,
               streamDir.resolve(f"slice_$k%02d.parquet"))
             FixtureDirs.rmTree(stage)
@@ -1097,13 +1100,18 @@ object Profile {
         val deltaBuckets = PqOps.annIndex(
             emb.filter(!PqOps.annSplitIsIndex()), cb, planes)
           .select(col("bucket").as("d_bucket"))
+        // Outer coalesce guards the EMPTY-delta case (sum over zero rows
+        // is SQL NULL → getLong NPE); the inner one handles unmatched
+        // left-join rows.
         val cand1 = deltaBuckets.join(idxBuckets,
             col("d_bucket") === col("bucket"), "left")
-          .agg(sum(coalesce(col("n"), lit(0L)))).head().getLong(0)
+          .agg(coalesce(sum(coalesce(col("n"), lit(0L))), lit(0L)))
+          .head().getLong(0)
         val candMp = (0 until planes).map { bit =>
           deltaBuckets.join(idxBuckets,
               col("d_bucket").bitwiseXOR(lit(1L << bit)) === col("bucket"), "left")
-            .agg(sum(coalesce(col("n"), lit(0L)))).head().getLong(0)
+            .agg(coalesce(sum(coalesce(col("n"), lit(0L))), lit(0L)))
+            .head().getLong(0)
         }.sum + cand1
         val r1 = SimilarityOps.annRecallIncremental(emb, nPlanes = planes)
           .agg(avg("recall_at_k")).head().getDouble(0)

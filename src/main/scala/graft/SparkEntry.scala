@@ -451,6 +451,7 @@ object SparkEntry {
       MultimodalOps.writeCorruptAudioFixtures(fix)
       MultimodalOps.decodeAudioLenient(s,
         s.read.format("binaryFile").load(fix)).toDF()
+        .drop("reason") // diagnostic-only; oracle contract is status+stats
     }),
     // THIRD audio container: a-law — the other G.711 companding law
     // (fmt tag 6; XOR-0x55 toggling, inverted sign convention, mid-rise
@@ -522,6 +523,13 @@ object SparkEntry {
     // superset, so this recall dominates by construction)
     "ann_recall_incremental_mp" -> ((s, dir) =>
       SimilarityOps.annRecallIncrementalMultiProbe(Tables.embeddings(s, dir))
+        .where(col("recall_at_k") >= 0.0)),
+    // the same persisted-index pipeline on CLUSTERED geometry (VERDICT
+    // r13 item 1): knob-sheet recipe (multiprobe, m=8/k=64) over the
+    // integer product-grid fixture — deployment-grade recall where the
+    // near-orthogonal rows above measure the worst case
+    "ann_recall_incremental_clustered" -> ((s, dir) =>
+      SimilarityOps.annRecallIncrementalClustered(Tables.embeddings(s, dir))
         .where(col("recall_at_k") >= 0.0)),
     "ann_index_incremental_mp" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1017,6 +1025,7 @@ object SparkEntry {
     "ann_recall_multitable" -> SimilarityOps.annRecallMultiTableOracle(),
     "ann_recall_incremental" -> SimilarityOps.annRecallIncrementalOracle(),
     "ann_recall_incremental_mp" -> SimilarityOps.annRecallIncrementalMultiProbeOracle(),
+    "ann_recall_incremental_clustered" -> SimilarityOps.annRecallIncrementalClusteredOracle(),
     "ann_index_incremental_mp" -> PqOps.annIndexIncrementalMultiProbeOracle(),
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",

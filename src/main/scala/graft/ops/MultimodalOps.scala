@@ -49,7 +49,8 @@ case class LenientAudio(doc_id: Long, status: String,
                         n_channels: Option[Long], sample_rate: Option[Long],
                         n_frames: Option[Long], sum_ch0: Option[Long],
                         sum_ch1: Option[Long], min_sample: Option[Long],
-                        max_sample: Option[Long])
+                        max_sample: Option[Long],
+                        reason: Option[String] = None)
 
 /** Multimodal column operators (SURVEY.md §7 B11).
   *
@@ -1298,9 +1299,14 @@ object MultimodalOps {
                 Some(s0), Some(s1), Some(mn), Some(mx))
             } finally raw.close()
           } catch {
-            case scala.util.control.NonFatal(_) =>
+            // Carry the exception class + message so a SYSTEMIC fault
+            // (e.g. a missing codec provider failing every blob the same
+            // way) is distinguishable from per-blob data corruption; the
+            // oracle compares on status only (the query drops `reason`).
+            case scala.util.control.NonFatal(e) =>
               LenientAudio(id, "corrupt", None, None, None, None, None,
-                None, None)
+                None, None,
+                Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(256)}"))
           }
         }
       }

@@ -616,6 +616,14 @@ object PqOps {
   def annSplitIsIndex(k: Int = 16): Column =
     col("vec_id") < k || col("vec_id") % 4 =!= 0
 
+  /** The default oracle corpus: the driver's embeddings table as
+    * 64-dim doubles. Geometry-variant recall oracles (the clustered
+    * fixture) swap this CTE body; everything downstream — codebook,
+    * buckets, ADC terms — derives from `base`, so one substitution
+    * re-targets the whole derivation. */
+  private[ops] val defaultEmbBaseSql: String =
+    "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+
   /** Oracle: same codebook derivation and code assignment as
     * [[pqEncodeOracle]] restricted to the index side, same hyperplane
     * buckets as [[SimilarityOps.duckBucket]], ADC terms per subspace
@@ -624,24 +632,27 @@ object PqOps {
     * their (-1, null) row. */
   def annIndexIncrementalOracle(m: Int = 4, k: Int = 16,
                                 nPlanes: Int = 8): String =
-    annIndexIncrementalOracleCond(m, k, nPlanes, "wb.bucket = db.bucket")
+    annIndexIncrementalOracleCond(m, k, nPlanes, "wb.bucket = db.bucket",
+      defaultEmbBaseSql)
 
   /** Multi-probe twin: hamming distance ≤ 1 between the candidate's and
     * the delta's buckets — an INDEPENDENT formulation (xor + popcount)
     * of the Spark side's probe-array explode, so agreement cross-checks
     * the expansion rather than mirroring it. */
   def annIndexIncrementalMultiProbeOracle(m: Int = 4, k: Int = 16,
-                                          nPlanes: Int = 8): String =
+                                          nPlanes: Int = 8,
+                                          baseSql: String = defaultEmbBaseSql): String =
     annIndexIncrementalOracleCond(m, k, nPlanes,
-      "bit_count(xor(wb.bucket, db.bucket)) <= 1")
+      "bit_count(xor(wb.bucket, db.bucket)) <= 1", baseSql)
 
   private def annIndexIncrementalOracleCond(m: Int, k: Int, nPlanes: Int,
-                                            bucketCond: String): String = {
+                                            bucketCond: String,
+                                            baseSql: String): String = {
     val subDim = 64 / m
     def dotR(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, ${subDim + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
-    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH base AS ($baseSql),
        |subs AS (
        |  SELECT vec_id, s, emb[CAST(s * $subDim + 1 AS INT):CAST(s * $subDim + $subDim AS INT)] AS xs
        |  FROM base, (SELECT unnest(range(0, $m)) AS s)),

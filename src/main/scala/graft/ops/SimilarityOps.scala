@@ -926,6 +926,72 @@ object SimilarityOps {
     annRecallIncrementalWith(embeddings, m, k, nPlanes,
       PqOps.annIndexIncrementalMultiProbe(_, _, _, nPlanes))
 
+  /** CLUSTERED-geometry recall@1 of the persisted-index incremental
+    * path (VERDICT r13 item 1) — the near-orthogonal synthetic corpus
+    * is the worst case for ANY quantized index (recall ≤ .156 even at
+    * 96 code bits, PLANS.md knob sheet), so this row measures the SAME
+    * shipped pipeline — [[graft.ops.PqOps.annIndex]] + frozen seed
+    * codebook + hamming-1 multiprobe routing + ADC scoring, the knob
+    * sheet's recipe (multiprobe, m=8/k=64) as defaults — on the
+    * geometry deployments actually have: tight clusters far apart.
+    *
+    * The fixture is [[clusteredGeometry]]: an integer product-grid over
+    * the driver's vec_id domain. Cluster offsets dominate every LSH
+    * hyperplane dot product (so query and true NN share bucket bits —
+    * the routing property real clustered embeddings have), and the
+    * within-cluster structure is a per-subspace grid the k=64 seed
+    * codebook covers EXACTLY (zero quantization error, all arithmetic
+    * on integers ≤ 2^20 — exact in doubles in both engines). ADC
+    * ranking therefore equals exact ranking, and the measured recall
+    * isolates the one approximation the clustered regime leaves:
+    * bucket routing. The contrast with [[annRecallIncremental]] on the
+    * near-orthogonal corpus is the point — same code, two geometries,
+    * chance-level vs deployment-grade.
+    */
+  def annRecallIncrementalClustered(embeddings: DataFrame, m: Int = 8,
+                                    k: Int = 64, nPlanes: Int = 8): DataFrame =
+    annRecallIncrementalWith(clusteredGeometry(embeddings), m, k, nPlanes,
+      PqOps.annIndexIncrementalMultiProbe(_, _, _, nPlanes))
+
+  /** The clustered evaluation corpus, derived from the embeddings
+    * table's id domain alone: 8 clusters (vec_id % 8) at pairwise-far
+    * offsets, and within each cluster a per-subspace fine grid
+    * f_s ∈ [0, 8) whose mixing function guarantees the first 64 ids —
+    * the frozen seed codebook — cover every (cluster, fine) codeword
+    * pair in every subspace. Integer-only arithmetic so Spark and
+    * DuckDB produce bit-identical doubles and every distance /
+    * tiebreak comparison is exact ([[clusteredGeometrySql]] is the
+    * verbatim SQL twin). emb[d] = (c+1)·64 + f_{d/8}(vec_id). */
+  def clusteredGeometry(embeddings: DataFrame): DataFrame = {
+    val i = col("vec_id")
+    def idiv(n: Int) = (i / n).cast("long") // exact: power-of-2 divisor
+    val dims = (0 until 64).map { d =>
+      val s = d / 8
+      (((i % 8) + 1) * 64 +
+        (idiv(8) + (i % 8) * (s + 1) + idiv(64) * (2 * s + 1)) % 8)
+        .cast("double")
+    }
+    embeddings.select(i, array(dims: _*).as("embedding"))
+  }
+
+  /** DuckDB twin of [[clusteredGeometry]] — same integer formula over
+    * range(0, 64), substituted as the `base` CTE of the incremental
+    * oracle derivation. */
+  def clusteredGeometrySql: String =
+    """SELECT vec_id,
+      |  list_transform(range(0, 64), d ->
+      |    CAST((vec_id % 8 + 1) * 64
+      |       + ((vec_id // 8) + (vec_id % 8) * ((d // 8) + 1)
+      |          + (vec_id // 64) * (2 * (d // 8) + 1)) % 8 AS DOUBLE)) AS emb
+      |FROM embeddings""".stripMargin
+
+  def annRecallIncrementalClusteredOracle(m: Int = 8, k: Int = 64,
+                                          nPlanes: Int = 8): String =
+    annRecallIncrementalOracleWith(m, k,
+      PqOps.annIndexIncrementalMultiProbeOracle(m, k, nPlanes,
+        clusteredGeometrySql),
+      clusteredGeometrySql)
+
   private def annRecallIncrementalWith(embeddings: DataFrame, m: Int, k: Int,
                                        nPlanes: Int,
                                        retrieve: (DataFrame, DataFrame,
@@ -975,12 +1041,14 @@ object SimilarityOps {
       PqOps.annIndexIncrementalMultiProbeOracle(m, k, nPlanes))
 
   private def annRecallIncrementalOracleWith(m: Int, k: Int,
-                                             incrementalSql: String): String = {
+                                             incrementalSql: String,
+                                             baseSql: String =
+                                               "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"): String = {
     def dotR(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
     val truthSql =
-      s"""WITH tbase AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH tbase AS ($baseSql),
          |tidx AS (SELECT vec_id AS nn_id, emb AS i_emb FROM tbase
          |         WHERE vec_id < $k OR vec_id % 4 <> 0),
          |tq AS (SELECT vec_id AS q_id, emb FROM tbase

@@ -316,6 +316,9 @@ class Round13AdditionsSpec extends SparkSpec {
       for (id <- Seq(300L, 301L, 302L)) {
         assert(got(id).status == "corrupt" && got(id).n_frames.isEmpty &&
           got(id).sum_ch0.isEmpty, s"blob $id must quarantine with null stats")
+        assert(got(id).reason.exists(r => r.nonEmpty && r.contains(":")),
+          s"blob $id must carry a diagnostic reason (class: message) so a " +
+            "systemic decode fault is distinguishable from data corruption")
       }
       for ((id, text) <- Seq((0L, "good clip zero"), (1L, "good stereo one!"))) {
         val chn = MultimodalOps.wavChannels(id)
@@ -330,6 +333,7 @@ class Round13AdditionsSpec extends SparkSpec {
         assert(d.sum_ch0.contains(all.filter(_._1 == 0).map(_._2).sum))
         assert(d.min_sample.contains(all.map(_._2).min) &&
           d.max_sample.contains(all.map(_._2).max))
+        assert(d.reason.isEmpty, "ok rows carry no diagnostic reason")
       }
     } finally graft.ops.FixtureDirs.rmTree(dir)
   }

@@ -48,6 +48,10 @@ def main():
                          "regression: sub-quarter-second queries swing >1.5x "
                          "on fixture-write/scan-listing jitter alone; "
                          "ratio-only hits are still listed (ratio_flags)")
+    ap.add_argument("--hard-factor", type=float, default=4.0,
+                    help="ratio above which a regression counts REGARDLESS "
+                         "of --min-delta: the jitter floor must not let a "
+                         "genuine 10x blow-up on a fast query pass silently")
     args = ap.parse_args()
 
     runs = []
@@ -146,7 +150,7 @@ def main():
             ratio = cur / prev if prev > 0 else None
             rows[n] = {"prior_min": prev, "min": cur, "ratio": ratio}
             if ratio is not None and ratio > args.regress_factor:
-                if cur - prev > args.min_delta:
+                if cur - prev > args.min_delta or ratio > args.hard_factor:
                     regressions.append(n)
                 else:
                     ratio_flags.append(n)
@@ -155,6 +159,7 @@ def main():
             "prior_surface_hash": prior.get("surface_hash"),
             "regress_factor": args.regress_factor,
             "min_delta_sec": args.min_delta,
+            "hard_factor": args.hard_factor,
             "n_common": len(common),
             "n_added": len(added),
             "n_removed": len(removed),
