@@ -1080,6 +1080,43 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile bpe-merges [n]` — print bpeTrainAuto's merge list on the
+    // RAW documents table at sfDir as a Scala literal: the provenance
+    // run for the frozen trained-merge literal the `bpe_train_segment`
+    // oracle embeds (VERDICT r13 item 2).
+    if (args.headOption.contains("bpe-merges")) {
+      val n = if (args.length > 1) args(1).toInt else 16
+      val merges = BpeOps.bpeTrainAuto(docs, n)
+      println(s"[profile] bpe-merges sfDir=$sfDir n=$n")
+      println(merges.map { case (a, b) =>
+        "(\"" + a + "\", \"" + b + "\")" }.mkString("Seq(", ", ", ")"))
+      spark.stop(); return
+    }
+
+    // `Profile bpe-32k [factor]` — the MEASURED 32k-merge price
+    // (VERDICT r13 item 3): bpeTrainAuto at a tokenizer-realistic
+    // nMerges=32768 on the amplified corpus, with the histogram row
+    // count printed against the collect bound so the regime choice is
+    // visible. Local-regime only — the distributed fallback's ~0.14
+    // s/merge job floor prices to ~75 min at this depth from the
+    // depth-1000 sheet; this run pins the DEFAULT regime's number.
+    if (args.headOption.contains("bpe-32k")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val damp = amplifyDocs(docs, factor).persist()
+      t(s"amplify_docs_${factor}x")(damp.count())
+      var histRows = 0L
+      t("word_hist_rows") { histRows = BpeOps.wordFreq(damp).count(); histRows }
+      var merges: Seq[(String, String)] = Seq.empty
+      t("bpe_auto_32768") {
+        merges = BpeOps.bpeTrainAuto(damp, 32768); merges.length.toLong
+      }
+      println(s"[profile] hist_rows=$histRows (collect bound 4000000) " +
+        s"merges_produced=${merges.length} (vocab exhausts below 32768 " +
+        "when every word is a single symbol)")
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile recall-inc-sweep` — the incremental-ANN recall/cost knob
     // sheet: probe-1 recall is chance-level on the near-orthogonal
     // synthetic corpus (PLANS.md), so quantify BOTH levers a deployment

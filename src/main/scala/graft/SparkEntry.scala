@@ -101,6 +101,11 @@ object SparkEntry {
       FrequencyOps.heavyHittersBySource(D(s, dir), guaranteedOnly = true)),
     "bpe_pairs" -> ((s, dir) => BpeOps.bpePairCounts(D(s, dir))),
     "bpe_segment" -> ((s, dir) => BpeOps.bpeSegmentFrozen(D(s, dir))),
+    // train->apply composite (VERDICT r13 item 2): LIVE bpeTrainAuto
+    // merges feed the segmenter; the oracle embeds the frozen sf0.01
+    // provenance sequence, so the gate re-proves training determinism
+    // AND segmentation agreement every round
+    "bpe_train_segment" -> ((s, dir) => BpeOps.bpeTrainSegment(D(s, dir))),
     "fingerprints" -> ((s, dir) => TextOps.fingerprints(D(s, dir))),
     // ---- events: dedup + JSON extraction (B8a, B11) ----
     "dedup_events_exact" -> ((s, dir) => EventOps.dedupExact(E(s, dir))),
@@ -452,6 +457,18 @@ object SparkEntry {
       MultimodalOps.decodeAudioLenient(s,
         s.read.format("binaryFile").load(fix)).toDF()
         .drop("reason") // diagnostic-only; oracle contract is status+stats
+    }),
+    // MULTIMODAL FLAGSHIP (VERDICT r13 item 4): manifest over both
+    // asset trees -> lenient decode verdicts -> digest-dedup survivors
+    // -> per-(modality, verdict) accounting, one composed plan (the
+    // corpus_prep pattern for the binary families)
+    "multimodal_prep" -> ((s, dir) => {
+      val fixMm = FixtureDirs.dir("graft_mmprep", dir)
+      val fixAu = FixtureDirs.dir("graft_mmprep_au", dir)
+      MultimodalOps.writeFixtureTree(D(s, dir), fixMm)
+      MultimodalOps.writeUlawFixtureTree(D(s, dir), fixAu)
+      MultimodalOps.writeCorruptAudioFixtures(fixAu)
+      MultimodalOps.multimodalPrep(s, fixMm, fixAu)
     }),
     // THIRD audio container: a-law — the other G.711 companding law
     // (fmt tag 6; XOR-0x55 toggling, inverted sign convention, mid-rise
@@ -897,6 +914,7 @@ object SparkEntry {
       FrequencyOps.heavyHittersBySourceOracle(guaranteedOnly = true),
     "bpe_pairs" -> BpeOps.bpePairCountsOracle(),
     "bpe_segment" -> BpeOps.bpeSegmentOracle(),
+    "bpe_train_segment" -> BpeOps.bpeTrainSegmentOracle(),
     "fingerprints" ->
       "SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp FROM documents",
     "dedup_events_exact" ->
@@ -1014,6 +1032,7 @@ object SparkEntry {
     "multimodal_decode_ulaw" -> MultimodalOps.decodeUlawOracle(),
     "multimodal_decode_alaw" -> MultimodalOps.decodeAlawOracle(),
     "multimodal_decode_quarantine" -> MultimodalOps.decodeLenientOracle(),
+    "multimodal_prep" -> MultimodalOps.multimodalPrepOracle(),
     "multimodal_frames_real" -> MultimodalOps.sampleFramesRealOracle(),
     "multimodal_frames_stride3" -> MultimodalOps.sampleFramesRealOracle(stride = 3),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),

@@ -270,10 +270,45 @@ object BpeOps {
     * as the source-name parsing oracles).
     */
   def bpeSegmentFrozen(documents: DataFrame): DataFrame =
-    bpeSegment(documents, frozenMerges)
+    segmentRows(documents, frozenMerges)
+
+  /** The ONE registerable segmentation row shape — (word, freq, n_syms,
+    * U+001F-joined symbols), shared by the frozen-list and trained-list
+    * queries so the two cannot diverge on the output contract. */
+  private def segmentRows(documents: DataFrame,
+                          merges: Seq[(String, String)]): DataFrame =
+    bpeSegment(documents, merges)
       .filter(!col("word").contains("\u001f"))
       .select(col("word"), col("freq"), size(col("syms")).cast("long").as("n_syms"),
         concat_ws("\u001f", col("syms")).as("segmented"))
+
+  /** The train->apply COMPOSITE a tokenizer pipeline actually runs
+    * (VERDICT r13 item 2): train the merge list with the
+    * regime-selected [[bpeTrainAuto]] on the corpus itself, then
+    * segment the corpus vocabulary with the TRAINED list — the two
+    * halves the frozen-list query exercises separately, proven
+    * consistent end-to-end on the corpus the driver checks every
+    * round. Training sees the full histogram (including any
+    * U+001F-bearing words); only the OUTPUT rows apply the
+    * separator-encoding exclusion, same as [[bpeSegmentFrozen]].
+    */
+  def bpeTrainSegment(documents: DataFrame, nMerges: Int = 16): DataFrame =
+    segmentRows(documents, bpeTrainAuto(documents, nMerges))
+
+  /** [[bpeTrainAuto]]'s nMerges=16 output on the driver's sf0.01
+    * documents corpus (`Profile bpe-merges` provenance run, round 14) —
+    * frozen into the `bpe_train_segment` oracle so the gate re-proves
+    * every round that LIVE training reproduces this exact sequence and
+    * that segmentation applied to it matches the independent
+    * replace-chain formulation. A drift in either half (training
+    * tie-break, histogram filter, merge fold) breaks the hash.
+    */
+  val trainedMergesSf0p01: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),
+    ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"))
+
+  def bpeTrainSegmentOracle(): String = bpeSegmentOracle(trainedMergesSf0p01)
 
   /** Oracle generated FROM THE SAME frozen merge sequence (the
     * hilbert-oracle idiom: structurally incapable of diverging from the

@@ -291,6 +291,146 @@ object MultimodalOps {
     * so the `optimize_roundtrip` write-path query reuses it). */
   def fixtureDir(sfDir: String): String = FixtureDirs.dir("graft_mm", sfDir)
 
+  /** The multimodal FLAGSHIP composite (VERDICT r13 item 4) — the one
+    * plan an ingest-day run executes, composing the audited stages the
+    * way `corpus_prep` composes the text ones: content-addressed
+    * manifest over BOTH asset trees (the opaque media tree with its
+    * planted exact duplicates, and the real-codec G.711 tree with its
+    * planted corrupt blobs), LENIENT decode verdicts joined onto the
+    * audio manifest rows, digest-dedup survivor marking across the
+    * union, and per-(modality, verdict) accounting — files, canonical
+    * survivors, total bytes. The audio dedup is NOT a no-op: μ-law
+    * quantization genuinely collapses distinct short texts to
+    * byte-identical containers (three planted-by-the-corpus collision
+    * groups at sf0.01 — 1-frame files whose single code byte agrees),
+    * and the oracle predicts exactly those groups from the companding
+    * formula.
+    *
+    * Verdict vocabulary: `opaque` = no codec registered for the
+    * container (the documented stub class — counted, never decoded),
+    * `ok` / `corrupt` = [[decodeAudioLenient]]'s per-blob quarantine
+    * verdicts. Scale shape: each tree is one `binaryFile` scan with
+    * map-side md5 (content dropped before any exchange); the audio
+    * tree is scanned once more by the decode (at scale the digest
+    * would ride the decode's mapPartitions pass — kept as two audited
+    * single-pass stages here, both linear); the dedup is the same
+    * digest-window min as [[ingestManifest]]; the accounting reduces
+    * to a handful of (modality, verdict) groups. Cross-tree digest
+    * collisions are impossible (WAV containers vs raw text payloads),
+    * so the oracle reconstructs canonical groups per tree from the
+    * generation formulas — agreement cross-checks the full byte path.
+    */
+  def multimodalPrep(spark: SparkSession, opaqueDir: String,
+                     audioDir: String): DataFrame = {
+    val opq = manifestRows(spark.read.format("binaryFile").load(opaqueDir))
+      .select(col("file_name"), col("modality"), col("byte_len"),
+        col("digest"), lit("opaque").as("verdict"))
+    val auFiles = spark.read.format("binaryFile").load(audioDir)
+    val verdicts = decodeAudioLenient(spark, auFiles).toDF()
+      .select(col("doc_id").as("v_doc_id"), col("status"))
+    val au = auFiles
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("byte_len"),
+        md5(col("content")).as("digest"),
+        regexp_extract(col("path"), "ul_(\\d+)\\.wav$", 1).cast("long")
+          .as("doc_id"))
+      .join(verdicts, col("doc_id") === col("v_doc_id"), "left")
+      .select(col("file_name"), lit("audio").as("modality"),
+        col("byte_len"), col("digest"),
+        coalesce(col("status"), lit("unreadable")).as("verdict"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+    opq.unionByName(au)
+      .withColumn("is_canonical",
+        col("file_name") === min("file_name").over(w))
+      .groupBy("modality", "verdict")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(col("byte_len")).as("total_bytes"))
+  }
+
+  /** Oracle: composes the stage oracles' derivations — the
+    * [[ingestManifestOracle]] tree reconstruction (per-TEXT digest
+    * groups: the payload is the text's bytes, so equal texts collapse
+    * across names AND extensions), the μ-law tree reconstructed from
+    * the container formula (byte_len = 44 header + channels·frames
+    * code bytes), and the two literal corrupt blobs from
+    * [[writeCorruptAudioFixtures]]. Audio digest groups are keyed on
+    * the reconstructed CODE SEQUENCE, not on (text, parity): μ-law
+    * quantization can collapse distinct texts to identical code bytes
+    * (it does, at sf0.01), so the group key is chn plus the per-sample
+    * (sign, decoded-value) list — bijective with the code byte (within
+    * a sign, (m·8+132)·2^e−132 ranges never overlap; the sign marker
+    * separates the +0/−0 codes that both decode to 0), and the header
+    * is a pure function of (chn, code count). Same companding formula
+    * as [[decodeUlawOracle]], kept per-sample instead of aggregated. */
+  def multimodalPrepOracle(maxDocId: Long = 256L, dupEvery: Long = 8L,
+                           junkId: Long = 300L, emptyId: Long = 301L): String =
+    s"""WITH sel AS (
+       |  SELECT doc_id, text,
+       |    CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud'
+       |         ELSE 'vid' END AS ext
+       |  FROM documents
+       |  WHERE doc_id < $maxDocId AND text IS NOT NULL AND length(text) > 0),
+       |opq AS (
+       |  SELECT 'doc_' || doc_id || '.' || ext AS file_name,
+       |    CASE ext WHEN 'img' THEN 'image' WHEN 'aud' THEN 'audio'
+       |         ELSE 'video' END AS modality,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |    'opq' AS tree, text AS grp, 'opaque' AS verdict
+       |  FROM sel
+       |  UNION ALL
+       |  SELECT 'dup_' || doc_id || '.' || ext,
+       |    CASE ext WHEN 'img' THEN 'image' WHEN 'aud' THEN 'audio'
+       |         ELSE 'video' END,
+       |    CAST(octet_length(encode(text)) AS BIGINT),
+       |    'opq', text, 'opaque'
+       |  FROM sel WHERE doc_id % $dupEvery = 0),
+       |au_raw AS (
+       |  SELECT doc_id, chn, i,
+       |    ((ascii(substr(text, CAST(i % n AS INT) + 1, 1)) * 523
+       |      + (i // chn) * 1031 + (i % chn) * 1733) % 65536) - 32768 AS s
+       |  FROM (
+       |    SELECT doc_id, text, length(text) AS n, 1 + (doc_id % 2) AS chn,
+       |      unnest(range(0, (1 + (length(text) % 29)) * (1 + (doc_id % 2))))
+       |        AS i
+       |    FROM sel)),
+       |au_codes AS (
+       |  SELECT doc_id, chn,
+       |    string_agg(CASE WHEN s < 0 THEN '-' ELSE '+' END ||
+       |      (((mag // (8 * p)) % 16) * 8 + 132) * p - 132, ',' ORDER BY i)
+       |      AS codeseq
+       |  FROM (
+       |    SELECT doc_id, chn, i, s, mag,
+       |      CASE WHEN mag >= 16384 THEN 128 WHEN mag >= 8192 THEN 64
+       |           WHEN mag >= 4096 THEN 32 WHEN mag >= 2048 THEN 16
+       |           WHEN mag >= 1024 THEN 8 WHEN mag >= 512 THEN 4
+       |           WHEN mag >= 256 THEN 2 ELSE 1 END AS p
+       |    FROM (SELECT doc_id, chn, i, s, least(abs(s), 32635) + 132 AS mag
+       |          FROM au_raw))
+       |  GROUP BY doc_id, chn),
+       |au AS (
+       |  SELECT 'ul_' || s.doc_id || '.wav' AS file_name,
+       |    'audio' AS modality,
+       |    CAST(44 + (1 + s.doc_id % 2) * (1 + length(s.text) % 29) AS BIGINT)
+       |      AS byte_len,
+       |    'au' AS tree, c.chn || '#' || c.codeseq AS grp,
+       |    'ok' AS verdict
+       |  FROM sel s JOIN au_codes c ON s.doc_id = c.doc_id
+       |  UNION ALL
+       |  SELECT 'ul_$junkId.wav', 'audio', 10, 'au', 'junk$junkId', 'corrupt'
+       |  UNION ALL
+       |  SELECT 'ul_$emptyId.wav', 'audio', 44, 'au', 'empty$emptyId', 'corrupt'),
+       |f AS (SELECT * FROM opq UNION ALL SELECT * FROM au),
+       |c AS (SELECT tree, grp, min(file_name) AS canonical
+       |      FROM f GROUP BY 1, 2)
+       |SELECT modality, verdict, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN file_name = canonical THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_canonical,
+       |  CAST(sum(byte_len) AS BIGINT) AS total_bytes
+       |FROM f JOIN c USING (tree, grp)
+       |GROUP BY 1, 2""".stripMargin
+
   /** DuckDB twin of the full write→ingest→manifest loop, reconstructed
     * from the documents table: the same name/extension/dup-planting
     * rules, octet_length of the UTF-8 text for byte_len (the bytes

@@ -65,4 +65,111 @@ class Round14AdditionsSpec extends SparkSpec {
     assert(recall >= 0.8,
       s"clustered-geometry recall@1 $recall below the deployment bar")
   }
+
+  // ---- bpe_train_segment (VERDICT r13 #2) ----
+
+  test("bpeTrainSegment: trained merges feed the segmenter; symbols reconcatenate and match a separately-trained apply") {
+    val docs = Seq(
+      (0L, "low low low low low"),
+      (1L, "lower lower widest widest widest"),
+      (2L, "newest newest newest newest newest newest")).toDF("doc_id", "text")
+    val got = graft.ops.BpeOps.bpeTrainSegment(docs, 8)
+      .orderBy("word").collect()
+    assert(got.nonEmpty)
+    // symbols are a partition of the word (no byte invented or lost)
+    got.foreach { r =>
+      assert(r.getAs[String]("segmented").replace("\u001f", "") ==
+        r.getString(0))
+    }
+    // at depth 8 on this corpus, training must have compressed the
+    // most frequent words below character-level
+    val nsyms = got.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(nsyms("newest") < 6L && nsyms("low") < 3L,
+      s"trained merges failed to compress the head words: $nsyms")
+    // end-to-end = train-then-apply with the two halves called apart
+    val merges = graft.ops.BpeOps.bpeTrainAuto(docs, 8)
+    val apart = graft.ops.BpeOps.bpeSegment(docs, merges)
+      .select(col("word"), concat_ws("\u001f", col("syms")).as("segmented"))
+      .as[(String, String)].collect().toMap
+    got.foreach(r => assert(apart(r.getString(0)) ==
+      r.getAs[String]("segmented")))
+  }
+
+  test("trainedMergesSf0p01 literal is replace-chain-safe (no a == b merge)") {
+    assert(graft.ops.BpeOps.trainedMergesSf0p01.forall { case (a, b) => a != b })
+    assert(graft.ops.BpeOps.trainedMergesSf0p01.length == 16)
+  }
+
+  // ---- multimodal_prep flagship composite (VERDICT r13 #4) ----
+
+  test("multimodalPrep: manifest + verdicts + digest dedup roll up per (modality, verdict)") {
+    import graft.ops.MultimodalOps
+    // texts chosen so BOTH trees carry a real dedup group: docs 2 and 5
+    // share a text (opaque-tree digest group across extensions), and
+    // doc 8 additionally gets a planted dup_ copy (dupEvery = 8)
+    val docs = Seq(
+      (0L, "alpha"), (1L, "bravo"), (2L, "same text"), (3L, "charlie"),
+      (4L, "delta"), (5L, "same text"), (6L, "echo"), (7L, "foxtrot"),
+      (8L, "golf")).toDF("doc_id", "text")
+    val dirMm = java.nio.file.Files.createTempDirectory("graft_prep_mm")
+    val dirAu = java.nio.file.Files.createTempDirectory("graft_prep_au")
+    try {
+      MultimodalOps.writeFixtureTree(docs, dirMm.toString)
+      MultimodalOps.writeUlawFixtureTree(docs, dirAu.toString)
+      MultimodalOps.writeCorruptAudioFixtures(dirAu.toString)
+      val got = MultimodalOps.multimodalPrep(spark, dirMm.toString, dirAu.toString)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // opaque tree: 9 docs (ids 0,3,6 img / 1,4,7 aud / 2,5,8 vid) +
+      // 2 dups (ids 0 and 8, dupEvery = 8); ids 2 and 5 share bytes ->
+      // one canonical between them; each dup collapses onto its doc
+      assert(got(("image", "opaque"))._1 == 4 && got(("image", "opaque"))._2 == 3,
+        "3 img docs + dup_0; dup_0 collapses onto doc_0")
+      assert(got(("audio", "opaque"))._1 == 3 && got(("audio", "opaque"))._2 == 3)
+      assert(got(("video", "opaque"))._1 == 4, "3 vid docs + dup_8")
+      assert(got(("video", "opaque"))._2 == 2,
+        "dup_8 collapses onto doc_8; doc_5 collapses onto doc_2")
+      // audio tree: 9 ok clips, all distinct texts-or-parity -> all
+      // canonical except the planted same-text SAME-parity pair?
+      // ids 2 and 5: parities 0 and 1 -> different channel count ->
+      // different bytes -> both canonical
+      assert(got(("audio", "ok"))._1 == 9 && got(("audio", "ok"))._2 == 9)
+      assert(got(("audio", "corrupt"))._1 == 2 && got(("audio", "corrupt"))._2 == 2)
+      // byte accounting: opaque totals = utf-8 lengths (alpha twice —
+      // the dup's bytes count; dedup marks survivors, it doesn't erase)
+      assert(got(("image", "opaque"))._3 ==
+        2 * "alpha".length + "charlie".length + "echo".length)
+    } finally {
+      graft.ops.FixtureDirs.rmTree(dirMm); graft.ops.FixtureDirs.rmTree(dirAu)
+    }
+  }
+
+  test("multimodalPrep: mu-law code-level collisions dedupe across DIFFERENT texts (the oracle's group key)") {
+    import graft.ops.MultimodalOps
+    // same parity (both even ids), texts of length 29 (1-frame clips)
+    // whose first chars 'b' (98) and 'c' (99) encode to the SAME mu-law
+    // code: s_b = (98*523)%65536-32768 = a value whose quantized cell
+    // also contains s_c -- verified below via the encoder itself
+    val cb = MultimodalOps.ulawEncode((98 * 523) % 65536 - 32768)
+    val cc = MultimodalOps.ulawEncode((99 * 523) % 65536 - 32768)
+    assume(cb == cc, s"fixture chars no longer collide ($cb vs $cc)")
+    val t1 = "b" + "x" * 28
+    val t2 = "c" + "x" * 28
+    val docs = Seq((2L, t1), (4L, t2)).toDF("doc_id", "text")
+    val dirMm = java.nio.file.Files.createTempDirectory("graft_prep_mm2")
+    val dirAu = java.nio.file.Files.createTempDirectory("graft_prep_au2")
+    try {
+      MultimodalOps.writeFixtureTree(docs, dirMm.toString)
+      MultimodalOps.writeUlawFixtureTree(docs, dirAu.toString)
+      MultimodalOps.writeCorruptAudioFixtures(dirAu.toString)
+      val ok = MultimodalOps.multimodalPrep(spark, dirMm.toString, dirAu.toString)
+        .filter(col("verdict") === "ok").collect()
+      assert(ok.length == 1)
+      assert(ok(0).getLong(2) == 2 && ok(0).getLong(3) == 1,
+        "two 1-frame clips with colliding code bytes must share a digest")
+    } finally {
+      graft.ops.FixtureDirs.rmTree(dirMm); graft.ops.FixtureDirs.rmTree(dirAu)
+    }
+  }
 }
