@@ -1117,6 +1117,52 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-cdc [factor] [nSlices]` — the FULL CDC maintenance
+    // loop priced the way the ANN loop was (VERDICT r13 item 7): init
+    // the snapshot from the customer base, fold nSlices changelog
+    // slices through StreamingCdc.mergeBatch (the foreachBatch body —
+    // per-slice MERGE + bounded rewrite + crash-safe swap), audit file
+    // count + final view. The structural question: the per-slice cost
+    // is one snapshot REWRITE (MERGE's irreducible shape without a
+    // table format's delta log) — flat per slice at fixed corpus, so
+    // the loop is nSlices × snapshot-rewrite, linear in both knobs,
+    // never superlinear.
+    if (args.headOption.contains("scale-cdc")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val nSlices = if (args.length > 2) args(2).toInt else 10
+      val ev = amplifyEvents(Tables.events(spark, sfDir), factor).persist()
+      t(s"amplify_events_${factor}x")(ev.count())
+      val base = Tables.customer(spark, sfDir)
+      val root = java.nio.file.Files.createTempDirectory("graft_r14_cdcloop")
+      try {
+        val snapDir = root.resolve("snapshot").toString
+        t("cdc_init_snapshot") {
+          graft.streaming.StreamingCdc.initSnapshot(spark, base, snapDir)
+          spark.read.parquet(snapDir).count()
+        }
+        def parquetFiles(dir: String): Long = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+          finally s.close()
+        }
+        val sliceSecs = (0 until nSlices).map { i =>
+          val s0 = System.nanoTime()
+          graft.streaming.StreamingCdc.mergeBatch(spark,
+            ev.filter(pmod(col("event_id"), lit(nSlices)) === i), snapDir)
+          (System.nanoTime() - s0) / 1e9
+        }
+        println(f"[profile] cdc_${nSlices}slices_total    ${sliceSecs.sum}%8.2f s  " +
+          f"(first=${sliceSecs.head}%.2f last=${sliceSecs.last}%.2f " +
+          f"median=${sliceSecs.sorted.apply(nSlices / 2)}%.2f)")
+        t("cdc_final_view") {
+          graft.streaming.StreamingCdc.currentView(spark, snapDir).count()
+        }
+        println(s"[profile] snapshot files=${parquetFiles(snapDir)} (bound 8/gen)")
+      } finally FixtureDirs.rmTree(root)
+      ev.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile recall-inc-sweep` — the incremental-ANN recall/cost knob
     // sheet: probe-1 recall is chance-level on the near-orthogonal
     // synthetic corpus (PLANS.md), so quantify BOTH levers a deployment

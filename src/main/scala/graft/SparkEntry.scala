@@ -503,6 +503,25 @@ object SparkEntry {
       MultimodalOps.sampleFramesReal(s,
         s.read.format("binaryFile").load(fix), stride = 3).toDF()
     }),
+    // SECOND multi-frame container (VERDICT r13 item 5): multi-page
+    // TIFF through the same sequence-writer core, pixel formula, and
+    // stride gate — the oracle is byte-for-byte the GIF one, so a green
+    // row proves frame sampling is container-independent (both strides,
+    // same two-stride luck-proofing as the GIF pair)
+    "multimodal_frames_tiff" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_tiff", dir)
+      MultimodalOps.writeTiffFixtureTree(D(s, dir), fix)
+      MultimodalOps.sampleFramesReal(s,
+        s.read.format("binaryFile").load(fix),
+        extPattern = "vid_(\\d+)\\.tif$", format = "tiff").toDF()
+    }),
+    "multimodal_frames_tiff_stride3" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_tiff", dir)
+      MultimodalOps.writeTiffFixtureTree(D(s, dir), fix)
+      MultimodalOps.sampleFramesReal(s,
+        s.read.format("binaryFile").load(fix), stride = 3,
+        extPattern = "vid_(\\d+)\\.tif$", format = "tiff").toDF()
+    }),
     // ---- round-2 additions: LSH ANN, rolling fingerprint, tf-idf ----
     "ann_lsh" -> ((s, dir) => SimilarityOps.lshTopK(Tables.embeddings(s, dir))),
     // measured recall@k of probe-1 LSH vs the exact brute-force top-k —
@@ -1035,6 +1054,8 @@ object SparkEntry {
     "multimodal_prep" -> MultimodalOps.multimodalPrepOracle(),
     "multimodal_frames_real" -> MultimodalOps.sampleFramesRealOracle(),
     "multimodal_frames_stride3" -> MultimodalOps.sampleFramesRealOracle(stride = 3),
+    "multimodal_frames_tiff" -> MultimodalOps.sampleFramesRealOracle(),
+    "multimodal_frames_tiff_stride3" -> MultimodalOps.sampleFramesRealOracle(stride = 3),
     "multimodal_resize_real" -> MultimodalOps.resizeDecodedOracle(),
     "ann_lsh" -> SimilarityOps.lshTopKOracle(),
     "ann_recall" -> SimilarityOps.annRecallOracle(),

@@ -1500,18 +1500,33 @@ object MultimodalOps {
 
   /** Multi-frame GIF bytes via ImageIO's SEQUENCE writer — the
     * independent encoder on the other side of the decode gate. */
-  def gifBytes(w: Int, h: Int, nFrames: Int, px: (Int, Int) => Int): Array[Byte] = {
+  def gifBytes(w: Int, h: Int, nFrames: Int, px: (Int, Int) => Int): Array[Byte] =
+    multiFrameBytes("gif", w, h, nFrames, px)
+
+  /** Multi-PAGE TIFF bytes through the SAME sequence-writer core
+    * (VERDICT r13 item 5) — the second multi-frame container. The JDK's
+    * TIFF plugin (ImageIO, JDK 9+) writes the identical indexed-gray
+    * rasters as palette-color pages, so the one pixel formula proves
+    * frame sampling container-independent the way PNG/a-law did for
+    * single images / audio. */
+  def tiffBytes(w: Int, h: Int, nFrames: Int, px: (Int, Int) => Int): Array[Byte] =
+    multiFrameBytes("tiff", w, h, nFrames, px)
+
+  private def multiFrameBytes(format: String, w: Int, h: Int, nFrames: Int,
+                              px: (Int, Int) => Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
     try {
       writer.setOutput(ios)
       // interlacing OFF: the JDK's interlaced GIF write→read round trip
       // returns rows in a garbled order (spec-caught: a 4×4 ramp came
       // back with rows 0/2/1/<blank>), so the gate pins the
-      // non-progressive path a pipeline would use anyway
+      // non-progressive path a pipeline would use anyway (the TIFF
+      // writer has no progressive mode — guard on capability)
       val param = writer.getDefaultWriteParam
-      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      if (param.canWriteProgressive)
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
       writer.prepareWriteSequence(null)
       // an EXPLICIT 256-gray IndexColorModel: the JDK GIF writer encodes
       // an indexed image's own palette losslessly, but QUANTIZES
@@ -1544,11 +1559,24 @@ object MultimodalOps {
   /** Write the GIF fixture tree (`vid_<id>.gif`). Same bounded-collect
     * + rebuild lifecycle as [[writeWavFixtureTree]]. */
   def writeGifFixtureTree(documents: DataFrame, dir: String,
-                          maxDocId: Long = 256L): Unit = {
+                          maxDocId: Long = 256L): Unit =
+    writeFrameFixtureTree(documents, dir, "gif", gifBytes, maxDocId)
+
+  /** The TIFF twin — same geometry and pixel formula, `vid_<id>.tif`,
+    * so [[sampleFramesRealOracle]] applies verbatim: the oracle is
+    * blind to the container by construction. */
+  def writeTiffFixtureTree(documents: DataFrame, dir: String,
+                           maxDocId: Long = 256L): Unit =
+    writeFrameFixtureTree(documents, dir, "tif", tiffBytes, maxDocId)
+
+  private def writeFrameFixtureTree(documents: DataFrame, dir: String,
+                                    ext: String,
+                                    enc: (Int, Int, Int, (Int, Int) => Int) => Array[Byte],
+                                    maxDocId: Long): Unit = {
     import java.nio.file.{Files, Paths}
     val base = Paths.get(dir)
     Files.createDirectories(base)
-    val pat = "vid_\\d+\\.gif".r
+    val pat = s"vid_\\d+\\.$ext".r
     val old = Files.list(base)
     try old.forEach { p =>
       if (pat.pattern.matcher(p.getFileName.toString).matches())
@@ -1561,8 +1589,8 @@ object MultimodalOps {
         val (id, text) = (r.getLong(0), r.getString(1))
         requireAsciiFixture(id, text)
         val (w, h) = (gifWidth(text.length.toLong), gifHeight(id))
-        Files.write(base.resolve(s"vid_$id.gif"),
-          gifBytes(w, h, gifFrames(id), gifPixel(text, w, h)))
+        Files.write(base.resolve(s"vid_$id.$ext"),
+          enc(w, h, gifFrames(id), gifPixel(text, w, h)))
       }
   }
 
@@ -1574,7 +1602,8 @@ object MultimodalOps {
     * per-partition batches; blobs dropped at decode.
     */
   def sampleFramesReal(spark: SparkSession, files: DataFrame, stride: Int = 2,
-                       extPattern: String = "vid_(\\d+)\\.gif$"): Dataset[DecodedFrame] = {
+                       extPattern: String = "vid_(\\d+)\\.gif$",
+                       format: String = "gif"): Dataset[DecodedFrame] = {
     import spark.implicits._
     files
       .filter(col("path").rlike(extPattern)) // stray-file guard
@@ -1588,7 +1617,7 @@ object MultimodalOps {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val reader = javax.imageio.ImageIO
-            .getImageReadersByFormatName("gif").next()
+            .getImageReadersByFormatName(format).next()
           try {
             reader.setInput(iis)
             val n = reader.getNumImages(true)
