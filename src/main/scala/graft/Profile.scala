@@ -1104,14 +1104,30 @@ object Profile {
       val factor = if (args.length > 1) args(1).toInt else 10
       val damp = amplifyDocs(docs, factor).persist()
       t(s"amplify_docs_${factor}x")(damp.count())
-      var histRows = 0L
-      t("word_hist_rows") { histRows = BpeOps.wordFreq(damp).count(); histRows }
-      var merges: Seq[(String, String)] = Seq.empty
-      t("bpe_auto_32768") {
-        merges = BpeOps.bpeTrainAuto(damp, 32768); merges.length.toLong
+      var hist: Seq[(String, Long)] = Seq.empty
+      t("word_hist_rows") {
+        hist = BpeOps.wordFreq(damp).collect().iterator
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        hist.size.toLong
       }
-      println(s"[profile] hist_rows=$histRows (collect bound 4000000) " +
-        s"merges_produced=${merges.length} (vocab exhausts below 32768 " +
+      var fast: Seq[(String, String)] = Seq.empty
+      t("bpe_fast_32768") {
+        fast = BpeOps.bpeTrainLocalFast(hist, 32768); fast.length.toLong
+      }
+      // the reference recount loop is O(depth × vocab) — priced to
+      // ~45 min at a 100k vocab, so the parity run caps at the scale
+      // the 300× sheet measured (the spec suite pins parity besides)
+      if (hist.size <= 40000) {
+        var ref: Seq[(String, String)] = Seq.empty
+        t("bpe_reference_32768") {
+          ref = BpeOps.bpeTrainLocal(hist, 32768); ref.length.toLong
+        }
+        println(s"[profile] full-depth parity fast==reference: ${fast == ref}")
+      } else
+        println(s"[profile] reference loop skipped at ${hist.size} words " +
+          "(O(depth x vocab) recount — the cost the fast loop removes)")
+      println(s"[profile] hist_rows=${hist.size} (collect bound 4000000) " +
+        s"merges_produced=${fast.length} (vocab exhausts below 32768 " +
         "when every word is a single symbol)")
       damp.unpersist()
       spark.stop(); return

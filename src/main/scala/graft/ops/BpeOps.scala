@@ -153,12 +153,34 @@ object BpeOps {
     out.toArray
   }
 
+  /** CODE-POINT split, one single-code-point string per symbol —
+    * Spark's substring() walks code points, so a UTF-16 charAt split
+    * would diverge on supplementary-plane vocabulary. */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** UTF-8-byte comparison — Spark's string sort is UTF8String byte
+    * order; String.compareTo (UTF-16 code units) would diverge above
+    * the BMP. The ONE tie-break all three training regimes share. */
+  private def utf8Cmp(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Driver-side merge loop over a COLLECTED word histogram —
     * merge-for-merge identical to [[bpeTrain]] by construction: same
     * frequency-weighted adjacent-pair counts, same (count DESC, pair
     * ASC) tie-break, same greedy rewrite, same early stop. One process,
     * zero Spark jobs — the regime for every histogram that fits on the
     * driver (BPE state is vocabulary-sized, never corpus-sized).
+    *
+    * This is the SEMANTICS-OF-RECORD reference: it recounts the full
+    * histogram every merge, O(depth × corpus symbols) — the round-14
+    * price ladder measured that shape at 286.6 s for ~30k merges on a
+    * 30k-word vocabulary. [[bpeTrainLocalFast]] is the production
+    * regime (incremental pair maintenance, identical output, pinned by
+    * parity specs at depth 1000); this loop stays as the oracle the
+    * fast one is judged against.
     */
   def bpeTrainLocal(hist: Seq[(String, Long)],
                     nMerges: Int): Seq[(String, String)] = {
@@ -167,14 +189,7 @@ object BpeOps {
     // a UTF-16 charAt/compareTo local loop would diverge from the
     // distributed regime on supplementary-plane vocabulary.
     var words = hist.iterator
-      .map { case (w, f) =>
-        (w.codePoints().toArray
-          .map(cp => new String(Character.toChars(cp))), f)
-      }.toArray
-    def utf8Cmp(x: String, y: String): Int =
-      java.util.Arrays.compareUnsigned(
-        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map { case (w, f) => (codePointSyms(w), f) }.toArray
     val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
@@ -212,6 +227,109 @@ object BpeOps {
     merges.toSeq
   }
 
+  /** INCREMENTAL-pair-maintenance training — the standard tokenizer-
+    * trainer structure (named in the round-14 PLANS price sheet, built
+    * here): instead of recounting every word's adjacent pairs each
+    * merge, maintain (pair → weighted count) and (pair → word set)
+    * maps, rewrite ONLY the words that contain the chosen pair, and
+    * apply the count deltas their rewrite implies. Per merge the work
+    * is O(Σ length of touched words + log-heap), not O(corpus
+    * symbols) — the regime that makes 32k merges on a multi-million-
+    * word vocabulary minutes instead of hours.
+    *
+    * Argmax uses a lazy-deletion binary heap ordered by the IDENTICAL
+    * (count DESC, a UTF-8 ASC, b UTF-8 ASC) tie-break as
+    * [[bpeTrainLocal]]/[[bpeTrain]]: every count change pushes a fresh
+    * snapshot; a popped snapshot is valid only if it matches the live
+    * count, so stale entries drain harmlessly. Counts are maintained by
+    * exact (decrement old word pairs, increment new word pairs) deltas,
+    * so the map equals the reference loop's from-scratch recount at
+    * every step BY ARITHMETIC — and therefore the merge sequence is
+    * identical, including every tie (parity spec at depth 1000 on the
+    * amplified corpus, plus the fixture-corpus three-regime pin).
+    */
+  def bpeTrainLocalFast(hist: Seq[(String, Long)],
+                        nMerges: Int): Seq[(String, String)] = {
+    val syms = hist.iterator.map { case (w, _) => codePointSyms(w) }.toArray
+    val freq = hist.iterator.map(_._2).toArray
+    val counts = collection.mutable.HashMap.empty[(String, String), Long]
+    val occur = collection.mutable.HashMap
+      .empty[(String, String), collection.mutable.HashSet[Int]]
+    val cmp = new java.util.Comparator[(Long, String, String)] {
+      def compare(p: (Long, String, String), q: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(q._1, p._1) // count DESC
+        if (c != 0) c
+        else {
+          val ca = utf8Cmp(p._2, q._2)
+          if (ca != 0) ca else utf8Cmp(p._3, q._3)
+        }
+      }
+    }
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(16, hist.size), cmp)
+    def bump(k: (String, String), delta: Long): Unit = {
+      val n = counts.getOrElse(k, 0L) + delta
+      if (n == 0L) counts.remove(k) else counts.update(k, n)
+    }
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val k = (s(i), s(i + 1))
+        bump(k, freq(wi))
+        occur.getOrElseUpdate(k, collection.mutable.HashSet.empty) += wi
+        i += 1
+      }
+      wi += 1
+    }
+    counts.foreach { case ((a, b), n) => heap.add((n, a, b)) }
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val touched = collection.mutable.HashSet.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      // pop to the first LIVE snapshot (count still current)
+      var best: (String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val (n, a, b) = heap.poll()
+        if (counts.getOrElse((a, b), 0L) == n) best = (a, b)
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += best
+        touched.clear()
+        val hit = occur(best).toArray // snapshot: rewrites mutate the sets
+        var h = 0
+        while (h < hit.length) {
+          val w = hit(h)
+          val old = syms(w)
+          var i = 0
+          while (i + 1 < old.length) {
+            val k = (old(i), old(i + 1))
+            bump(k, -freq(w)); touched += k
+            occur.get(k).foreach(_ -= w)
+            i += 1
+          }
+          val nw = mergePairLocal(old, best._1, best._2)
+          syms(w) = nw
+          i = 0
+          while (i + 1 < nw.length) {
+            val k = (nw(i), nw(i + 1))
+            bump(k, freq(w)); touched += k
+            occur.getOrElseUpdate(k, collection.mutable.HashSet.empty) += w
+            i += 1
+          }
+          h += 1
+        }
+        occur.remove(best)
+        touched.foreach { k =>
+          counts.get(k).foreach(n => heap.add((n, k._1, k._2)))
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Size-bounded REGIME-SELECTED training (VERDICT r12 item 2) — the
     * production entry point. The word histogram is vocabulary-sized
     * metadata (millions of rows at web scale, not billions of docs):
@@ -229,7 +347,7 @@ object BpeOps {
     val wf = wordFreq(documents).persist()
     try {
       if (wf.count() <= maxHistRows)
-        bpeTrainLocal(
+        bpeTrainLocalFast(
           wf.collect().iterator.map(r => (r.getString(0), r.getLong(1))).toSeq,
           nMerges)
       else bpeTrain(documents, nMerges)

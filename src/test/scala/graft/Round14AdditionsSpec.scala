@@ -95,6 +95,48 @@ class Round14AdditionsSpec extends SparkSpec {
       r.getAs[String]("segmented")))
   }
 
+  // ---- incremental-pair BPE trainer (the round-14 production regime) ----
+
+  test("bpeTrainLocalFast == bpeTrainLocal merge-for-merge to exhaustion on the fixture corpus") {
+    import graft.ops.BpeOps
+    val corpus = Seq("low low low low low",
+      "lower lower widest widest widest",
+      "newest newest newest newest newest newest")
+    val hist = corpus.flatMap(_.split(" "))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val ref = BpeOps.bpeTrainLocal(hist, 1000)
+    val fast = BpeOps.bpeTrainLocalFast(hist, 1000)
+    assert(fast == ref)
+    assert(ref.nonEmpty && ref.length < 1000, "fixture must exhaust early")
+  }
+
+  test("bpeTrainLocalFast parity on adversarial vocabulary: a==b runs, shared prefixes, ties, supplementary plane") {
+    import graft.ops.BpeOps
+    // deterministic stress corpus: repeated-symbol runs exercise the
+    // greedy a==b pairing, near-anagrams force count ties through the
+    // UTF-8 tie-break, shared prefixes make merges cascade, and the
+    // non-BMP words catch any UTF-16 shortcut in the new loop
+    val words = (0 until 160).map { i =>
+      val base = "abcde".substring(i % 5, i % 5 + 1) * (1 + i % 4)
+      base + "xyzw".substring(i % 4, i % 4 + 1) + ("ab" * (i % 3)) +
+        (if (i % 7 == 0) "𝕏" else "")
+    }
+    val hist = words.groupBy(identity)
+      .map { case (w, ws) => (w, ws.length.toLong * (1 + w.length % 3)) }.toSeq
+    for (depth <- Seq(1, 7, 50, 5000)) {
+      val ref = BpeOps.bpeTrainLocal(hist, depth)
+      val fast = BpeOps.bpeTrainLocalFast(hist, depth)
+      assert(fast == ref, s"divergence at depth $depth")
+    }
+  }
+
+  test("bpeTrainAuto (now the fast loop) still equals the distributed regime") {
+    import graft.ops.BpeOps
+    val docs = Seq((0L, "low low low low low"),
+      (1L, "lower lower widest widest widest")).toDF("doc_id", "text")
+    assert(BpeOps.bpeTrainAuto(docs, 12) == BpeOps.bpeTrain(docs, 12))
+  }
+
   test("trainedMergesSf0p01 literal is replace-chain-safe (no a == b merge)") {
     assert(graft.ops.BpeOps.trainedMergesSf0p01.forall { case (a, b) => a != b })
     assert(graft.ops.BpeOps.trainedMergesSf0p01.length == 16)
