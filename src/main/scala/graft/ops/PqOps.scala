@@ -597,12 +597,17 @@ object PqOps {
         (element_at(col("codes"), s + 1) + 1).cast("int"))
       acc + ((dot(xs, xs) - lit(2.0) * dot(xs, cs)) + dot(cs, cs))
     }
-    val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("nn_id").asc)
+    // min(struct(adc_dist, nn_id)) ≡ the (adc_dist ASC, nn_id ASC)
+    // row_number pick, but with map-side partial aggregation: the
+    // exchange after the bucket join carries one partial min per
+    // (q_id, partition) instead of every scored candidate (round 14 —
+    // the same shuffle-volume fix as the recall truth side)
     val best = probes.join(idx, Seq("bucket"))
       .withColumn("adc_dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("nn_id"), col("adc_dist"))
+      .groupBy("q_id")
+      .agg(min(struct(col("adc_dist"), col("nn_id"))).as("m"))
+      .select(col("q_id"), col("m.nn_id").as("nn_id"),
+        col("m.adc_dist").as("adc_dist"))
     delta.select(col("vec_id"))
       .join(best.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"),

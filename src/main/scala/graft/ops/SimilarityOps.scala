@@ -1011,15 +1011,19 @@ object SimilarityOps {
     val distT = (graft.functions.native.dotFold(col("emb"), col("emb"))
       - lit(2.0) * graft.functions.native.dotFold(col("emb"), col("i_emb"))) +
       graft.functions.native.dotFold(col("i_emb"), col("i_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("nn_id").asc)
     // index/delta are disjoint by the split predicate, so no
     // self-exclusion is needed; the query (delta) side broadcasts — the
-    // corpus-sized index never shuffles, same shape as cosineTopK
+    // corpus-sized index never shuffles, same shape as cosineTopK.
+    // min(struct(dist, nn_id)) ≡ the (dist ASC, nn_id ASC) row_number
+    // pick (lexicographic struct ordering; dist is a squared distance,
+    // never NaN/-0.0) but aggregates MAP-SIDE: the exchange carries one
+    // partial min per (q_id, partition) instead of every candidate pair
+    // — the round-14 shuffle-volume fix for the whole recall family
     val truth = idx.crossJoin(broadcast(q))
       .withColumn("dist", distT)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("nn_id").as("vec_id"))
+      .groupBy("q_id")
+      .agg(min(struct(col("dist"), col("nn_id"))).as("m"))
+      .select(col("q_id"), col("m.nn_id").as("vec_id"))
     val approx = retrieve(PqOps.annIndex(base, cb, nPlanes), delta, cb)
       .select(col("vec_id").as("q_id"), col("nn_id").as("vec_id"))
     recallAtK(truth, approx)
