@@ -115,6 +115,34 @@ object StreamingIngest {
     }
   }
 
+  /** STREAMING quarantine router for the real-codec ingest (round 14 —
+    * the streaming twin of `multimodal_prep`'s verdict stage): per
+    * micro-batch, every arriving blob gets exactly ONE lenient decode
+    * verdict row; 'ok' rows (exact stats, no reason) flow to the clean
+    * sink, everything else routes to the quarantine sink WITH the
+    * diagnostic reason column — so an operator watching the quarantine
+    * stream can tell one corrupt upload from a systemic decode fault
+    * breaking every blob the same way. Stateless by construction
+    * (per-blob verdicts need no cross-batch state — the spec pins zero
+    * state operators); one persist per batch feeds both sinks (the
+    * payments two-sink contract, `StreamingOps` foreachBatch fan-out).
+    */
+  def quarantineStream(spark: SparkSession, dir: String,
+                       extPattern: String = "ul_(\\d+)\\.wav$")
+                      (sinkOk: (DataFrame, Long) => Unit,
+                       sinkQuarantine: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(dir)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val v = MultimodalOps.decodeAudioLenient(spark, batch, extPattern)
+        .toDF().persist()
+      try {
+        sinkOk(v.filter(col("status") === "ok").drop("reason"), batchId)
+        sinkQuarantine(v.filter(col("status") =!= "ok"), batchId)
+      } finally { v.unpersist(); () }
+    }
+  }
+
   /** Periodic COMPACTION for the [[ingestIndexLoop]] digest index — the
     * maintenance twin of [[StreamingDedup.compactSignatureIndex]], same
     * crash-safe [[graft.sources.SnapshotSwap]] publish (retire-then-swap,

@@ -215,6 +215,40 @@ class Round14AdditionsSpec extends SparkSpec {
     }
   }
 
+  // ---- streaming quarantine router (the multimodal_prep verdict stage) ----
+
+  test("quarantineStream: per-batch lenient verdicts route ok/corrupt to separate sinks, stateless, with reasons") {
+    import graft.ops.MultimodalOps
+    import graft.streaming.StreamingIngest
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_quar")
+    try {
+      val docs = Seq((0L, "good clip zero"), (1L, "good stereo one!"))
+        .toDF("doc_id", "text")
+      MultimodalOps.writeUlawFixtureTree(docs, dir.toString)
+      val ok = collection.mutable.ArrayBuffer.empty[(Long, Long)]      // (batch, doc)
+      val quar = collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      val q = StreamingIngest.quarantineStream(spark, dir.toString)(
+        (m, id) => ok ++= m.collect().map(r => (id, r.getLong(0))),
+        (m, id) => quar ++= m.collect().map(r =>
+          (id, r.getLong(0), r.getAs[String]("reason")))).start()
+      try {
+        q.processAllAvailable()
+        assert(ok.map(_._2).toSet == Set(0L, 1L) && quar.isEmpty,
+          s"batch 0 is all-clean: ok=$ok quar=$quar")
+        // a corrupt upload lands later: it must route to quarantine in
+        // its OWN batch, with a diagnostic reason, without reprocessing
+        MultimodalOps.writeCorruptAudioFixtures(dir.toString)
+        q.processAllAvailable()
+        assert(ok.size == 2, "clean files are verdict-ed exactly once")
+        assert(quar.map(_._2).toSet == Set(300L, 301L))
+        assert(quar.forall(v => v._1 > 0L && v._3 != null && v._3.contains(":")),
+          s"quarantine rows carry (class: message) reasons: $quar")
+        assert(q.lastProgress.stateOperators.isEmpty,
+          "per-blob verdicts must carry no streaming state")
+      } finally q.stop()
+    } finally graft.ops.FixtureDirs.rmTree(dir)
+  }
+
   // ---- multi-page TIFF through the stride gate (VERDICT r13 #5) ----
 
   test("sampleFramesReal on multi-page TIFF: stride prunes at the container; frames agree byte-for-byte with the GIF encoding") {
