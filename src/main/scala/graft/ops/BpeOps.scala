@@ -358,9 +358,18 @@ object BpeOps {
     * list: applies the merges in order to every word — the inference twin
     * of [[bpeTrain]], map-side over the histogram.
     */
-  def bpeSegment(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def bpeSegment(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentFreq(wordFreq(documents), merges)
+
+  /** The segmentation core over an already-computed (word, freq)
+    * histogram — so a caller that has the histogram in hand (the
+    * train→apply composite trains from a collected copy of it) never
+    * re-scans and re-tokenizes the corpus to segment (review-caught
+    * double scan). */
+  private def bpeSegmentFreq(freq: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame = {
     val chars = expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-    val base = wordFreq(documents).select(col("word"), col("freq"), chars.as("syms"))
+    val base = freq.select(col("word"), col("freq"), chars.as("syms"))
     merges.foldLeft(base) { case (df, (a, b)) =>
       df.withColumn("syms", mergePair(col("syms"), a, b))
     }
@@ -395,7 +404,11 @@ object BpeOps {
     * queries so the two cannot diverge on the output contract. */
   private def segmentRows(documents: DataFrame,
                           merges: Seq[(String, String)]): DataFrame =
-    bpeSegment(documents, merges)
+    segmentRowsFreq(wordFreq(documents), merges)
+
+  private def segmentRowsFreq(freq: DataFrame,
+                              merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentFreq(freq, merges)
       .filter(!col("word").contains("\u001f"))
       .select(col("word"), col("freq"), size(col("syms")).cast("long").as("n_syms"),
         concat_ws("\u001f", col("syms")).as("segmented"))
@@ -410,8 +423,25 @@ object BpeOps {
     * U+001F-bearing words); only the OUTPUT rows apply the
     * separator-encoding exclusion, same as [[bpeSegmentFrozen]].
     */
-  def bpeTrainSegment(documents: DataFrame, nMerges: Int = 16): DataFrame =
-    segmentRows(documents, bpeTrainAuto(documents, nMerges))
+  def bpeTrainSegment(documents: DataFrame, nMerges: Int = 16,
+                      maxHistRows: Long = 4000000L): DataFrame = {
+    // ONE histogram feeds both halves (review-caught double scan):
+    // under the regime bound, train from the collected copy and
+    // segment from a LOCAL frame of the same rows — the corpus is
+    // scanned exactly once; above it, fall to the distributed trainer
+    // and the corpus-side segmentation, both histogram-shaped anyway.
+    val spark = documents.sparkSession
+    val wf = wordFreq(documents).persist()
+    try {
+      if (wf.count() <= maxHistRows) {
+        val hist = wf.collect().iterator
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        import spark.implicits._
+        segmentRowsFreq(hist.toDF("word", "freq"),
+          bpeTrainLocalFast(hist, nMerges))
+      } else segmentRows(documents, bpeTrain(documents, nMerges))
+    } finally wf.unpersist()
+  }
 
   /** [[bpeTrainAuto]]'s nMerges=16 output on the driver's sf0.01
     * documents corpus (`Profile bpe-merges` provenance run, round 14) —
@@ -420,6 +450,14 @@ object BpeOps {
     * that segmentation applied to it matches the independent
     * replace-chain formulation. A drift in either half (training
     * tie-break, histogram filter, merge fold) breaks the hash.
+    *
+    * DELIBERATE SF COUPLING: this oracle is valid ONLY against the
+    * sf0.01 corpus the driver's gate runs (every other oracle derives
+    * from the tables and is SF-portable). That is the point — the
+    * frozen literal is what lets the gate detect a training-determinism
+    * drift at all. A local `local_verify.py` run against a different
+    * SF_DIR will (correctly) report this one query as a mismatch:
+    * live training reflects that corpus's frequencies.
     */
   val trainedMergesSf0p01: Seq[(String, String)] = Seq(
     ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"),

@@ -314,11 +314,13 @@ object MultimodalOps {
     * tree is scanned once more by the decode (at scale the digest
     * would ride the decode's mapPartitions pass — kept as two audited
     * single-pass stages here, both linear); the dedup is the same
-    * digest-window min as [[ingestManifest]]; the accounting reduces
-    * to a handful of (modality, verdict) groups. Cross-tree digest
-    * collisions are impossible (WAV containers vs raw text payloads),
-    * so the oracle reconstructs canonical groups per tree from the
-    * generation formulas — agreement cross-checks the full byte path.
+    * digest-window min as [[ingestManifest]], partitioned PER TREE
+    * (the trees are separate stores, and the junk corrupt blob's raw
+    * ASCII payload could legitimately collide with a document's text
+    * bytes across trees); the accounting reduces to a handful of
+    * (modality, verdict) groups. The oracle reconstructs canonical
+    * groups per tree from the generation formulas — agreement
+    * cross-checks the full byte path.
     */
   def multimodalPrep(spark: SparkSession, opaqueDir: String,
                      audioDir: String): DataFrame = {
@@ -339,8 +341,16 @@ object MultimodalOps {
       .select(col("file_name"), lit("audio").as("modality"),
         col("byte_len"), col("digest"),
         coalesce(col("status"), lit("unreadable")).as("verdict"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
-    opq.unionByName(au)
+    // dedup PER TREE (tree, digest) — the trees are separate stores,
+    // and the oracle reconstructs groups per tree; a global digest
+    // window would additionally collapse the one cross-tree collision
+    // the fixtures genuinely permit (the junk corrupt blob's payload is
+    // raw ASCII 'NOT A RIFF' — a document could carry that exact text;
+    // review-caught)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tree", "digest")
+    opq.withColumn("tree", lit("opq"))
+      .unionByName(au.withColumn("tree", lit("au")))
       .withColumn("is_canonical",
         col("file_name") === min("file_name").over(w))
       .groupBy("modality", "verdict")

@@ -1047,7 +1047,7 @@ object SimilarityOps {
   private def annRecallIncrementalOracleWith(m: Int, k: Int,
                                              incrementalSql: String,
                                              baseSql: String =
-                                               "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"): String = {
+                                               PqOps.defaultEmbBaseSql): String = {
     def dotR(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(1, 65), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin

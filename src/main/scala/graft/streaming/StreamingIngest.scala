@@ -122,10 +122,14 @@ object StreamingIngest {
     * sink, everything else routes to the quarantine sink WITH the
     * diagnostic reason column — so an operator watching the quarantine
     * stream can tell one corrupt upload from a systemic decode fault
-    * breaking every blob the same way. Stateless by construction
-    * (per-blob verdicts need no cross-batch state — the spec pins zero
-    * state operators); one persist per batch feeds both sinks (the
-    * payments two-sink contract, `StreamingOps` foreachBatch fan-out).
+    * breaking every blob the same way. A file whose PATH does not
+    * match `extPattern` (a misnamed or foreign upload) is not silently
+    * dropped (review-caught): it quarantines as an `unmatched` verdict
+    * row (doc_id = -1, the orphan convention) carrying the file name
+    * in its reason. Stateless by construction (per-blob verdicts need
+    * no cross-batch state — the spec pins zero state operators); one
+    * persist per batch feeds both sinks (the payments two-sink
+    * contract, `StreamingOps` foreachBatch fan-out).
     */
   def quarantineStream(spark: SparkSession, dir: String,
                        extPattern: String = "ul_(\\d+)\\.wav$")
@@ -134,8 +138,18 @@ object StreamingIngest {
     val stream = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema).load(dir)
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val v = MultimodalOps.decodeAudioLenient(spark, batch, extPattern)
-        .toDF().persist()
+      val decoded = MultimodalOps.decodeAudioLenient(spark, batch, extPattern)
+        .toDF()
+      val nullStat = lit(null).cast("long")
+      val unmatched = batch.filter(!col("path").rlike(extPattern))
+        .select(lit(-1L).as("doc_id"), lit("unmatched").as("status"),
+          nullStat.as("n_channels"), nullStat.as("sample_rate"),
+          nullStat.as("n_frames"), nullStat.as("sum_ch0"),
+          nullStat.as("sum_ch1"), nullStat.as("min_sample"),
+          nullStat.as("max_sample"),
+          concat(lit("unmatched path: "),
+            regexp_extract(col("path"), "([^/]+)$", 1)).as("reason"))
+      val v = decoded.unionByName(unmatched).persist()
       try {
         sinkOk(v.filter(col("status") === "ok").drop("reason"), batchId)
         sinkQuarantine(v.filter(col("status") =!= "ok"), batchId)

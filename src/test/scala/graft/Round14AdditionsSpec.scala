@@ -235,14 +235,20 @@ class Round14AdditionsSpec extends SparkSpec {
         q.processAllAvailable()
         assert(ok.map(_._2).toSet == Set(0L, 1L) && quar.isEmpty,
           s"batch 0 is all-clean: ok=$ok quar=$quar")
-        // a corrupt upload lands later: it must route to quarantine in
-        // its OWN batch, with a diagnostic reason, without reprocessing
+        // a corrupt upload AND a misnamed foreign upload land later:
+        // both must route to quarantine in their OWN batch — the
+        // unmatched file as a loud (-1, 'unmatched') verdict, never a
+        // silent drop — without reprocessing batch 0
         MultimodalOps.writeCorruptAudioFixtures(dir.toString)
+        java.nio.file.Files.write(dir.resolve("upload.tmp"),
+          "stray bytes".getBytes)
         q.processAllAvailable()
         assert(ok.size == 2, "clean files are verdict-ed exactly once")
-        assert(quar.map(_._2).toSet == Set(300L, 301L))
+        assert(quar.map(_._2).toSet == Set(300L, 301L, -1L))
         assert(quar.forall(v => v._1 > 0L && v._3 != null && v._3.contains(":")),
           s"quarantine rows carry (class: message) reasons: $quar")
+        assert(quar.exists(v => v._2 == -1L && v._3.contains("upload.tmp")),
+          s"the unmatched upload must quarantine by name: $quar")
         assert(q.lastProgress.stateOperators.isEmpty,
           "per-blob verdicts must carry no streaming state")
       } finally q.stop()

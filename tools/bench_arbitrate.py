@@ -149,10 +149,15 @@ def main():
             cur, prev = per_query[n]["min"], prior_q[n]["min"]
             ratio = cur / prev if prev > 0 else None
             rows[n] = {"prior_min": prev, "min": cur, "ratio": ratio}
-            if ratio is not None and ratio > args.regress_factor:
-                if cur - prev > args.min_delta or ratio > args.hard_factor:
+            if ratio is not None:
+                # the hard ceiling applies REGARDLESS of the soft factor
+                # or the jitter floor (review-caught: nesting it under
+                # regress_factor let --regress-factor 5 disable it)
+                if ratio > args.hard_factor or (
+                        ratio > args.regress_factor
+                        and cur - prev > args.min_delta):
                     regressions.append(n)
-                else:
+                elif ratio > args.regress_factor:
                     ratio_flags.append(n)
         diff = {
             "surface_hash": surface,
