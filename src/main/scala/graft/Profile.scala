@@ -1179,6 +1179,40 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-r14 [factor]` — decade lines for the clustered-
+    // geometry ANN family (round 14): the EVALUATION harness
+    // (`annRecallIncrementalClustered`) carries the documented
+    // quadratic exhaustive-truth side (same acceptance as
+    // dedup_recall; run it only to 10×), while the PRODUCTION path it
+    // measures — frozen-codebook encode + bucket-routed multiprobe ADC
+    // — is linear and runs the full ladder. Amplified vec_ids extend
+    // the integer grid naturally (the geometry derives from the id
+    // domain alone; copy shifts spread clusters and fine values).
+    if (args.headOption.contains("scale-r14")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val emb = amplifyEmbeddings(Tables.embeddings(spark, sfDir), factor)
+        .persist()
+      t(s"amplify_emb_${factor}x")(emb.count())
+      if (factor <= 10)
+        t(s"clustered_recall_${factor}x") {
+          SimilarityOps.annRecallIncrementalClustered(emb).count()
+        }
+      else
+        println(s"[profile] clustered_recall skipped at ${factor}x " +
+          "(exhaustive truth side is quadratic BY DESIGN — " +
+          "evaluation harness, not a production query)")
+      val cg = SimilarityOps.clusteredGeometry(emb)
+      val base = cg.filter(PqOps.annSplitIsIndex(64))
+      val delta = cg.filter(!PqOps.annSplitIsIndex(64))
+      val cb = PqOps.trainCodebook(base, 8, 64)
+      t(s"clustered_found_${factor}x") {
+        PqOps.annIndexIncrementalMultiProbe(
+          PqOps.annIndex(base, cb), delta, cb).count()
+      }
+      emb.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile recall-inc-sweep` — the incremental-ANN recall/cost knob
     // sheet: probe-1 recall is chance-level on the near-orthogonal
     // synthetic corpus (PLANS.md), so quantify BOTH levers a deployment
