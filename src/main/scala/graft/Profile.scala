@@ -33,6 +33,63 @@ object Profile {
     val docs = Tables.documents(spark, sfDir)
     val corpus = DedupOps.augmented(docs)
 
+    // `Profile pq-encode-ab [nRows]` — paired same-JVM A/B of the wide PQ
+    // encode: (a) the pre-round-14 unrolled m × k DotFold formulation vs
+    // (b) the native fused PqEncode expression, INTERLEAVED reps so
+    // co-tenant noise cancels. Two costs measured separately: the
+    // first-plan time (dominated by janino compile — the unroll's fixed
+    // multi-second floor) and warm per-row throughput on a generated
+    // 64-dim corpus. m=8/k=64 — the production recipe the incremental-ANN
+    // family ships.
+    if (args.headOption.contains("pq-encode-ab")) {
+      val nRows = if (args.length > 1) args(1).toLong else 2000000L
+      val m = 8; val k = 64; val subDim = 8
+      val corpusAb = spark.range(nRows).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> sin(CAST(id * 64 + d AS DOUBLE)))")
+          .cast("array<double>").as("emb")).persist()
+      corpusAb.count()
+      val embTbl = corpusAb.limit(10000)
+        .select(col("vec_id"), col("emb").cast("array<float>").as("embedding"))
+      val cbAb = PqOps.trainCodebook(embTbl, m, k)
+      def unrolled(df: DataFrame): DataFrame =
+        cbAb.indices.foldLeft(df) { (acc, s) =>
+          val xs = slice(col("emb"), s * subDim + 1, subDim)
+          val dists = cbAb(s).map { cw =>
+            val cl = typedlit(cw)
+            (graft.functions.native.dotFold(xs, xs)
+              - lit(2.0) * graft.functions.native.dotFold(xs, cl)) +
+              graft.functions.native.dotFold(cl, cl)
+          }
+          acc.withColumn(s"d_$s", array(dists.toIndexedSeq: _*))
+            .withColumn(s"qerr_$s", array_min(col(s"d_$s")))
+            .withColumn(s"code_$s",
+              (array_position(col(s"d_$s"), col(s"qerr_$s")) - 1).cast("long"))
+            .drop(s"d_$s")
+        }
+      def fused(df: DataFrame): DataFrame = {
+        val extra = (0 until m).flatMap(s => Seq(
+          element_at(col("_pq").getField("qerrs"), s + 1).as(s"qerr_$s"),
+          element_at(col("_pq").getField("codes"), s + 1).as(s"code_$s")))
+        df.withColumn("_pq",
+            graft.functions.native.pqEncode(col("emb"), cbAb, subDim))
+          .select(col("vec_id") +: extra: _*)
+      }
+      def run(df: DataFrame): Long =
+        df.select(sum((0 until m).map(s => col(s"code_$s")).reduce(_ + _))
+          .as("chk")).head().getLong(0)
+      // cold = first plan, compile-inclusive (fresh literal perturbation
+      // would be needed to defeat the codegen cache across reps, so cold
+      // is measured once per formulation, first)
+      t("unrolled_cold")(run(unrolled(corpusAb)))
+      t("fused_cold")(run(fused(corpusAb)))
+      (1 to 3).foreach { i =>
+        t(s"unrolled_warm#$i")(run(unrolled(corpusAb)))
+        t(s"fused_warm#$i")(run(fused(corpusAb)))
+      }
+      corpusAb.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile count-prune` — bench-integrity audit: flag any registered
     // query whose optimized plan LOSES joins under `count()` (Bench's
     // action). A left join against an aggregate keyed on the join key

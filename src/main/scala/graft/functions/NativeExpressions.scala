@@ -276,6 +276,126 @@ case class SigAgree(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native product-quantization encode:
+  * `pq_encode(emb: array<double>) -> struct<codes: array<long>,
+  * qerrs: array<double>>` against a FROZEN codebook carried in the
+  * expression (m × k × subDim doubles, flattened — broadcast-sized
+  * metadata, never a join side).
+  *
+  * Replaces the m × k unrolled codeword-distance expressions the wide
+  * encode used to build (8 × 64 = 512 `DotFold`s): that shape pays a
+  * multi-second janino compile per stage and re-materializes the
+  * subspace slice per codeword; this is ONE fused primitive loop behind
+  * a typed static call (see [[SimHash60]]) — compile cost is constant
+  * in m·k, and whole-stage codegen keeps the row pipeline intact.
+  *
+  * Bit-identical numerics to the unrolled form (and the DuckDB oracle):
+  * per subspace s the squared distance to codeword j is composed as
+  * `(x·x − 2·x·c) + c·c` where every dot is a strict ascending left fold
+  * from 0.0 (the [[DotFold]] contract); `c·c` is pre-folded once on the
+  * driver in the same order. The argmin keeps the FIRST codeword
+  * attaining the minimum (strict `<`), matching
+  * `array_position(d, array_min(d)) - 1`.
+  *
+  * Null contract: null struct when the embedding is null, has a length
+  * other than m·subDim, or contains a null element — the cases where the
+  * unrolled form yielded null `code_s`/`qerr_s` columns.
+  */
+case class PqEncode(child: Expression, cbFlat: Seq[Double],
+                    m: Int, k: Int, subDim: Int)
+  extends UnaryExpression {
+  require(cbFlat.length == m * k * subDim,
+    s"codebook must be m*k*subDim = ${m * k * subDim} doubles, got ${cbFlat.length}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("qerrs", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "pq_encode"
+
+  /** Nullable regardless of the child: a length mismatch or null element
+    * yields null (same janino `false = true` trap as [[DotFold]]).
+    */
+  override def nullable: Boolean = true
+
+  @transient private lazy val cbArr: Array[Double] = cbFlat.toArray
+
+  /** c·c per codeword, pre-folded driver-side in [[DotFold]] order. */
+  @transient private lazy val ccArr: Array[Double] = {
+    val out = new Array[Double](m * k)
+    var idx = 0
+    while (idx < m * k) {
+      var acc = 0.0
+      var t = 0
+      while (t < subDim) { val v = cbArr(idx * subDim + t); acc += v * v; t += 1 }
+      out(idx) = acc
+      idx += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncodeKernel.eval(input.asInstanceOf[ArrayData], cbArr, ccArr, m, k, subDim)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cbArr, "double[]")
+    val ccRef = ctx.addReferenceObj("pqCc", ccArr, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("pqRow")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.functions.PqEncodeKernel.eval($arr, $cbRef, $ccRef, $m, $k, $subDim);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[PqEncode]] — shared verbatim by the interpreted
+  * and generated paths, so they are trivially bit-identical.
+  */
+object PqEncodeKernel {
+  def eval(arr: ArrayData, cb: Array[Double], cc: Array[Double],
+           m: Int, k: Int, subDim: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = m * subDim
+    if (arr.numElements() != n) return null
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    val codes = new Array[Long](m)
+    val qerrs = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      var xx = 0.0
+      var t = 0
+      while (t < subDim) { val v = arr.getDouble(base + t); xx += v * v; t += 1 }
+      var best = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < k) {
+        val cbase = (s * k + j) * subDim
+        var xc = 0.0
+        t = 0
+        while (t < subDim) { xc += arr.getDouble(base + t) * cb(cbase + t); t += 1 }
+        val d = (xx - 2.0 * xc) + cc(s * k + j)
+        if (d < best) { best = d; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ.toLong
+      qerrs(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes),
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(qerrs)))
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def simhash60(tokens: Column): Column =
@@ -286,4 +406,20 @@ object native {
     ColumnBridge.column(DotFold(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sigAgree(a: Column, b: Column): Column =
     ColumnBridge.column(SigAgree(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** PQ encode against a frozen codebook `cb(s)(j) = subvector` (the
+    * [[graft.ops.PqOps]] driver-side shape). Flattens to the kernel's
+    * row-major layout; geometry is validated here, once.
+    */
+  def pqEncode(emb: Column, cb: Array[Array[Seq[Double]]], subDim: Int): Column = {
+    val m = cb.length
+    require(m > 0, "codebook must have at least one subspace")
+    val k = cb(0).length
+    require(cb.forall(_.length == k), "ragged codebook: unequal k across subspaces")
+    require(cb.forall(_.forall(_.length == subDim)),
+      s"every codeword must have subDim=$subDim elements")
+    val flat: IndexedSeq[Double] =
+      cb.iterator.flatMap(_.iterator.flatMap(_.iterator)).toIndexedSeq
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(emb), flat, m, k, subDim))
+  }
 }

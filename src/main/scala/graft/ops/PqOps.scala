@@ -77,22 +77,30 @@ object PqOps {
 
   /** Wide encode: adds `code_s` (long, in [0, k)) and `qerr_s` (double,
     * the squared quantization error of subspace s) for each subspace.
-    * Entirely map-side; `dot(xs, xs)` is CSE'd across the k distances of
-    * a subspace by codegen.
+    * Entirely map-side, via the native [[graft.functions.PqEncode]]
+    * expression — ONE fused loop per row instead of the former m × k
+    * unrolled codeword-distance expressions (at m=8/k=64 that unroll
+    * paid a multi-second janino compile per stage — the dominant cost of
+    * the PQ-family queries at small SF and pure overhead at 100 TB).
+    * Bit-identical numerics (strict left folds, `(x·x − 2·x·c) + c·c`,
+    * first-min argmin), so the DuckDB oracle hashes are unchanged.
+    *
+    * The struct materializes in its own projection; the per-subspace
+    * extractions reference it as an attribute (CollapseProject keeps a
+    * non-cheap multi-referenced producer), so the kernel runs once per
+    * row, not once per extracted column.
     */
   private def encodeWide(corpus: DataFrame, cb: Array[Array[Seq[Double]]],
-                         subDim: Int): DataFrame =
-    cb.indices.foldLeft(corpus) { (df, s) =>
-      val xs = slice(col("emb"), s * subDim + 1, subDim)
-      val dists: Array[Column] = cb(s).map { cw =>
-        val cl = typedlit(cw)
-        (dot(xs, xs) - lit(2.0) * dot(xs, cl)) + dot(cl, cl)
-      }
-      df.withColumn(s"d_$s", array(dists.toIndexedSeq: _*))
-        .withColumn(s"qerr_$s", array_min(col(s"d_$s")))
-        .withColumn(s"code_$s", (array_position(col(s"d_$s"), col(s"qerr_$s")) - 1).cast("long"))
-        .drop(s"d_$s")
-    }
+                         subDim: Int): DataFrame = {
+    val m = cb.length
+    val enc = graft.functions.native.pqEncode(col("emb"), cb, subDim)
+    val orig = corpus.columns.map(col).toIndexedSeq
+    val extra = cb.indices.flatMap(s => Seq(
+      element_at(col("_pq").getField("qerrs"), s + 1).as(s"qerr_$s"),
+      element_at(col("_pq").getField("codes"), s + 1).as(s"code_$s")))
+    require(m > 0, "empty codebook")
+    corpus.withColumn("_pq", enc).select(orig ++ extra: _*)
+  }
 
   /** The seed codebook as a first-class artifact — train once (offline,
     * batch), then encode anywhere, including a STREAM: [[pqEncodeWith]]
