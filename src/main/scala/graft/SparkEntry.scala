@@ -577,6 +577,7 @@ object SparkEntry {
     }),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
     "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
+    "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(D(s, dir))),
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
     // ---- composite training-pipeline flows ----
     "quality_filter" -> ((s, dir) => TextOps.qualityFilter(D(s, dir))),
@@ -1070,6 +1071,7 @@ object SparkEntry {
     "winnow_fingerprints" ->
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
     "tfidf_top" -> TextOps.tfIdfTopOracle,
+    "bm25_topk" -> TextOps.bm25TopKOracle(),
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
     "quality_percentile" -> TextOps.qualityPercentileFilterOracle(textStatsSql),
