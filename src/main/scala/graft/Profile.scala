@@ -1270,6 +1270,25 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-bm25 [factor]` — decade line for BM25 retrieval
+    // (round 14): queries stay FIXED (the first 8 doc ids — the
+    // decontamination shape audits a fixed suspect set against a
+    // growing corpus), the corpus amplifies. Expected linear: the query
+    // vocabulary broadcast-filters the token explode map-side, so tf /
+    // df / scored-pair volume grows with MATCHES, not corpus vocabulary;
+    // the dl join is skinny-long equi. The positional salts amplifyDocs
+    // appends also enter the query vocab (doc_id < 8 includes copy-0
+    // originals only, whose tokens the copies share), keeping the
+    // match rate honest rather than vanishing.
+    if (args.headOption.contains("scale-bm25")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val damp = amplifyDocs(docs, factor).persist()
+      t(s"amplify_docs_${factor}x")(damp.count())
+      t(s"bm25_topk_${factor}x")(TextOps.bm25TopK(damp).count())
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile recall-inc-sweep` — the incremental-ANN recall/cost knob
     // sheet: probe-1 recall is chance-level on the near-orthogonal
     // synthetic corpus (PLANS.md), so quantify BOTH levers a deployment
