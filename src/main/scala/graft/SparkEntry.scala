@@ -578,6 +578,33 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(D(s, dir))),
     "tfidf_top" -> ((s, dir) => TextOps.tfIdfTop(D(s, dir))),
     "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(D(s, dir))),
+    // hybrid sparse+dense retrieval: RRF fusion (c=60) of the BM25 and
+    // hashed-TF-cosine channel top-10 lists; the dense slot is the
+    // brute-force baseline — any ann_* top-k satisfies the same
+    // (q_id, doc_id, rank) fusion contract at scale
+    "hybrid_rrf" -> ((s, dir) =>
+      RetrievalOps.hybridRrf(D(s, dir), col("doc_id") < 8)),
+    // persisted-inverted-index lifecycle: base postings/doclens/df
+    // written to parquet and READ BACK, a doc-disjoint delta merged in
+    // (postings append + vocab-sized df sum), queries scored from the
+    // merged index without ever re-tokenizing the base corpus — the
+    // oracle is the full-corpus bm25_topk SQL, so the row proves
+    // incremental == rebuild bit-for-bit
+    "bm25_incremental" -> ((s, dir) => {
+      val docs = D(s, dir)
+      val fix = FixtureDirs.dir("graft_bm25idx", dir)
+      RetrievalOps.writeBm25Index(
+        RetrievalOps.bm25BuildIndex(docs.filter(col("doc_id") % 5 =!= 3)), fix)
+      val merged = RetrievalOps.bm25MergeIndex(
+        RetrievalOps.readBm25Index(s, fix),
+        RetrievalOps.bm25BuildIndex(docs.filter(col("doc_id") % 5 === 3)))
+      RetrievalOps.bm25RanksFromIndex(merged,
+        RetrievalOps.queryTerms(docs, col("doc_id") < 8))
+    }),
+    // planted-contamination recall@5 per channel (sparse/dense/hybrid)
+    // over the dup-injected corpus: does the audit retrieve the edited
+    // query's source document? evaluation-harness class, query-bounded
+    "retrieval_recall" -> ((s, dir) => RetrievalOps.retrievalRecall(D(s, dir))),
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
     // ---- composite training-pipeline flows ----
     "quality_filter" -> ((s, dir) => TextOps.qualityFilter(D(s, dir))),
@@ -1072,6 +1099,11 @@ object SparkEntry {
       s"SELECT doc_id, ${graft.functions.Winnow60.duckSql("text")} AS wfp FROM documents",
     "tfidf_top" -> TextOps.tfIdfTopOracle,
     "bm25_topk" -> TextOps.bm25TopKOracle(),
+    "hybrid_rrf" -> RetrievalOps.hybridRrfOracle(),
+    // incremental == rebuild: the oracle is literally the full-corpus
+    // bm25_topk SQL at the same (nQueries=8, k=5)
+    "bm25_incremental" -> TextOps.bm25TopKOracle(),
+    "retrieval_recall" -> RetrievalOps.retrievalRecallOracle(),
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
     "quality_percentile" -> TextOps.qualityPercentileFilterOracle(textStatsSql),

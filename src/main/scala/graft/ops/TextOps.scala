@@ -151,92 +151,16 @@ object TextOps {
     * 1-row/vocab-sized metadata. No global sort: top-k is a per-query
     * window over ≤ |matches| rows.
     */
-  def bm25TopK(documents: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toksCol = split(col("text"), " ", -1)
-    val qterms = documents.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("q_id"),
-        explode(array_distinct(toksCol)).as("word"))
-    val qvocab = qterms.select("word").distinct()
-    val toks = documents
-      .select(col("doc_id"), explode(toksCol).as("word"))
-      .join(broadcast(qvocab), "word")
-    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfT = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-    val dl = documents.select(col("doc_id"),
-      size(toksCol).cast("long").as("dl"))
-    val nAvg = dl.agg(count(lit(1)).as("n"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    // every step below is a single IEEE op composed identically in the
-    // DuckDB twin: idf = ((N − df) + 0.5) / (df + 0.5); length norm
-    // = 0.25 + (0.75 · (dl / avgdl)); contribution
-    // = idf · ((tf · 2.2) / (tf + (1.2 · norm)))  [k1 = 1.2, b = 0.75]
-    val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val norm = lit(0.25) + (lit(0.75) * (col("dl").cast("double") / col("avgdl")))
-    val contrib = idf *
-      ((col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + (lit(1.2) * norm)))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    tf.join(broadcast(dfT), "word")
-      .join(broadcast(qterms), "word")
-      .filter(col("doc_id") =!= col("q_id"))
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(nAvg))
-      .withColumn("c", contrib)
-      .groupBy("q_id", "doc_id")
-      .agg(count(lit(1)).as("n_terms"),
-        expr("""aggregate(transform(array_sort(collect_list(struct(word, c))),
-               |  x -> x.c), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
-          .as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "doc_id", "n_terms", "score", "rank")
-  }
+  def bm25TopK(documents: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame =
+    RetrievalOps.bm25Ranks(documents, col("doc_id") < nQueries, k)
 
   /** DuckDB twin of [[bm25TopK]] — same map-side query-vocab filter
     * (expressed as a semi join), same single-IEEE-op composition, same
     * term-ordered left fold, same (score DESC, doc_id ASC) tiebreak. */
   def bm25TopKOracle(nQueries: Int = 8, k: Int = 5): String =
-    s"""WITH qterms AS (
-       |  SELECT DISTINCT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
-       |  FROM documents WHERE doc_id < $nQueries),
-       |toks AS (
-       |  SELECT doc_id, word FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE word IN (SELECT word FROM qterms)),
-       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-       |       FROM documents),
-       |navg AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |                CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
-       |         FROM dl),
-       |contribs AS (
-       |  SELECT q.q_id, tf.doc_id, tf.word,
-       |    ((CAST(navg.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
-       |    * ((CAST(tf.tf AS DOUBLE) * 2.2)
-       |       / (CAST(tf.tf AS DOUBLE)
-       |          + (1.2 * (0.25 + (0.75 * (CAST(dl.dl AS DOUBLE) / navg.avgdl))))))
-       |    AS c
-       |  FROM tf
-       |  JOIN df ON tf.word = df.word
-       |  JOIN qterms q ON tf.word = q.word
-       |  JOIN dl ON tf.doc_id = dl.doc_id
-       |  CROSS JOIN navg
-       |  WHERE tf.doc_id <> q.q_id),
-       |scored AS (
-       |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY word)),
-       |                (acc, x) -> acc + x) AS score
-       |  FROM contribs GROUP BY 1, 2)
-       |SELECT q_id, doc_id, n_terms, score, rank FROM (
-       |  SELECT q_id, doc_id, n_terms, score,
-       |    CAST(row_number() OVER (PARTITION BY q_id
-       |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-       |  FROM scored)
-       |WHERE rank <= $k""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |${RetrievalOps.sparseCtes(s"doc_id < $nQueries", k)}
+       |SELECT q_id, doc_id, n_terms, score, rank FROM stop""".stripMargin
 
   /** B10 — tf-idf top terms per document. The idf factor is LINEAR
     * (N/df, not log(N/df)): transcendental functions are not guaranteed
