@@ -1289,6 +1289,48 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-retrieval [factor]` — decade lines for the hybrid
+    // retrieval family (round 14). Three claims priced separately:
+    //  - hybrid_rrf: sparse channel is the scale-bm25 shape; the dense
+    //    brute-force channel adds one (doc_id, dim) count shuffle and a
+    //    partial-aggregated (q_id, doc_id) dot shuffle bounded by
+    //    queries × docs — linear in the corpus at fixed query count.
+    //  - bm25_index_write: full index build + parquet write — the
+    //    once-per-slice cost, linear by construction.
+    //  - bm25_inc_fold_score: fold a FIXED-size delta (the 1× slice —
+    //    a daily increment does not grow with the archive) into the
+    //    persisted index and score the fixed query set. The fold
+    //    itself is delta+vocab-sized; scoring reads postings (skinny
+    //    columnar) instead of re-exploding corpus text, so the line
+    //    should grow SLOWER than bm25_topk's inline recompute.
+    if (args.headOption.contains("scale-retrieval")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val damp = amplifyDocs(docs, factor).persist()
+      t(s"amplify_docs_${factor}x")(damp.count())
+      t(s"hybrid_rrf_${factor}x") {
+        RetrievalOps.hybridRrf(damp, col("doc_id") < 8).count()
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft_r14_bm25idx")
+      try {
+        val base = damp.filter(col("doc_id") % 5 =!= 3)
+        val fixedDelta = docs.filter(col("doc_id") % 5 === 3)
+        t(s"bm25_index_write_${factor}x") {
+          RetrievalOps.writeBm25Index(
+            RetrievalOps.bm25BuildIndex(base), root.toString)
+          spark.read.parquet(root.toString + "/postings").count()
+        }
+        val idx = RetrievalOps.readBm25Index(spark, root.toString)
+        t(s"bm25_inc_fold_score_${factor}x") {
+          RetrievalOps.bm25RanksFromIndex(
+            RetrievalOps.bm25MergeIndex(idx,
+              RetrievalOps.bm25BuildIndex(fixedDelta)),
+            RetrievalOps.queryTerms(docs, col("doc_id") < 8)).count()
+        }
+      } finally FixtureDirs.rmTree(root)
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile recall-inc-sweep` — the incremental-ANN recall/cost knob
     // sheet: probe-1 recall is chance-level on the near-orthogonal
     // synthetic corpus (PLANS.md), so quantify BOTH levers a deployment

@@ -153,11 +153,16 @@ object RetrievalOps {
   def bm25MergeIndex(a: Bm25Index, b: Bm25Index): Bm25Index = Bm25Index(
     a.postings.unionAll(b.postings),
     a.doclens.unionAll(b.doclens),
-    a.df.withColumnRenamed("df", "df_a")
-      .join(b.df.withColumnRenamed("df", "df_b"), Seq("word"), "full")
+    mergeDf(a.df, b.df))
+
+  /** The word-keyed df sum on its own (the streaming index loop merges
+    * df generations without unioning postings). */
+  def mergeDf(a: DataFrame, b: DataFrame): DataFrame =
+    a.withColumnRenamed("df", "df_a")
+      .join(b.withColumnRenamed("df", "df_b"), Seq("word"), "full")
       .select(col("word"),
         (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
-          .as("df")))
+          .as("df"))
 
   def writeBm25Index(idx: Bm25Index, dir: String): Unit = {
     idx.postings.write.mode("overwrite").parquet(dir + "/postings")
@@ -191,32 +196,48 @@ object RetrievalOps {
   // Dense channel (hashed-TF cosine) + RRF fusion
   // ---------------------------------------------------------------
 
+  /** Densified per-document hashed-TF vector (ARRAY<BIGINT>[dims]) —
+    * ONE corpus aggregation; the long-typed twin of
+    * [[SemanticOps.hashedEmbeddings]] (kept integral so dots/norms
+    * stay exact). In a persisted deployment this is the document-side
+    * vector index. */
+  def denseVectors(corpus: DataFrame, dims: Int = 64): DataFrame =
+    SemanticOps.hashedTf(corpus, dims)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("tf"))))
+        .as("m"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${dims - 1}), d -> coalesce(element_at(m, CAST(d AS BIGINT)), 0L))")
+        .as("v"))
+
   /** Dense ranked channel: cosine top-k over the model-free
     * [[SemanticOps.hashedTf]] document vectors (feature hashing to
-    * `dims` buckets). The dot product is a sparse-entry equi-join on
-    * the hashed dimension with the QUERY side broadcast (≤
-    * |queries|·dims rows), partially aggregated map-side; squared
-    * norms are one skinny per-doc aggregate (an index-able per-doc
-    * stat in a persisted deployment). tf is integral, so dot and
-    * norm² are EXACT integer sums; cosine is one division over two
-    * sqrt's — bitwise reproducible. Output: (q_id, doc_id, cos, rank).
+    * `dims` buckets). Plan shape: ONE corpus aggregation to per-doc
+    * integer vectors ([[denseVectors]]), query vectors built from the
+    * query slice alone and BROADCAST, dots and norms computed MAP-SIDE
+    * as exact integer folds (tf is integral, so Σ a·b commutes — no
+    * float-order hazard), cosine one division over two sqrt's, top-k a
+    * per-query window (WindowGroupLimit brackets the q_id exchange).
+    * Pairs sharing no hashed dimension have dot = 0 and are dropped —
+    * exactly the candidate set a sparse-entry equi-join on dim would
+    * produce, which is what the DuckDB twin expresses. Output:
+    * (q_id, doc_id, cos, rank).
     */
   def denseRanks(corpus: DataFrame, isQuery: Column, k: Int = 5,
                  dims: Int = 64): DataFrame = {
-    val tfs = SemanticOps.hashedTf(corpus, dims)
-    val qtf = tfs.filter(isQuery)
-      .select(col("doc_id").as("q_id"), col("dim"), col("tf").as("qtf"))
-    val n2 = tfs.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
-    val dot = tfs.join(broadcast(qtf), "dim")
-      .filter(col("doc_id") =!= col("q_id"))
-      .groupBy("q_id", "doc_id")
-      .agg(sum(col("tf") * col("qtf")).as("dot"))
+    def n2(v: String) = expr(s"aggregate($v, 0L, (acc, x) -> acc + x * x)")
+    val qvecs = denseVectors(corpus.filter(isQuery), dims)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"),
+        n2("v").as("n2q"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("doc_id").asc)
-    dot
-      .join(broadcast(n2.filter(isQuery)
-        .select(col("doc_id").as("q_id"), col("n2").as("n2q"))), "q_id")
-      .join(n2.select(col("doc_id"), col("n2").as("n2d")), "doc_id")
+    denseVectors(corpus, dims)
+      .withColumn("n2d", n2("v"))
+      .crossJoin(broadcast(qvecs))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .filter(col("dot") > 0L)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("n2q").cast("double")) * sqrt(col("n2d").cast("double"))))
       .withColumn("rank", row_number().over(w).cast("long"))
