@@ -1310,6 +1310,9 @@ object Profile {
       t(s"hybrid_rrf_${factor}x") {
         RetrievalOps.hybridRrf(damp, col("doc_id") < 8).count()
       }
+      t(s"bm25_prf_${factor}x") {
+        RetrievalOps.bm25Prf(damp, col("doc_id") < 8).count()
+      }
       val root = java.nio.file.Files.createTempDirectory("graft_r14_bm25idx")
       try {
         val base = damp.filter(col("doc_id") % 5 =!= 3)

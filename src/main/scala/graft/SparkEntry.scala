@@ -601,6 +601,15 @@ object SparkEntry {
       RetrievalOps.bm25RanksFromIndex(merged,
         RetrievalOps.queryTerms(docs, col("doc_id") < 8))
     }),
+    // contrastive triplet mining: verified near-dup pairs become
+    // (anchor, positive); negatives are bucket-routed deterministic
+    // picks excluding every known near-dup of the anchor
+    "triplet_mining" -> ((s, dir) => SemanticOps.tripletMining(D(s, dir))),
+    // pseudo-relevance feedback (RM3-lite): top-3 feedback docs per
+    // query contribute their 5 most frequent non-query terms, then a
+    // second BM25 pass scores the expanded term set
+    "bm25_prf" -> ((s, dir) =>
+      RetrievalOps.bm25Prf(D(s, dir), col("doc_id") < 8)),
     // planted-contamination recall@5 per channel (sparse/dense/hybrid)
     // over the dup-injected corpus: does the audit retrieve the edited
     // query's source document? evaluation-harness class, query-bounded
@@ -1103,6 +1112,8 @@ object SparkEntry {
     // incremental == rebuild: the oracle is literally the full-corpus
     // bm25_topk SQL at the same (nQueries=8, k=5)
     "bm25_incremental" -> TextOps.bm25TopKOracle(),
+    "triplet_mining" -> SemanticOps.tripletMiningOracle(),
+    "bm25_prf" -> RetrievalOps.bm25PrfOracle(),
     "retrieval_recall" -> RetrievalOps.retrievalRecallOracle(),
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),

@@ -830,15 +830,12 @@ object DedupOps {
     * onto this prefix, so the labeling can never silently diverge.
     */
   private lazy val clusterCtes: String = {
-    val pairsCtes = minhashPairsOracle
+    // compose over the shared pairs CTE chain (round 14 — no more string
+    // surgery on the final SELECT; `pairs` carries (doc_a, doc_b,
+    // jaccard) and edges read the id columns)
+    val pairsCtes = minhashPairsCtesOver(corpusShingledCte)
       .replaceFirst("(?s)^WITH ", "")
-      .replaceFirst("(?s)SELECT jac\\.doc_a.*$", "")
-      .trim.stripSuffix(",")
     s"""WITH RECURSIVE $pairsCtes,
-       |pairs AS (
-       |  SELECT jac.doc_a, jac.doc_b
-       |  FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
-       |  WHERE jaccard >= 0.5),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL
@@ -1818,10 +1815,10 @@ object DedupOps {
       |  JOIN sizes a ON common.doc_a = a.doc_id
       |  JOIN sizes b ON common.doc_b = b.doc_id)""".stripMargin
 
-  /** [[minhashPairsOracle]] parameterized over its corpus+shingled CTE
-    * prefix ([[corpusShingledCteOver]]) — the sampled-recall oracle
-    * composes the same SQL over the sampled corpus. */
-  def minhashPairsOracleOver(prefix: String): String =
+  /** The banded-LSH pair derivation as a reusable CTE chain ending in a
+    * `pairs` CTE — [[minhashPairsOracleOver]] selects from it directly;
+    * the triplet-mining oracle composes negatives on top of it. */
+  def minhashPairsCtesOver(prefix: String): String =
     s"""$prefix,
        |sigs AS (
        |  SELECT doc_id,
@@ -1837,10 +1834,18 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |$jaccardDuck
-       |SELECT jac.doc_a, jac.doc_b, jaccard
-       |FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
-       |WHERE jaccard >= 0.5""".stripMargin
+       |$jaccardDuck,
+       |pairs AS (
+       |  SELECT jac.doc_a, jac.doc_b, jaccard
+       |  FROM jac JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** [[minhashPairsOracle]] parameterized over its corpus+shingled CTE
+    * prefix ([[corpusShingledCteOver]]) — the sampled-recall oracle
+    * composes the same SQL over the sampled corpus. */
+  def minhashPairsOracleOver(prefix: String): String =
+    s"""${minhashPairsCtesOver(prefix)}
+       |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin
 
   val minhashPairsOracle: String = minhashPairsOracleOver(corpusShingledCte)
 

@@ -67,8 +67,13 @@ object RetrievalOps {
     * on [[TextOps.bm25TopK]]. Output: (q_id, doc_id, n_terms, score,
     * rank), rank ≤ k per query.
     */
-  def bm25Ranks(corpus: DataFrame, isQuery: Column, k: Int = 5): DataFrame = {
-    val qterms = queryTerms(corpus, isQuery)
+  def bm25Ranks(corpus: DataFrame, isQuery: Column, k: Int = 5): DataFrame =
+    bm25RanksForTerms(corpus, queryTerms(corpus, isQuery), k)
+
+  /** [[bm25Ranks]] against an EXPLICIT (q_id, word) term table — the
+    * entry point query-expansion passes reuse. */
+  def bm25RanksForTerms(corpus: DataFrame, qterms: DataFrame,
+                        k: Int = 5): DataFrame = {
     val qvocab = qterms.select("word").distinct()
     val toks = corpus
       .select(col("doc_id"), explode(toksCol).as("word"))
@@ -77,6 +82,94 @@ object RetrievalOps {
     val dfT = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val dl = corpus.select(col("doc_id"), size(toksCol).cast("long").as("dl"))
     scoreAndRank(tf, dfT, dl, qterms, k)
+  }
+
+  /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite query expansion):
+    * first pass retrieves the top-`m` feedback documents per query;
+    * the `e` best expansion terms across them that are NOT already
+    * query terms join the query; the second pass scores the EXPANDED
+    * term set with the same BM25 arithmetic. The standard recipe when
+    * the query document under-specifies its topic — the lexical
+    * analogue of the dense channel's paraphrase tolerance.
+    *
+    * Expansion terms are ranked by feedback-frequency × LINEAR idf
+    * (one integer count times the house `((N−df)+0.5)/(df+0.5)` — a
+    * single IEEE multiply over a single division, bitwise
+    * reproducible), (score DESC, word ASC) tiebreak. The idf factor is
+    * LOAD-BEARING, not just quality: raw frequency ranking picks the
+    * corpus-common (stopword-like) terms of the feedback docs, whose
+    * expanded match set approaches corpus × queries — the first ladder
+    * cut measured 542 s at 100× (5× the plain pass) before the idf
+    * weighting pulled expansion to rare terms and the second pass back
+    * to first-pass cost.
+    *
+    * Scale: first pass is [[bm25Ranks]]; feedback docs are queries×m
+    * ids BROADCAST onto the corpus before the explode (only the ≤ 8·m
+    * feedback documents are ever re-tokenized); candidate df is one
+    * corpus pass filtered map-side by the feedback-vocab broadcast;
+    * the second pass is one more [[bm25RanksForTerms]].
+    */
+  def bm25Prf(corpus: DataFrame, isQuery: Column, m: Int = 3, e: Int = 5,
+              k: Int = 5): DataFrame = {
+    val qt = queryTerms(corpus, isQuery)
+    // The feedback ids are referenced by several downstream branches
+    // (fb tokenization twice, expansion ranking, second-pass vocab);
+    // WITHOUT pinning them, each reference re-executes the ENTIRE
+    // first pass — the second ladder cut measured 657 s at 100× (~4
+    // first passes) vs ~2 passes' worth after this persist. queries×m
+    // rows — metadata-sized. Eager-materialize + unpersist-on-return,
+    // the [[DedupOps.dedupIncremental]] lifecycle contract: the CALLER
+    // owns the returned (tiny, persisted) frame.
+    val fbIds = bm25RanksForTerms(corpus, qt, m)
+      .select(col("q_id"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fbIds.count()
+      val out = bm25PrfFromFeedback(corpus, qt, fbIds, e, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize while the feedback ids are still cached
+      out
+    } finally fbIds.unpersist()
+  }
+
+  /** The expansion + second pass given pinned feedback ids (split out
+    * so [[bm25Prf]]'s persist lifecycle wraps exactly the references
+    * that need it). */
+  private def bm25PrfFromFeedback(corpus: DataFrame, qt: DataFrame,
+                                  fbIds: DataFrame, e: Int,
+                                  k: Int): DataFrame = {
+    val fbToks = corpus
+      .join(broadcast(fbIds.select("doc_id").distinct()), "doc_id")
+      .select(col("doc_id"), explode(toksCol).as("word"))
+      .join(broadcast(fbIds), "doc_id")
+    val fbCand = fbToks.groupBy("q_id", "word").agg(count(lit(1)).as("w"))
+      .join(qt, Seq("q_id", "word"), "left_anti")
+    // ONE shared second explode over the UNION vocabulary (query ∪
+    // candidate terms): it serves both the candidate-idf ranking and
+    // the final scoring pass — a dedicated candidate-df pass was a
+    // third full corpus explode for the same df values (first ladder
+    // cut). tf rows of unchosen candidates are dropped by
+    // scoreAndRank's qterms join, so scores are unchanged.
+    val vocab2 = qt.select("word").unionAll(fbCand.select("word")).distinct()
+    val toks2 = corpus
+      .select(col("doc_id"), explode(toksCol).as("word"))
+      .join(broadcast(vocab2), "word")
+    val tf2 = toks2.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df2 = toks2.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val dl = corpus.select(col("doc_id"), size(toksCol).cast("long").as("dl"))
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val expW = Window.partitionBy("q_id")
+      .orderBy(col("esc").desc, col("word").asc)
+    val exp = fbCand
+      .join(broadcast(df2.withColumnRenamed("df", "cdf")), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("esc", col("w").cast("double") *
+        (((col("n_docs") - col("cdf")).cast("double") + lit(0.5)) /
+          (col("cdf").cast("double") + lit(0.5))))
+      .withColumn("r", row_number().over(expW))
+      .filter(col("r") <= e)
+      .select("q_id", "word")
+    scoreAndRank(tf2, df2, dl, qt.unionAll(exp), k)
   }
 
   /** The scoring tail shared by the inline ([[bm25Ranks]]) and
@@ -296,19 +389,31 @@ object RetrievalOps {
                       k: Int = 5): DataFrame = {
     val corpus = DedupOps.augmented(documents)
     val isQuery = col("doc_id") >= 100000L && col("doc_id") < 100080L
-    val s = bm25Ranks(corpus, isQuery, kChannel)
-    val d = denseRanks(corpus, isQuery, kChannel)
-    val h = rrfFuse(s, d, k)
-    val nQ = corpus.filter(isQuery).agg(count(lit(1)).as("n_queries"))
-    def hits(ranked: DataFrame, name: String): DataFrame = ranked
-      .filter(col("rank") <= k && col("doc_id") === col("q_id") - 100000L)
-      .agg(count(lit(1)).as("n_hits"))
-      .select(lit(name).as("channel"), col("n_hits"))
-    hits(s, "sparse").unionAll(hits(d, "dense")).unionAll(hits(h, "hybrid"))
-      .crossJoin(broadcast(nQ))
-      .select(col("channel"), col("n_queries"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_queries").cast("double"))
-          .as("recall"))
+    // Each channel feeds BOTH the fusion and its own hit count — pin
+    // the queries×kChannel rank lists so the channel pipelines run
+    // once, not twice (the [[bm25Prf]] / [[DedupOps.dedupIncremental]]
+    // lifecycle: eager-materialize, caller owns the tiny output).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val s = bm25Ranks(corpus, isQuery, kChannel).persist(lvl)
+    val d = denseRanks(corpus, isQuery, kChannel).persist(lvl)
+    try {
+      s.count(); d.count()
+      val h = rrfFuse(s, d, k)
+      val nQ = corpus.filter(isQuery).agg(count(lit(1)).as("n_queries"))
+      def hits(ranked: DataFrame, name: String): DataFrame = ranked
+        .filter(col("rank") <= k && col("doc_id") === col("q_id") - 100000L)
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(name).as("channel"), col("n_hits"))
+      val out = hits(s, "sparse").unionAll(hits(d, "dense"))
+        .unionAll(hits(h, "hybrid"))
+        .crossJoin(broadcast(nQ))
+        .select(col("channel"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_queries").cast("double"))
+            .as("recall"))
+        .persist(lvl)
+      out.count() // materialize while the channel lists are still cached
+      out
+    } finally { s.unpersist(); d.unpersist() }
   }
 
   // ---------------------------------------------------------------
@@ -321,45 +426,91 @@ object RetrievalOps {
     * composition, term-ordered left fold and (score DESC, doc_id ASC)
     * tiebreak as [[bm25Ranks]]. */
   def sparseCtes(queryPred: String, kChannel: Int): String =
-    s"""qterms AS (
-       |  SELECT DISTINCT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
-       |  FROM corpus WHERE $queryPred),
-       |toks AS (
+    sparseChain("", qtermsBody(queryPred), kChannel)
+
+  private def qtermsBody(queryPred: String): String =
+    s"""SELECT DISTINCT doc_id AS q_id, unnest(string_split(text, ' ')) AS word
+       |  FROM corpus WHERE $queryPred""".stripMargin
+
+  /** The sparse chain with a caller-supplied query-term CTE body and a
+    * name suffix, so a second scoring pass (PRF) can coexist with the
+    * first in one statement. */
+  def sparseChain(sfx: String, qtermsSql: String, kChannel: Int): String =
+    s"""qterms$sfx AS (
+       |  $qtermsSql),
+       |toks$sfx AS (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
-       |  WHERE word IN (SELECT word FROM qterms)),
-       |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
-       |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  WHERE word IN (SELECT word FROM qterms$sfx)),
+       |tf$sfx AS (SELECT doc_id, word, count(*) AS tf FROM toks$sfx GROUP BY 1, 2),
+       |df$sfx AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks$sfx GROUP BY 1),
+       |dl$sfx AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
        |       FROM corpus),
-       |navg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |navg$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |                CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl
-       |         FROM dl),
-       |contribs AS (
+       |         FROM dl$sfx),
+       |contribs$sfx AS (
        |  SELECT q.q_id, tf.doc_id, tf.word,
        |    ((CAST(navg.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
        |    * ((CAST(tf.tf AS DOUBLE) * 2.2)
        |       / (CAST(tf.tf AS DOUBLE)
        |          + (1.2 * (0.25 + (0.75 * (CAST(dl.dl AS DOUBLE) / navg.avgdl))))))
        |    AS c
-       |  FROM tf
-       |  JOIN df ON tf.word = df.word
-       |  JOIN qterms q ON tf.word = q.word
-       |  JOIN dl ON tf.doc_id = dl.doc_id
-       |  CROSS JOIN navg
+       |  FROM tf$sfx tf
+       |  JOIN df$sfx df ON tf.word = df.word
+       |  JOIN qterms$sfx q ON tf.word = q.word
+       |  JOIN dl$sfx dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN navg$sfx navg
        |  WHERE tf.doc_id <> q.q_id),
-       |sscored AS (
+       |sscored$sfx AS (
        |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY word)),
        |                (acc, x) -> acc + x) AS score
-       |  FROM contribs GROUP BY 1, 2),
-       |stop AS (
+       |  FROM contribs$sfx GROUP BY 1, 2),
+       |stop$sfx AS (
        |  SELECT q_id, doc_id, n_terms, score, rank FROM (
        |    SELECT q_id, doc_id, n_terms, score,
        |      CAST(row_number() OVER (PARTITION BY q_id
        |        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
-       |    FROM sscored)
+       |    FROM sscored$sfx)
        |  WHERE rank <= $kChannel)""".stripMargin
+
+  /** DuckDB twin of [[bm25Prf]]: first chain at k = m, feedback-doc
+    * re-tokenize, occurrence-ranked non-query expansion terms, second
+    * chain over the expanded term table. */
+  def bm25PrfOracle(nQueries: Int = 8, m: Int = 3, e: Int = 5,
+                    k: Int = 5): String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |${sparseChain("", qtermsBody(s"doc_id < $nQueries"), m)},
+       |fbdocs AS (SELECT q_id, doc_id FROM stop),
+       |fbtoks AS (
+       |  SELECT f.q_id, t.word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus) t
+       |  JOIN fbdocs f ON t.doc_id = f.doc_id),
+       |fbcand AS (SELECT q_id, word, CAST(count(*) AS BIGINT) AS w
+       |           FROM fbtoks GROUP BY 1, 2),
+       |fbnew AS (
+       |  SELECT c.q_id, c.word, c.w FROM fbcand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM qterms q
+       |                    WHERE q.q_id = c.q_id AND q.word = c.word)),
+       |cdf AS (
+       |  SELECT word, count(DISTINCT doc_id) AS cdf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus)
+       |  WHERE word IN (SELECT word FROM fbnew) GROUP BY 1),
+       |ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM corpus),
+       |expterms AS (
+       |  SELECT q_id, word FROM (
+       |    SELECT f.q_id, f.word, CAST(row_number() OVER (PARTITION BY f.q_id
+       |      ORDER BY CAST(f.w AS DOUBLE)
+       |        * ((CAST(ndocs.n_docs - cdf.cdf AS DOUBLE) + 0.5)
+       |           / (CAST(cdf.cdf AS DOUBLE) + 0.5)) DESC,
+       |        f.word ASC) AS BIGINT) AS r
+       |    FROM fbnew f JOIN cdf ON f.word = cdf.word CROSS JOIN ndocs)
+       |  WHERE r <= $e),
+       |${sparseChain("2",
+          "SELECT q_id, word FROM qterms UNION ALL SELECT q_id, word FROM expterms",
+          k)}
+       |SELECT q_id, doc_id, n_terms, score, rank FROM stop2""".stripMargin
 
   /** Dense-channel CTE chain (expects `corpus`); terminal CTE `dtop` =
     * (q_id, doc_id, cos, rank ≤ kChannel). Mirrors

@@ -870,4 +870,86 @@ object SemanticOps {
        |  score_sum / n_toks AS score_avg
        |FROM docscores
        |ORDER BY score_avg DESC, doc_id LIMIT $k""".stripMargin
+
+  /** CONTRASTIVE TRIPLET MINING — training data for an embedding model
+    * mined from the corpus itself (the SimCSE/E5-style weak-supervision
+    * recipe): every verified near-duplicate pair ([[DedupOps
+    * .minhashPairs]] — banded LSH candidates, exact-Jaccard verified)
+    * becomes an (anchor, positive); the negative is a deterministic
+    * BUCKET-ROUTED pick from the rest of the corpus — anchor routes to
+    * bucket hash('neg:'||anchor) % `buckets`, candidates are the docs
+    * whose own content-addressed bucket matches, and the winner is the
+    * smallest (pick-hash, doc_id) among them after excluding the
+    * anchor, the positive, and every verified near-dup of the anchor
+    * (so a "negative" is never secretly a positive).
+    *
+    * Determinism: every choice is a hash of ids — partitioning-,
+    * retry- and speculation-invariant (the [[clusterCapSample]]
+    * discipline; never rand()).
+    *
+    * Scale: pairs are the banded-LSH output (never all-pairs); the
+    * negative join is ONE equi-join on bucket, so its volume is
+    * anchors × corpus/`buckets` — `buckets` is the knob that keeps the
+    * candidate pool ~constant as the corpus grows (size it to
+    * corpus/1k-ish); the argmin is a WindowGroupLimit-bracketed rank-1
+    * window per (anchor, positive). Output: (anchor_id, positive_id,
+    * negative_id, jaccard).
+    */
+  def tripletMining(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    import graft.functions.Hashing.hash64
+    val corpus = DedupOps.augmented(documents)
+    val pairs = DedupOps.minhashPairs(corpus)
+    val anch = pairs.select(
+      col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"),
+      col("jaccard"),
+      (hash64(concat(lit("neg:"), col("doc_a").cast("string"))) % buckets)
+        .as("tb"))
+    val negpool = corpus.select(col("doc_id").as("cand"),
+      (hash64(col("doc_id").cast("string")) % buckets).as("bucket"))
+    val nearDups = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionAll(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val w = Window.partitionBy("anchor_id", "positive_id")
+      .orderBy(col("pick"), col("cand"))
+    anch.join(negpool, col("tb") === col("bucket"))
+      .filter(col("cand") =!= col("anchor_id") &&
+        col("cand") =!= col("positive_id"))
+      .join(nearDups,
+        col("anchor_id") === col("x") && col("cand") === col("y"),
+        "left_anti")
+      .withColumn("pick", hash64(concat(col("anchor_id").cast("string"),
+        lit(":"), col("cand").cast("string"))))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("anchor_id"), col("positive_id"),
+        col("cand").as("negative_id"), col("jaccard"))
+  }
+
+  /** DuckDB twin of [[tripletMining]] — composes negatives over the
+    * shared banded-pair CTE chain ([[DedupOps.minhashPairsCtesOver]]). */
+  def tripletMiningOracle(buckets: Int = 64): String = {
+    val h = graft.functions.Hashing.hash64Duck _
+    s"""${DedupOps.minhashPairsCtesOver(DedupOps.corpusShingledCte)},
+       |negpool AS (
+       |  SELECT doc_id AS cand,
+       |    ${h("CAST(doc_id AS VARCHAR)")} % $buckets AS bucket
+       |  FROM corpus),
+       |anch AS (
+       |  SELECT doc_a AS anchor_id, doc_b AS positive_id, jaccard,
+       |    ${h("'neg:' || CAST(doc_a AS VARCHAR)")} % $buckets AS tb
+       |  FROM pairs),
+       |negcand AS (
+       |  SELECT a.anchor_id, a.positive_id, a.jaccard, p.cand,
+       |    ${h("CAST(a.anchor_id AS VARCHAR) || ':' || CAST(p.cand AS VARCHAR)")} AS pick
+       |  FROM anch a JOIN negpool p ON a.tb = p.bucket
+       |  WHERE p.cand <> a.anchor_id AND p.cand <> a.positive_id
+       |    AND NOT EXISTS (SELECT 1 FROM pairs x
+       |                    WHERE (x.doc_a = a.anchor_id AND x.doc_b = p.cand)
+       |                       OR (x.doc_a = p.cand AND x.doc_b = a.anchor_id)))
+       |SELECT anchor_id, positive_id, negative_id, jaccard FROM (
+       |  SELECT anchor_id, positive_id, jaccard, cand AS negative_id,
+       |    row_number() OVER (PARTITION BY anchor_id, positive_id
+       |      ORDER BY pick, cand) AS r
+       |  FROM negcand)
+       |WHERE r = 1""".stripMargin
+  }
 }

@@ -109,6 +109,31 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(rows("hybrid")._2 >= math.max(rows("sparse")._2, rows("dense")._2))
   }
 
+  test("bm25Prf: expansion terms reach documents sharing NO original " +
+    "query term; the plain pass cannot") {
+    val c = Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "gamma delta epsilon zeta"),
+      (3L, "epsilon zeta eta theta"),
+      (4L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val isQ = col("doc_id") === 0L
+    val plain = RetrievalOps.bm25Ranks(c, isQ, k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val prf = RetrievalOps.bm25Prf(c, isQ, m = 1, e = 2, k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L))               // only doc 1 shares alpha/beta
+    assert(prf.contains(2L))               // reached via gamma/delta
+    assert(prf.contains(1L))               // feedback doc still retrieved
+  }
+
+  test("bm25Prf determinism under repartition") {
+    val a = sortedRows(RetrievalOps.bm25Prf(corpus, col("doc_id") < 2))
+    val b = sortedRows(RetrievalOps.bm25Prf(corpus.repartition(7),
+      col("doc_id") < 2))
+    assert(a == b)
+  }
+
   test("determinism: hybrid ranks are partitioning-invariant") {
     val a = sortedRows(RetrievalOps.hybridRrf(corpus, col("doc_id") < 2,
       kChannel = 5, k = 5))

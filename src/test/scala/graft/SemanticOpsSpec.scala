@@ -189,4 +189,36 @@ class SemanticOpsSpec extends SparkSpec {
     // bucketed path catches the same contamination set.
     assert(lsh == exact)
   }
+
+  private def tripletCorpus = Seq(
+    (0L, "apple banana cherry date"),
+    (1L, "banana banana cherry elder fig"),
+    (2L, "apple apple grape haw iris"),
+    (3L, "cherry date elder fig grape"),
+    (4L, "iris jack kiwi lemon apple"),
+    (5L, "date date date elder haw jack"),
+    (6L, "kiwi lemon mango nut olive"),
+    (7L, "apple banana date fig haw kiwi"),
+    (8L, "apple banana date fig haw kiwi"),
+    (9L, "mango nut olive pear quince")).toDF("doc_id", "text")
+
+  test("tripletMining: anchors/positives are the verified near-dup pairs; " +
+    "negatives are distinct, outside the pair set, and deterministic") {
+    import org.apache.spark.sql.functions.col
+    val trips = SemanticOps.tripletMining(tripletCorpus, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(trips.nonEmpty)
+    val pairKeys = graft.ops.DedupOps
+      .minhashPairs(graft.ops.DedupOps.augmented(tripletCorpus))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trips.map(t => (t._1, t._2)).toSet.subsetOf(pairKeys))
+    trips.foreach { case (a, p, n) =>
+      assert(a != n && p != n)
+      assert(!pairKeys.contains((math.min(a, n), math.max(a, n))))
+    }
+    val again = SemanticOps.tripletMining(tripletCorpus.repartition(7),
+      buckets = 2).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(trips.sorted.toSeq == again.sorted.toSeq)
+  }
 }
