@@ -601,6 +601,11 @@ object SparkEntry {
       RetrievalOps.bm25RanksFromIndex(merged,
         RetrievalOps.queryTerms(docs, col("doc_id") < 8))
     }),
+    // the SCALE-PATH fusion proof: same RRF contract, dense channel
+    // bucket-routed by ±1-hyperplane LSH over the integer doc vectors
+    // (probe-1) instead of the brute-force corpus pass
+    "hybrid_rrf_lsh" -> ((s, dir) =>
+      RetrievalOps.hybridRrfLsh(D(s, dir), col("doc_id") < 8)),
     // contrastive triplet mining: verified near-dup pairs become
     // (anchor, positive); negatives are bucket-routed deterministic
     // picks excluding every known near-dup of the anchor
@@ -1112,6 +1117,7 @@ object SparkEntry {
     // incremental == rebuild: the oracle is literally the full-corpus
     // bm25_topk SQL at the same (nQueries=8, k=5)
     "bm25_incremental" -> TextOps.bm25TopKOracle(),
+    "hybrid_rrf_lsh" -> RetrievalOps.hybridRrfLshOracle(),
     "triplet_mining" -> SemanticOps.tripletMiningOracle(),
     "bm25_prf" -> RetrievalOps.bm25PrfOracle(),
     "retrieval_recall" -> RetrievalOps.retrievalRecallOracle(),

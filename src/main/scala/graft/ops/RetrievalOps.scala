@@ -338,6 +338,65 @@ object RetrievalOps {
       .select("q_id", "doc_id", "cos", "rank")
   }
 
+  /** ±1 hyperplane coefficients for the bucket-routed dense channel:
+    * parity of the house 60-bit hash (the JL-projection idiom,
+    * [[SimilarityOps]]). INTEGER coefficients over the integer TF
+    * vectors keep every plane dot an exact integer sum — bucket
+    * assignment has no float hazard at all. */
+  private[ops] def denseLshCoefs(planes: Int,
+                                 dims: Int): Seq[Seq[Long]] =
+    (0 until planes).map(p => (0 until dims).map { d =>
+      if ((Hashing.hash64Jvm(s"dlsh:$p:$d") & 1L) == 0L) 1L else -1L
+    })
+
+  /** The SCALE PATH for the dense channel: candidates are restricted
+    * to documents sharing the query's hyperplane sign bucket (probe-1,
+    * 2^`planes` buckets) before the exact integer cosine verify — the
+    * [[SimilarityOps.lshTopK]] recipe applied to the hashed-TF doc
+    * vectors, so the corpus-wide per-query candidate set of
+    * [[denseRanks]] shrinks to bucket slices. Registered fused as
+    * `hybrid_rrf_lsh`, the proof that [[rrfFuse]]'s dense slot takes a
+    * bucketed ANN list, not just the brute-force baseline. Recall
+    * knob: more planes → smaller buckets (precision) — fewer planes,
+    * multi-probe, or more tables recover recall exactly as in the
+    * [[SimilarityOps]] family. Output: (q_id, doc_id, cos, rank).
+    */
+  def denseRanksLsh(corpus: DataFrame, isQuery: Column, k: Int = 5,
+                    dims: Int = 64, planes: Int = 8): DataFrame = {
+    def n2(v: String) = expr(s"aggregate($v, 0L, (acc, x) -> acc + x * x)")
+    val bucketCol = denseLshCoefs(planes, dims).zipWithIndex.map {
+      case (cs, p) =>
+        when(expr(s"aggregate(zip_with(v, array(${cs.mkString(", ")}), " +
+          "(a, b) -> a * b), 0L, (acc, x) -> acc + x)") > 0L,
+          lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val qvecs = denseVectors(corpus.filter(isQuery), dims)
+      .withColumn("n2q", n2("v")).withColumn("q_bucket", bucketCol)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("n2q"),
+        col("q_bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    denseVectors(corpus, dims)
+      .withColumn("n2d", n2("v")).withColumn("bucket", bucketCol)
+      .join(broadcast(qvecs), col("bucket") === col("q_bucket") &&
+        col("doc_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .filter(col("dot") > 0L)
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("n2q").cast("double")) * sqrt(col("n2d").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "doc_id", "cos", "rank")
+  }
+
+  /** Hybrid retrieval on the SCALE PATH: BM25 fused with the
+    * bucket-routed dense channel. */
+  def hybridRrfLsh(corpus: DataFrame, isQuery: Column, kChannel: Int = 10,
+                   k: Int = 5): DataFrame =
+    rrfFuse(bm25Ranks(corpus, isQuery, kChannel),
+      denseRanksLsh(corpus, isQuery, kChannel), k)
+
   /** Reciprocal rank fusion (Cormack et al. 2009, c = 60): rrf =
     * Σ_channels 1/(c + rank), absent channel contributes 0, summed in
     * fixed (sparse, dense) order. Takes ANY two ranked (q_id, doc_id,
@@ -543,6 +602,66 @@ object RetrievalOps {
        |        ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
        |    FROM dscored)
        |  WHERE rank <= $kChannel)""".stripMargin
+
+  /** Bucket-routed dense-channel CTE chain (expects `corpus`);
+    * terminal CTE `dtop`, same shape as [[denseCtes]] so [[rrfCtes]]
+    * composes unchanged. The ±1 plane coefficients are embedded as a
+    * VALUES table from the SAME [[denseLshCoefs]] the Spark side
+    * compiles in; plane dots and the bucket id are exact integer
+    * arithmetic on both engines. */
+  def denseLshCtes(queryPred: String, kChannel: Int, dims: Int,
+                   planes: Int): String = {
+    val coefRows = denseLshCoefs(planes, dims).zipWithIndex.flatMap {
+      case (cs, p) => cs.zipWithIndex.map { case (c, d) => s"($p, $d, $c)" }
+    }.mkString(", ")
+    s"""dtf AS (
+       |  SELECT doc_id, ${Hashing.hash64Duck("w")} % $dims AS dim,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+       |  WHERE len(w) > 0 GROUP BY 1, 2),
+       |hcoef(plane, dim, coef) AS (VALUES $coefRows),
+       |dbucket AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN pd > 0 THEN (1::BIGINT << plane)
+       |                               ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT t.doc_id, h.plane, CAST(sum(t.tf * h.coef) AS BIGINT) AS pd
+       |    FROM dtf t JOIN hcoef h ON t.dim = h.dim GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |qdtf AS (SELECT doc_id AS q_id, dim, tf AS qtf FROM dtf WHERE $queryPred),
+       |n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+       |       FROM dtf GROUP BY 1),
+       |ddot AS (
+       |  SELECT q.q_id, t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+       |  FROM dtf t
+       |  JOIN qdtf q ON t.dim = q.dim
+       |  JOIN dbucket bt ON bt.doc_id = t.doc_id
+       |  JOIN dbucket bq ON bq.doc_id = q.q_id AND bq.bucket = bt.bucket
+       |  WHERE t.doc_id <> q.q_id GROUP BY 1, 2),
+       |dscored AS (
+       |  SELECT d.q_id, d.doc_id,
+       |    CAST(d.dot AS DOUBLE)
+       |      / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE))) AS cos
+       |  FROM ddot d
+       |  JOIN n2 nq ON d.q_id = nq.doc_id
+       |  JOIN n2 nd ON d.doc_id = nd.doc_id),
+       |dtop AS (
+       |  SELECT q_id, doc_id, cos, rank FROM (
+       |    SELECT q_id, doc_id, cos,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank
+       |    FROM dscored)
+       |  WHERE rank <= $kChannel)""".stripMargin
+  }
+
+  def hybridRrfLshOracle(nQueries: Int = 8, kChannel: Int = 10, k: Int = 5,
+                         dims: Int = 64, planes: Int = 8): String = {
+    val pred = s"doc_id < $nQueries"
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |${sparseCtes(pred, kChannel)},
+       |${denseLshCtes(pred, kChannel, dims, planes)},
+       |${rrfCtes(k)}
+       |SELECT q_id, doc_id, sparse_rank, dense_rank, rrf, rank FROM htop""".stripMargin
+  }
 
   /** RRF fusion CTEs over `stop` ⋈ `dtop`; terminal CTE `htop` =
     * (q_id, doc_id, sparse_rank, dense_rank, rrf, rank ≤ k). */

@@ -109,6 +109,32 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(rows("hybrid")._2 >= math.max(rows("sparse")._2, rows("dense")._2))
   }
 
+  test("denseRanksLsh: bucket routing keeps exact duplicates (identical " +
+    "vectors share a bucket) and candidates are a subset of the brute pass") {
+    val lsh = RetrievalOps.denseRanksLsh(corpus, col("doc_id") === 7L, k = 5)
+      .collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.head.getLong(1) == 8L &&
+      math.abs(lsh.head.getDouble(2) - 1.0) < 1e-12)
+    val brute = RetrievalOps.denseRanks(corpus, col("doc_id") === 7L,
+      k = Int.MaxValue).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh.foreach { r =>
+      // every bucket-routed hit exists in the unrestricted pass with
+      // the IDENTICAL cosine (same integer dot / norms)
+      assert(brute((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
+  test("hybridRrfLsh: fused rows come from a channel, deterministic " +
+    "under repartition") {
+    val a = sortedRows(RetrievalOps.hybridRrfLsh(corpus, col("doc_id") < 2,
+      kChannel = 5, k = 5))
+    val b = sortedRows(RetrievalOps.hybridRrfLsh(corpus.repartition(7),
+      col("doc_id") < 2, kChannel = 5, k = 5))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bm25Prf: expansion terms reach documents sharing NO original " +
     "query term; the plain pass cannot") {
     val c = Seq(
