@@ -1313,6 +1313,9 @@ object Profile {
       t(s"bm25_prf_${factor}x") {
         RetrievalOps.bm25Prf(damp, col("doc_id") < 8).count()
       }
+      t(s"hybrid_rrf_lsh_${factor}x") {
+        RetrievalOps.hybridRrfLsh(damp, col("doc_id") < 8).count()
+      }
       val root = java.nio.file.Files.createTempDirectory("graft_r14_bm25idx")
       try {
         val base = damp.filter(col("doc_id") % 5 =!= 3)

@@ -619,6 +619,11 @@ object SparkEntry {
     // over the dup-injected corpus: does the audit retrieve the edited
     // query's source document? evaluation-harness class, query-bounded
     "retrieval_recall" -> ((s, dir) => RetrievalOps.retrievalRecall(D(s, dir))),
+    // the same planted-truth eval with the SCALE-PATH dense channel
+    // (probe-1 LSH) — prices the bucket-routing recall cost next to
+    // the brute channel's ceiling
+    "retrieval_recall_lsh" -> ((s, dir) =>
+      RetrievalOps.retrievalRecall(D(s, dir), lsh = true)),
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
     // ---- composite training-pipeline flows ----
     "quality_filter" -> ((s, dir) => TextOps.qualityFilter(D(s, dir))),
@@ -1121,6 +1126,7 @@ object SparkEntry {
     "triplet_mining" -> SemanticOps.tripletMiningOracle(),
     "bm25_prf" -> RetrievalOps.bm25PrfOracle(),
     "retrieval_recall" -> RetrievalOps.retrievalRecallOracle(),
+    "retrieval_recall_lsh" -> RetrievalOps.retrievalRecallOracle(lsh = true),
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
     "quality_percentile" -> TextOps.qualityPercentileFilterOracle(textStatsSql),

@@ -445,16 +445,21 @@ object RetrievalOps {
     * not the corpus (both channels stay query-broadcast).
     */
   def retrievalRecall(documents: DataFrame, kChannel: Int = 10,
-                      k: Int = 5): DataFrame = {
+                      k: Int = 5, lsh: Boolean = false): DataFrame = {
     val corpus = DedupOps.augmented(documents)
     val isQuery = col("doc_id") >= 100000L && col("doc_id") < 100080L
     // Each channel feeds BOTH the fusion and its own hit count — pin
     // the queries×kChannel rank lists so the channel pipelines run
     // once, not twice (the [[bm25Prf]] / [[DedupOps.dedupIncremental]]
     // lifecycle: eager-materialize, caller owns the tiny output).
+    // `lsh = true` evaluates the SCALE PATH's dense channel
+    // ([[denseRanksLsh]], probe-1 bucket routing) on the same planted
+    // truth — the registered twin rows price what probe-1 costs in
+    // recall next to the brute-force channel's ceiling.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = bm25Ranks(corpus, isQuery, kChannel).persist(lvl)
-    val d = denseRanks(corpus, isQuery, kChannel).persist(lvl)
+    val d = (if (lsh) denseRanksLsh(corpus, isQuery, kChannel)
+             else denseRanks(corpus, isQuery, kChannel)).persist(lvl)
     try {
       s.count(); d.count()
       val h = rrfFuse(s, d, k)
@@ -698,11 +703,13 @@ object RetrievalOps {
   }
 
   def retrievalRecallOracle(kChannel: Int = 10, k: Int = 5,
-                            dims: Int = 64): String = {
+                            dims: Int = 64,
+                            lsh: Boolean = false): String = {
     val pred = "doc_id >= 100000 AND doc_id < 100080"
     s"""WITH ${DedupOps.augmentedSql},
        |${sparseCtes(pred, kChannel)},
-       |${denseCtes(pred, kChannel, dims)},
+       |${if (lsh) denseLshCtes(pred, kChannel, dims, 8)
+          else denseCtes(pred, kChannel, dims)},
        |${rrfCtes(k)},
        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
        |       FROM corpus WHERE $pred),

@@ -175,5 +175,13 @@ class RetrievalOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(3))).toMap
     assert(rows("hybrid") >= rows("sparse"))
     assert(rows("hybrid") >= rows("dense") - 1e-12)
+    // the scale-path twin: probe-1 bucket routing can only shrink the
+    // dense candidate set, never grow it — and fusion keeps hybrid at
+    // or above the weaker channel
+    val lshRows = RetrievalOps.retrievalRecall(docs, lsh = true).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(lshRows("dense") <= rows("dense") + 1e-12)
+    assert(lshRows("sparse") == rows("sparse"))
+    assert(lshRows("hybrid") >= lshRows("sparse"))
   }
 }
