@@ -413,6 +413,17 @@ object SparkEntry {
         s.read.format("binaryFile").load(fix),
         extPattern = "img_(\\d+)\\.png$").toDF()
     }),
+    // the LOSSY-codec gate (r15): the same rasters through ImageIO's
+    // JPEG encoder at quality 0.95 — decoded pixels are approximations,
+    // so the contract is dims-exact + per-channel means within a
+    // tolerance band; the oracle predicts the dims and expects every
+    // band verdict TRUE
+    "multimodal_decode_jpeg" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_jpg", dir)
+      MultimodalOps.writeJpegFixtureTree(D(s, dir), fix)
+      MultimodalOps.decodeJpegBanded(s,
+        s.read.format("binaryFile").load(fix), D(s, dir))
+    }),
     // REAL audio (round 12): deterministic 16-bit PCM WAV fixtures
     // hand-rolled from documents by byte arithmetic, decoded
     // executor-side through javax.sound.sampled; the oracle recomputes
@@ -624,6 +635,40 @@ object SparkEntry {
     // the brute channel's ceiling
     "retrieval_recall_lsh" -> ((s, dir) =>
       RetrievalOps.retrievalRecall(D(s, dir), lsh = true)),
+    // the 100 TB formulation of the recall harness (VERDICT r14 item
+    // 1): both channels run over a CO-ADDRESSED content sample (query
+    // and its truth original share the bucket hash, so surviving
+    // queries keep their truth), the knob carried in the output —
+    // the dedup_recall_sampled pattern applied to retrieval
+    "retrieval_recall_sampled" -> ((s, dir) =>
+      RetrievalOps.retrievalRecallSampled(D(s, dir))),
+    // PRF as a PURE INDEX CONSUMER (VERDICT r14 item 2): both scoring
+    // passes + feedback weights + expansion idf read the PERSISTED
+    // index (written + read back); the oracle is bm25_prf's SQL, so
+    // the row IS the bit-parity proof that index-backed PRF ==
+    // two-corpus-explode PRF
+    "bm25_prf_index" -> ((s, dir) => {
+      val docs = D(s, dir)
+      val fix = FixtureDirs.dir("graft_bm25idx_prf", dir)
+      RetrievalOps.writeBm25Index(RetrievalOps.bm25BuildIndex(docs), fix)
+      RetrievalOps.bm25PrfFromIndex(RetrievalOps.readBm25Index(s, fix),
+        RetrievalOps.queryTerms(docs, col("doc_id") < 8))
+    }),
+    // the fusion the 100 TB deployment actually runs (VERDICT r14 item
+    // 5): dense slot = multiprobe ADC top-k over a PERSISTED annIndex
+    // of the doc vectors (written + read back), fused with BM25 by the
+    // same RRF contract
+    "hybrid_rrf_index" -> ((s, dir) =>
+      RetrievalOps.hybridRrfIndexPersisted(s, D(s, dir),
+        col("doc_id") < 8, FixtureDirs.dir("graft_annidx_docs", dir))),
+    // planted-truth recall of that production configuration — the
+    // third dense-channel variant (exhaustive / probe-1 LSH /
+    // persisted-index multiprobe PQ) priced on one scale
+    "retrieval_recall_annindex" -> ((s, dir) =>
+      RetrievalOps.retrievalRecallAnnIndex(D(s, dir))),
+    // coverage ledger for triplet mining's documented drop contract:
+    // verified pairs whose routed bucket had no eligible negative
+    "triplet_coverage" -> ((s, dir) => SemanticOps.tripletCoverage(D(s, dir))),
     "sessionize" -> ((s, dir) => EventOps.sessionize(E(s, dir))),
     // ---- composite training-pipeline flows ----
     "quality_filter" -> ((s, dir) => TextOps.qualityFilter(D(s, dir))),
@@ -1093,6 +1138,7 @@ object SparkEntry {
     "multimodal_manifest" -> MultimodalOps.ingestManifestOracle(),
     "multimodal_decode" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_png" -> MultimodalOps.decodeImagesOracle(),
+    "multimodal_decode_jpeg" -> MultimodalOps.decodeJpegBandedOracle(),
     "multimodal_decode_wav" -> MultimodalOps.decodeAudioOracle(),
     "multimodal_resample_wav" -> MultimodalOps.resampleAudioOracle(),
     "multimodal_decode_ulaw" -> MultimodalOps.decodeUlawOracle(),
@@ -1127,6 +1173,13 @@ object SparkEntry {
     "bm25_prf" -> RetrievalOps.bm25PrfOracle(),
     "retrieval_recall" -> RetrievalOps.retrievalRecallOracle(),
     "retrieval_recall_lsh" -> RetrievalOps.retrievalRecallOracle(lsh = true),
+    "retrieval_recall_sampled" -> RetrievalOps.retrievalRecallSampledOracle(),
+    // SAME SQL as bm25_prf — the registered bit-parity contract of the
+    // index-backed PRF formulation
+    "bm25_prf_index" -> RetrievalOps.bm25PrfOracle(),
+    "hybrid_rrf_index" -> RetrievalOps.hybridRrfIndexOracle(),
+    "retrieval_recall_annindex" -> RetrievalOps.retrievalRecallAnnIndexOracle(),
+    "triplet_coverage" -> SemanticOps.tripletCoverageOracle(),
     "sessionize" -> EventOps.sessionizeOracle,
     "quality_filter" -> TextOps.qualityFilterOracle(textStatsSql),
     "quality_percentile" -> TextOps.qualityPercentileFilterOracle(textStatsSql),

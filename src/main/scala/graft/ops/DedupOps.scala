@@ -74,6 +74,31 @@ object DedupOps {
        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r$seed'), 1, 2))::BIGINT < $sampleBuckets
        |)""".stripMargin
 
+  /** CO-ADDRESSED sampled corpus: the bucket is hashed from the BASE id
+    * (`doc_id % 100000`), so an original and its planted near/exact
+    * copies sample TOGETHER — the form an evaluation needs when the
+    * estimand pairs a query with a specific truth document (retrieval
+    * recall: dropping a query's truth while keeping the query would
+    * turn corpus sampling into forced misses; co-addressing keeps each
+    * surviving query's truth in the sampled corpus by construction,
+    * exactly as every surviving truth pair of [[dedupRecallSampled]]
+    * keeps both endpoints). Final CTE still `corpus`, so every oracle
+    * over the plain prefix composes unchanged. */
+  def coSampledAugmentedSql(sampleBuckets: Int, seed: String): String =
+    s"""corpus_all AS (
+       |$augmentedBodySql
+       |),
+       |corpus AS (
+       |  SELECT * FROM corpus_all
+       |  WHERE ('0x' || substr(md5(CAST(doc_id % 100000 AS VARCHAR) || ':r$seed'), 1, 2))::BIGINT < $sampleBuckets
+       |)""".stripMargin
+
+  /** Spark twin of [[coSampledAugmentedSql]]'s predicate column (0–255
+    * bucket of the seeded md5 over the BASE id). */
+  def coSampleBucketCol(seed: String): Column =
+    conv(substring(md5(concat((col("doc_id") % 100000).cast("string"),
+      lit(s":r$seed"))), 1, 2), 16, 10).cast("long")
+
   /** [[augmented]] with the source dimension KEPT: near-dup copies land
     * on a synthetic mirror source (`source || '_mirror'` — the
     * crawl-mirror contamination shape a cross-source audit exists to

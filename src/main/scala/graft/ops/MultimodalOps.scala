@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media asset: opaque binary payload + typed metadata — the multimodal
@@ -45,6 +45,17 @@ case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Long,
   * one bad byte among billions of files routes to a table instead of
   * killing the job.
   */
+/** One image blob's LENIENT decode verdict — the [[LenientAudio]]
+  * quarantine row shape for the image ingest path: a truncated or junk
+  * blob becomes a "corrupt" row with a diagnostic reason instead of a
+  * task failure.
+  */
+case class LenientImage(doc_id: Long, status: String,
+                        width: Option[Long], height: Option[Long],
+                        sum_r: Option[Long], sum_g: Option[Long],
+                        sum_b: Option[Long], n_px: Option[Long],
+                        reason: Option[String] = None)
+
 case class LenientAudio(doc_id: Long, status: String,
                         n_channels: Option[Long], sample_rate: Option[Long],
                         n_frames: Option[Long], sum_ch0: Option[Long],
@@ -746,6 +757,208 @@ object MultimodalOps {
        |FROM v
        |WHERE (p % w) % 2 = 0 AND (p // w) % 2 = 0
        |GROUP BY 1, w, h""".stripMargin
+
+  // --------------------------------------------------------------------
+  // LOSSY-codec gate (VERDICT r14 item 4): every previous decode gate is
+  // exactly invertible (BMP/PNG/GIF/TIFF, PCM/G.711), so the oracle
+  // predicts pixel sums EXACTLY. A real crawl ingest is dominated by
+  // JPEG, where decoded pixels are APPROXIMATIONS (DCT + quantization) —
+  // the contract a pipeline can actually pin is a TOLERANCE BAND, and
+  // the registered row makes that band a cross-engine oracle check: the
+  // Spark side decodes real JPEG bytes and compares per-channel MEANS
+  // against the generation formula; the oracle recomputes dims exactly
+  // and asserts the booleans — a decoder that drifts out of band (or a
+  // band set too tight for the codec) goes red, not unnoticed.
+  // --------------------------------------------------------------------
+
+  /** JPEG fixture tree (`img_<id>.jpg`): the SAME deterministic rasters
+    * as the BMP/PNG trees, written through ImageIO's JPEG encoder at an
+    * EXPLICIT quality — the one container in the image family whose
+    * decode does not round-trip the pixels. Same bounded-collect
+    * lifecycle as [[writeBmpFixtureTree]]. */
+  def writeJpegFixtureTree(documents: DataFrame, dir: String,
+                           maxDocId: Long = 256L,
+                           quality: Float = 0.95f): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    val pat = "img_\\d+\\.jpg".r
+    val old = Files.list(base)
+    try old.forEach { p =>
+      if (pat.pattern.matcher(p.getFileName.toString).matches())
+        Files.delete(p)
+    } finally old.close()
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        requireAsciiFixture(id, text)
+        val (w, h) = (bmpWidth(text.length.toLong), bmpHeight(id))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (pr, pg, pb) = bmpPixel(text, w)(x, y)
+            img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
+            x += 1
+          }
+          y += 1
+        }
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val out = javax.imageio.ImageIO.createImageOutputStream(
+          base.resolve(s"img_$id.jpg").toFile)
+        try {
+          val param = writer.getDefaultWriteParam
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionQuality(quality)
+          writer.setOutput(out)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null),
+            param)
+        } finally { writer.dispose(); out.close() }
+      }
+  }
+
+  /** The generation formula's expected dims + EXACT channel sums as a
+    * distributed Spark derivation over `documents` — the reference side
+    * of the tolerance band (the Spark twin of [[bmpPixelsSql]]; the
+    * oracle recomputes the same values independently in DuckDB). Output:
+    * (doc_id, w, h, e_sum_r, e_sum_g, e_sum_b). */
+  def expectedImageStats(documents: DataFrame,
+                         maxDocId: Long = 256L): DataFrame =
+    documents.filter(col("doc_id") < maxDocId)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"),
+        (lit(1L) + (length(col("text")) % 13).cast("long")).as("w"),
+        (lit(1L) + (col("doc_id") % 7)).cast("long").as("h"))
+      .select(col("doc_id"), col("w"), col("h"), col("n"), col("text"),
+        explode(expr("sequence(0L, w * h - 1L)")).as("p"))
+      .withColumn("c",
+        ascii(expr("substring(text, CAST(p % n AS INT) + 1, 1)")).cast("long"))
+      .groupBy("doc_id", "w", "h")
+      .agg(sum(col("c")).as("e_sum_r"),
+        sum(expr("(c * 3 + p) % 256")).as("e_sum_g"),
+        sum(expr("(c + p * 7) % 256")).as("e_sum_b"))
+
+  /** Decode the JPEG tree and gate each raster against the generation
+    * formula with a TOLERANCE-BANDED contract: dims must match EXACTLY
+    * (lossy compression never changes geometry), per-channel MEANS must
+    * land within `tol` gray levels of the formula's exact means (DCT
+    * quantization perturbs individual pixels hard but preserves local
+    * averages — though the driver corpus' rasters are as small as 1×1,
+    * where the "mean" is one chroma-subsampled pixel: measured worst
+    * deviation is 6/255 at quality 0.95, so the default band is 16/255
+    * and the Round15 spec pins the ≥2× margin). Output:
+    * (doc_id, width, height, n_px, dims_ok, r_in_band, g_in_band,
+    * b_in_band) — the oracle predicts dims from the formula and expects
+    * every boolean TRUE, so an out-of-band decode is a red row, not a
+    * silent quality drift. Plan shape: the decode is [[decodeImages]]
+    * (per-partition ImageIO batches, only metadata reaches the join);
+    * the expected side is formula-derived metadata; the join is
+    * doc_id-keyed and band arithmetic is a map-side projection.
+    */
+  def decodeJpegBanded(spark: SparkSession, files: DataFrame,
+                       documents: DataFrame, tol: Double = 16.0,
+                       maxDocId: Long = 256L): DataFrame = {
+    def band(actual: String, expected: String): Column =
+      abs(col(actual).cast("double") / col("n_px").cast("double") -
+        col(expected).cast("double") /
+          (col("w") * col("h")).cast("double")) <= tol
+    decodeImages(spark, files, "img_(\\d+)\\.jpg$").toDF()
+      .join(expectedImageStats(documents, maxDocId), "doc_id")
+      .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        (col("width") === col("w") && col("height") === col("h"))
+          .as("dims_ok"),
+        band("sum_r", "e_sum_r").as("r_in_band"),
+        band("sum_g", "e_sum_g").as("g_in_band"),
+        band("sum_b", "e_sum_b").as("b_in_band"))
+  }
+
+  /** Oracle: dims recomputed exactly from the generation formula; every
+    * band boolean expected TRUE. The band itself is enforced Spark-side
+    * against independently derived expected sums — the oracle pins that
+    * the verdicts (not the raw lossy sums, which no cross-engine
+    * contract can hash) agree. */
+  def decodeJpegBandedOracle(maxDocId: Long = 256L): String =
+    s"""SELECT doc_id,
+       |  CAST(1 + (length(text) % 13) AS BIGINT) AS width,
+       |  CAST(1 + (doc_id % 7) AS BIGINT) AS height,
+       |  CAST((1 + (length(text) % 13)) * (1 + (doc_id % 7)) AS BIGINT) AS n_px,
+       |  TRUE AS dims_ok, TRUE AS r_in_band, TRUE AS g_in_band,
+       |  TRUE AS b_in_band
+       |FROM documents
+       |WHERE doc_id < $maxDocId AND text IS NOT NULL AND length(text) > 0""".stripMargin
+
+  /** Deterministic corrupt image fixtures: one junk blob (not a JPEG at
+    * all) and one TRUNCATED JPEG (a valid stream cut after 24 bytes —
+    * the mid-upload failure shape). Ids above the doc range, same
+    * contract as [[writeCorruptAudioFixtures]]. */
+  def writeCorruptJpegFixtures(dir: String, junkId: Long = 300L,
+                               truncId: Long = 301L): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(dir)
+    Files.createDirectories(base)
+    Files.write(base.resolve(s"img_$junkId.jpg"),
+      "NOT A JPEG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    Files.write(base.resolve(s"img_$truncId.jpg"),
+      buf.toByteArray.take(24))
+  }
+
+  /** LENIENT image decode — [[decodeAudioLenient]]'s quarantine idiom
+    * on the image path: ImageIO refusal (null return or a thrown
+    * parse error, e.g. a truncated JPEG's premature EOF) becomes a
+    * per-blob "corrupt" verdict row with the diagnostic reason; the
+    * catch boundary is the blob, never the task. */
+  def decodeImagesLenient(spark: SparkSession, files: DataFrame,
+                          extPattern: String = "img_(\\d+)\\.jpg$"): Dataset[LenientImage] = {
+    import spark.implicits._
+    files
+      .filter(col("path").rlike(extPattern))
+      .select(
+        regexp_extract(col("path"), extPattern, 1).cast("long")
+          .as("doc_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"doc $id: no registered reader accepted " +
+              "the blob")
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            LenientImage(id, "ok", Some(img.getWidth.toLong),
+              Some(img.getHeight.toLong), Some(sr), Some(sg), Some(sb),
+              Some(img.getWidth.toLong * img.getHeight))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              LenientImage(id, "corrupt", None, None, None, None, None,
+                None,
+                Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(256)}"))
+          }
+        }
+      }
+  }
 
   // --------------------------------------------------------------------
   // REAL audio decode (VERDICT r11 item 1): the `.aud` modality gets the

@@ -599,12 +599,7 @@ object PqOps {
     val m = cb.length
     val subDim = 64 / m
     val idx = index.select(col("vec_id").as("nn_id"), col("bucket"), col("codes"))
-    val dist = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
-      val xs = slice(col("emb"), s * subDim + 1, subDim)
-      val cs = element_at(typedlit(cb(s).toSeq),
-        (element_at(col("codes"), s + 1) + 1).cast("int"))
-      acc + ((dot(xs, xs) - lit(2.0) * dot(xs, cs)) + dot(cs, cs))
-    }
+    val dist = adcDistExpr(cb, m, subDim)
     // min(struct(adc_dist, nn_id)) ≡ the (adc_dist ASC, nn_id ASC)
     // row_number pick, but with map-side partial aggregation: the
     // exchange after the bucket join carries one partial min per
@@ -620,6 +615,69 @@ object PqOps {
       .join(best.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("nn_id"), lit(-1L)).as("nn_id"),
         col("adc_dist"))
+  }
+
+  /** The per-candidate ADC distance of the probed core — the query's
+    * raw subvectors (`emb`) against the candidate's reconstructed
+    * codewords (`codes` + the broadcast codebook), Σ_s ((xs·xs −
+    * 2·xs·c_s) + c_s·c_s) as a strict left fold over s. Shared by the
+    * nearest-neighbor pick and the top-k rank list so the two paths
+    * are bit-identical per candidate by construction. */
+  private def adcDistExpr(cb: Array[Array[Seq[Double]]], m: Int,
+                          subDim: Int): Column =
+    (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      val xs = slice(col("emb"), s * subDim + 1, subDim)
+      val cs = element_at(typedlit(cb(s).toSeq),
+        (element_at(col("codes"), s + 1) + 1).cast("int"))
+      acc + ((dot(xs, xs) - lit(2.0) * dot(xs, cs)) + dot(cs, cs))
+    }
+
+  /** TOP-K rank list over a persisted [[annIndex]] — the probed core's
+    * retrieval contract reshaped for FUSION: instead of the single
+    * nearest neighbor, each query vector gets its `k` ADC-nearest index
+    * vectors as (q_id, nn_id, adc_dist, rank) with the house
+    * (adc_dist ASC, nn_id ASC) tiebreak — exactly the ranked-frame
+    * shape [[graft.ops.RetrievalOps.rrfFuse]]'s dense slot takes, so
+    * the hybrid-retrieval fusion can run over the production
+    * persisted-index ANN channel (VERDICT r14 item 5), not just the
+    * brute-force baseline. Probing is hamming-1 multiprobe (the recall
+    * recipe the knob sheet ships); probe buckets are pairwise distinct
+    * and an index row has exactly one bucket, so no (q, nn) pair is
+    * scored twice. `excludeSelf` drops the query's own index row when
+    * the query set is a subset of the indexed corpus (the
+    * self-retrieval audit shape). Queries whose probed buckets hold no
+    * index rows are simply ABSENT (rank lists, not verdicts — fusion
+    * treats absence as "not retrieved by this channel").
+    *
+    * Scale shape: identical to the probed core — bucket-keyed join,
+    * codes-only index side, broadcast codebook — plus a per-query
+    * rank window that WindowGroupLimit brackets around the q_id
+    * exchange (no partition forwards more than k rows per query).
+    */
+  def annIndexTopK(index: DataFrame, delta: DataFrame,
+                   cb: Array[Array[Seq[Double]]], nPlanes: Int = 8,
+                   k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+    require(index.columns.sorted.sameElements(Array("bucket", "codes", "vec_id")),
+      s"index must be an annIndex (vec_id, bucket, codes); got ${index.columns.mkString(",")}")
+    requireGeometry(cb.length, math.max(cb(0).length, 1))
+    val m = cb.length
+    val subDim = 64 / m
+    val probeArr = array((col("bucket") +: (0 until nPlanes)
+      .map(p => expr(s"bucket ^ ${1L << p}"))): _*)
+    val probes = withEmb(delta)
+      .withColumn("bucket", SimilarityOps.bucketExpr(nPlanes))
+      .select(col("vec_id").as("q_id"), col("emb"),
+        explode(probeArr).as("bucket"))
+    val idx = index.select(col("vec_id").as("nn_id"), col("bucket"),
+      col("codes"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist").asc, col("nn_id").asc)
+    probes.join(idx, Seq("bucket"))
+      .filter(if (excludeSelf) col("nn_id") =!= col("q_id") else lit(true))
+      .withColumn("adc_dist", adcDistExpr(cb, m, subDim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "nn_id", "adc_dist", "rank")
   }
 
   /** The registered index/delta partition: codebook seeds (vec_id < k)

@@ -132,6 +132,62 @@ object RetrievalOps {
     } finally fbIds.unpersist()
   }
 
+  /** [[bm25Prf]] as a PURE INDEX CONSUMER (VERDICT r14 item 2): both
+    * scoring passes, the feedback-candidate weights, AND the
+    * expansion-term idf ranking read the persisted [[Bm25Index]] —
+    * corpus text is never touched, nothing is ever re-tokenized. The
+    * production PRF shape at 100 TB: the inline [[bm25Prf]] pays two
+    * full corpus explodes (the round-14 ladder prices it at 167.8 s at
+    * 100×, ≈1.6× a single pass); from the index each pass is a
+    * broadcast-vocabulary filter over postings (≈6× cheaper — the
+    * `bm25_incremental` ladder's 17.8 s vs 106.5 s inline, twice).
+    *
+    * BIT-PARITY with [[bm25Prf]] by construction, term by term:
+    *  - feedback weights: inline counts token occurrences of the
+    *    feedback docs (Σ over docs of tf) — here `sum(tf)` over the
+    *    feedback docs' posting rows, the same integers;
+    *  - candidate idf: inline computes df over the union-vocab explode,
+    *    which for any word equals the full-corpus df — here `idx.df`
+    *    IS the full-corpus df; `n_docs` = doclens count = corpus count;
+    *  - both scoring passes share [[scoreAndRank]] via
+    *    [[bm25RanksFromIndex]] (tf/df/dl values identical — parquet
+    *    round-trips longs exactly).
+    * The registered `bm25_prf_index` row pins this: its oracle is the
+    * SAME SQL as `bm25_prf`'s.
+    */
+  def bm25PrfFromIndex(idx: Bm25Index, qterms: DataFrame, m: Int = 3,
+                       e: Int = 5, k: Int = 5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // queries×m rows — the same pinned-feedback lifecycle as [[bm25Prf]]
+    val fbIds = bm25RanksFromIndex(idx, qterms, m)
+      .select(col("q_id"), col("doc_id")).persist(lvl)
+    try {
+      fbIds.count()
+      val fbCand = idx.postings
+        .join(broadcast(fbIds), "doc_id")
+        .groupBy("q_id", "word").agg(sum("tf").as("w"))
+        .join(qterms, Seq("q_id", "word"), "left_anti")
+      val nDocs = idx.doclens.agg(count(lit(1)).as("n_docs"))
+      val cdf = idx.df
+        .join(broadcast(fbCand.select("word").distinct()), "word")
+        .withColumnRenamed("df", "cdf")
+      val expW = Window.partitionBy("q_id")
+        .orderBy(col("esc").desc, col("word").asc)
+      val exp = fbCand
+        .join(broadcast(cdf), "word")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("esc", col("w").cast("double") *
+          (((col("n_docs") - col("cdf")).cast("double") + lit(0.5)) /
+            (col("cdf").cast("double") + lit(0.5))))
+        .withColumn("r", row_number().over(expW))
+        .filter(col("r") <= e)
+        .select("q_id", "word")
+      val out = bm25RanksFromIndex(idx, qterms.unionAll(exp), k).persist(lvl)
+      out.count() // materialize while the feedback ids are still cached
+      out
+    } finally fbIds.unpersist()
+  }
+
   /** The expansion + second pass given pinned feedback ids (split out
     * so [[bm25Prf]]'s persist lifecycle wraps exactly the references
     * that need it). */
@@ -397,6 +453,66 @@ object RetrievalOps {
     rrfFuse(bm25Ranks(corpus, isQuery, kChannel),
       denseRanksLsh(corpus, isQuery, kChannel), k)
 
+  /** The documents' hashed-TF vectors as 64-dim DOUBLE embeddings —
+    * the bridge from the retrieval corpus to the [[PqOps]] persisted-
+    * index machinery (whose contract is (vec_id, embedding)). Entries
+    * are small integer term frequencies cast to double — exact in
+    * doubles on both engines, so every downstream codebook / ADC
+    * comparison is float-hazard-free. */
+  def denseDocEmbeddings(corpus: DataFrame, dims: Int = 64): DataFrame =
+    denseVectors(corpus, dims).select(col("doc_id").as("vec_id"),
+      expr("transform(v, x -> CAST(x AS DOUBLE))").as("embedding"))
+
+  /** The dense channel the 100 TB deployment actually runs (VERDICT
+    * r14 item 5): a per-query TOP-K over a [[PqOps.annIndex]] of the
+    * document vectors — frozen seed codebook, hyperplane routing with
+    * hamming-1 multiprobe, ADC scoring from the stored codes alone
+    * ([[PqOps.annIndexTopK]]). Compared to [[denseRanksLsh]] (which
+    * re-reads raw vectors per query batch), the index side here moves
+    * only (vec_id, bucket, m codes) rows — the persisted layout that
+    * never rescans the corpus. Output (q_id, doc_id, adc_dist, rank),
+    * [[rrfFuse]]-shaped. Pass a pre-built `index` (read back from
+    * parquet) to score the PERSISTED artifact; None builds it inline.
+    */
+  def denseRanksAnnIndex(corpus: DataFrame, isQuery: Column, k: Int = 5,
+                         dims: Int = 64, m: Int = 4, kCode: Int = 16,
+                         nPlanes: Int = 8,
+                         prebuilt: Option[(DataFrame, Array[Array[Seq[Double]]])] =
+                           None): DataFrame = {
+    val cb = prebuilt.map(_._2)
+      .getOrElse(PqOps.trainCodebook(denseDocEmbeddings(corpus, dims), m,
+        kCode))
+    if (cb(0).isEmpty)
+      return corpus.select(col("doc_id").as("q_id"), col("doc_id"),
+        lit(0.0).as("adc_dist"), lit(0L).as("rank")).limit(0)
+    val idx = prebuilt.map(_._1)
+      .getOrElse(PqOps.annIndex(denseDocEmbeddings(corpus, dims), cb,
+        nPlanes))
+    PqOps.annIndexTopK(idx, denseDocEmbeddings(corpus.filter(isQuery), dims),
+        cb, nPlanes, k)
+      .select(col("q_id"), col("nn_id").as("doc_id"), col("adc_dist"),
+        col("rank"))
+  }
+
+  /** Hybrid retrieval over the PRODUCTION dense channel: BM25 fused
+    * with the persisted-index multiprobe ADC top-k. The ANN index is
+    * written to `indexDir` and read back before scoring, so the
+    * registered row exercises the real persisted artifact — the
+    * `bm25_incremental` discipline applied to the dense slot. */
+  def hybridRrfIndexPersisted(spark: SparkSession, corpus: DataFrame,
+                              isQuery: Column, indexDir: String,
+                              kChannel: Int = 10, k: Int = 5,
+                              dims: Int = 64, m: Int = 4, kCode: Int = 16,
+                              nPlanes: Int = 8): DataFrame = {
+    val vecs = denseDocEmbeddings(corpus, dims)
+    val cb = PqOps.trainCodebook(vecs, m, kCode)
+    PqOps.annIndex(vecs, cb, nPlanes).write.mode("overwrite")
+      .parquet(indexDir)
+    val dense = denseRanksAnnIndex(corpus, isQuery, kChannel, dims, m,
+      kCode, nPlanes, prebuilt = Some((spark.read.parquet(indexDir), cb)))
+    rrfFuse(bm25Ranks(corpus, isQuery, kChannel), dense, k)
+  }
+
   /** Reciprocal rank fusion (Cormack et al. 2009, c = 60): rrf =
     * Σ_channels 1/(c + rank), absent channel contributes 0, summed in
     * fixed (sparse, dense) order. Takes ANY two ranked (q_id, doc_id,
@@ -445,8 +561,58 @@ object RetrievalOps {
     * not the corpus (both channels stay query-broadcast).
     */
   def retrievalRecall(documents: DataFrame, kChannel: Int = 10,
-                      k: Int = 5, lsh: Boolean = false): DataFrame = {
-    val corpus = DedupOps.augmented(documents)
+                      k: Int = 5, lsh: Boolean = false): DataFrame =
+    retrievalRecallOver(DedupOps.augmented(documents), kChannel, k, lsh)
+
+  /** The 100 TB formulation of [[retrievalRecall]] (VERDICT r14 item
+    * 1, the [[DedupOps.dedupRecallSampled]] pattern): the harness runs
+    * over a CO-ADDRESSED content sample — bucket hashed from the BASE
+    * id, so each planted query samples together with its truth
+    * original ([[DedupOps.coSampleBucketCol]]) — and every downstream
+    * cost (both channels' corpus explodes/aggregations, df, avgdl, the
+    * candidate windows) shrinks with the sample rate while the query
+    * side stays the surviving subset of the same planted set. The
+    * estimate is exact recall of the sampled harness, and it BRACKETS
+    * the exhaustive number from above in expectation: surviving
+    * queries keep their truth by construction while the distractor
+    * mass shrinks, so per-query retrieval only gets easier (the
+    * Round15 spec pins sampled ≥ exhaustive per channel on the driver
+    * corpus). `sample_buckets` (of 256) is the cost-vs-fidelity knob,
+    * carried in the output like [[DedupOps.dedupRecallSampled]].
+    */
+  def retrievalRecallSampled(documents: DataFrame, kChannel: Int = 10,
+                             k: Int = 5, sampleBuckets: Int = 128,
+                             seed: String = "42",
+                             lsh: Boolean = false): DataFrame =
+    retrievalRecallOver(
+        DedupOps.augmented(documents)
+          .filter(DedupOps.coSampleBucketCol(seed) < sampleBuckets),
+        kChannel, k, lsh)
+      .select(lit(sampleBuckets.toLong).as("sample_buckets"),
+        col("channel"), col("n_queries"), col("n_hits"), col("recall"))
+
+  /** The planted-truth recall of the PRODUCTION configuration: dense
+    * channel = the persisted-index multiprobe ADC top-k
+    * ([[denseRanksAnnIndex]]) instead of the brute-force baseline —
+    * the quality number for the fusion `hybrid_rrf_index` actually
+    * ships (VERDICT r14 item 5's second half). Same planted truth,
+    * same [[rrfFuse]], same hit arithmetic; the registered row sits
+    * next to `retrieval_recall` / `retrieval_recall_lsh` so the three
+    * dense-channel variants (exhaustive / probe-1 LSH / persisted-
+    * index multiprobe PQ) are priced on one scale. */
+  def retrievalRecallAnnIndex(documents: DataFrame, kChannel: Int = 10,
+                              k: Int = 5): DataFrame =
+    retrievalRecallChan(DedupOps.augmented(documents), kChannel, k,
+      denseRanksAnnIndex(_, _, _))
+
+  private def retrievalRecallOver(corpus: DataFrame, kChannel: Int,
+                                  k: Int, lsh: Boolean): DataFrame =
+    retrievalRecallChan(corpus, kChannel, k,
+      if (lsh) denseRanksLsh(_, _, _) else denseRanks(_, _, _))
+
+  private def retrievalRecallChan(corpus: DataFrame, kChannel: Int, k: Int,
+                                  denseChannel: (DataFrame, Column, Int) =>
+                                    DataFrame): DataFrame = {
     val isQuery = col("doc_id") >= 100000L && col("doc_id") < 100080L
     // Each channel feeds BOTH the fusion and its own hit count — pin
     // the queries×kChannel rank lists so the channel pipelines run
@@ -458,8 +624,7 @@ object RetrievalOps {
     // recall next to the brute-force channel's ceiling.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = bm25Ranks(corpus, isQuery, kChannel).persist(lvl)
-    val d = (if (lsh) denseRanksLsh(corpus, isQuery, kChannel)
-             else denseRanks(corpus, isQuery, kChannel)).persist(lvl)
+    val d = denseChannel(corpus, isQuery, kChannel).persist(lvl)
     try {
       s.count(); d.count()
       val h = rrfFuse(s, d, k)
@@ -658,6 +823,84 @@ object RetrievalOps {
        |  WHERE rank <= $kChannel)""".stripMargin
   }
 
+  /** Persisted-index ANN dense-channel CTE chain (expects `corpus`);
+    * terminal CTE `dtop` = (q_id, doc_id, adc_dist, rank ≤ kChannel),
+    * so [[rrfCtes]] composes unchanged. The full [[denseRanksAnnIndex]]
+    * derivation in SQL: hashed-TF 64-dim vectors, seed codebook
+    * (vec_id < kCode, code = seed id — [[PqOps.trainCodebook]]'s
+    * convention), per-subspace argmin code assignment, hyperplane
+    * buckets ([[SimilarityOps.duckBucket]] — identical plane
+    * literals), hamming-≤1 multiprobe candidacy as an INDEPENDENT
+    * xor+popcount formulation of the Spark side's probe-array explode,
+    * ADC terms summed by an ORDERED fold over s, self excluded,
+    * (adc_dist ASC, nn_id ASC) tiebreak. `queryPredVec` is a predicate
+    * over the query-side alias `d` (e.g. "d.vec_id < 8"). */
+  def annDocCtes(queryPredVec: String, kChannel: Int, dims: Int = 64,
+                 m: Int = 4, kCode: Int = 16, nPlanes: Int = 8): String = {
+    val subDim = 64 / m
+    def dotR(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, ${subDim + 1}), i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])), (acc, x) -> acc + x)""".stripMargin
+    s"""adtf AS (
+       |  SELECT doc_id, ${Hashing.hash64Duck("w")} % $dims AS dim,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+       |  WHERE len(w) > 0 GROUP BY 1, 2),
+       |abase AS (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(range(0, $dims), d ->
+       |      CAST(coalesce(element_at(mp, d)[1], 0) AS DOUBLE)) AS emb
+       |  FROM (SELECT doc_id, map_from_entries(list({'k': dim, 'v': tf})) AS mp
+       |        FROM adtf GROUP BY 1)),
+       |asubs AS (
+       |  SELECT vec_id, s, emb[CAST(s * $subDim + 1 AS INT):CAST(s * $subDim + $subDim AS INT)] AS xs
+       |  FROM abase, (SELECT unnest(range(0, $m)) AS s)),
+       |acb AS (SELECT s, vec_id AS code, xs AS cs FROM asubs WHERE vec_id < $kCode),
+       |aidists AS (
+       |  SELECT d.vec_id, d.s, c.code,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS dist
+       |  FROM asubs d JOIN acb c ON d.s = c.s),
+       |aicodes AS (
+       |  SELECT vec_id, s, code
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                                     ORDER BY dist ASC, code ASC) AS rn
+       |        FROM aidists)
+       |  WHERE rn = 1),
+       |abucketed AS (
+       |  SELECT vec_id, ${SimilarityOps.duckBucket(nPlanes)} AS bucket FROM abase),
+       |aterms AS (
+       |  SELECT d.vec_id AS q_id, w.vec_id AS nn_id, w.s,
+       |    (${dotR("d.xs", "d.xs")} - 2.0 * ${dotR("d.xs", "c.cs")}) + ${dotR("c.cs", "c.cs")} AS term
+       |  FROM asubs d
+       |  JOIN abucketed db ON db.vec_id = d.vec_id
+       |  JOIN aicodes w ON w.s = d.s AND w.vec_id <> d.vec_id
+       |  JOIN abucketed wb ON wb.vec_id = w.vec_id
+       |   AND bit_count(xor(wb.bucket, db.bucket)) <= 1
+       |  JOIN acb c ON c.s = w.s AND c.code = w.code
+       |  WHERE $queryPredVec),
+       |ascored AS (
+       |  SELECT q_id, nn_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY s)),
+       |                (acc, x) -> acc + x) AS adc_dist
+       |  FROM aterms GROUP BY 1, 2),
+       |dtop AS (
+       |  SELECT q_id, nn_id AS doc_id, adc_dist, rank FROM (
+       |    SELECT q_id, nn_id, adc_dist,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc_dist ASC, nn_id ASC) AS BIGINT) AS rank
+       |    FROM ascored)
+       |  WHERE rank <= $kChannel)""".stripMargin
+  }
+
+  def hybridRrfIndexOracle(nQueries: Int = 8, kChannel: Int = 10,
+                           k: Int = 5, dims: Int = 64, m: Int = 4,
+                           kCode: Int = 16, nPlanes: Int = 8): String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |${sparseCtes(s"doc_id < $nQueries", kChannel)},
+       |${annDocCtes(s"d.vec_id < $nQueries", kChannel, dims, m, kCode, nPlanes)},
+       |${rrfCtes(k)}
+       |SELECT q_id, doc_id, sparse_rank, dense_rank, rrf, rank FROM htop""".stripMargin
+
   def hybridRrfLshOracle(nQueries: Int = 8, kChannel: Int = 10, k: Int = 5,
                          dims: Int = 64, planes: Int = 8): String = {
     val pred = s"doc_id < $nQueries"
@@ -703,13 +946,51 @@ object RetrievalOps {
   }
 
   def retrievalRecallOracle(kChannel: Int = 10, k: Int = 5,
-                            dims: Int = 64,
-                            lsh: Boolean = false): String = {
+                            dims: Int = 64, lsh: Boolean = false): String =
+    retrievalRecallOracleOver(DedupOps.augmentedSql, "", kChannel, k, dims,
+      lsh)
+
+  /** Sampled twin — the SAME derivation over the co-addressed sampled
+    * corpus CTE (terminal CTE is still `corpus`, so the whole chain
+    * composes unchanged), with the knob as a lead column. */
+  def retrievalRecallSampledOracle(kChannel: Int = 10, k: Int = 5,
+                                   dims: Int = 64, sampleBuckets: Int = 128,
+                                   seed: String = "42",
+                                   lsh: Boolean = false): String =
+    retrievalRecallOracleOver(
+      DedupOps.coSampledAugmentedSql(sampleBuckets, seed),
+      s"CAST($sampleBuckets AS BIGINT) AS sample_buckets, ",
+      kChannel, k, dims, lsh)
+
+  /** Recall oracle over the PRODUCTION dense channel
+    * ([[retrievalRecallAnnIndex]]'s twin): same hits tail, dense CTE
+    * chain = [[annDocCtes]] over the augmented corpus. */
+  def retrievalRecallAnnIndexOracle(kChannel: Int = 10, k: Int = 5,
+                                    dims: Int = 64, m: Int = 4,
+                                    kCode: Int = 16,
+                                    nPlanes: Int = 8): String =
+    retrievalRecallOracleWith(DedupOps.augmentedSql, "",
+      annDocCtes("d.vec_id >= 100000 AND d.vec_id < 100080", kChannel,
+        dims, m, kCode, nPlanes),
+      kChannel, k)
+
+  private def retrievalRecallOracleOver(corpusCte: String, leadCols: String,
+                                        kChannel: Int, k: Int, dims: Int,
+                                        lsh: Boolean): String = {
     val pred = "doc_id >= 100000 AND doc_id < 100080"
-    s"""WITH ${DedupOps.augmentedSql},
+    retrievalRecallOracleWith(corpusCte, leadCols,
+      if (lsh) denseLshCtes(pred, kChannel, dims, 8)
+      else denseCtes(pred, kChannel, dims),
+      kChannel, k)
+  }
+
+  private def retrievalRecallOracleWith(corpusCte: String, leadCols: String,
+                                        denseCteChain: String,
+                                        kChannel: Int, k: Int): String = {
+    val pred = "doc_id >= 100000 AND doc_id < 100080"
+    s"""WITH $corpusCte,
        |${sparseCtes(pred, kChannel)},
-       |${if (lsh) denseLshCtes(pred, kChannel, dims, 8)
-          else denseCtes(pred, kChannel, dims)},
+       |$denseCteChain,
        |${rrfCtes(k)},
        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
        |       FROM corpus WHERE $pred),
@@ -719,7 +1000,7 @@ object RetrievalOps {
        |          WHERE rank <= $k AND doc_id = q_id - 100000),
        |hhits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM htop
        |          WHERE rank <= $k AND doc_id = q_id - 100000)
-       |SELECT channel, n_queries, n_hits,
+       |SELECT ${leadCols}channel, n_queries, n_hits,
        |  CAST(n_hits AS DOUBLE) / CAST(n_queries AS DOUBLE) AS recall
        |FROM (
        |  SELECT 'sparse' AS channel, nq.n_queries, s.n_hits

@@ -894,11 +894,57 @@ object SemanticOps {
     * corpus/1k-ish); the argmin is a WindowGroupLimit-bracketed rank-1
     * window per (anchor, positive). Output: (anchor_id, positive_id,
     * negative_id, jaccard).
+    *
+    * DROP CONTRACT (review finding, round 14): a verified
+    * (anchor, positive) pair is SILENTLY ABSENT from the output when
+    * the anchor's routed bucket holds no eligible negative (every
+    * candidate in the bucket is the anchor, the positive, or a
+    * verified near-dup of the anchor — likely only when `buckets` is
+    * large relative to the corpus, or the corpus is tiny/skewed). The
+    * DuckDB twin drops identically, so correctness rows stay green
+    * either way, but training-data coverage is a number a pipeline
+    * must WATCH, not assume: the registered `triplet_coverage` row
+    * ([[tripletCoverage]]) surfaces (n_pairs, n_triplets, n_dropped)
+    * so a nonzero drop is visible in the same oracle-checked ledger as
+    * the triplets themselves. (A deterministic fallback probe to a
+    * second bucket was considered and rejected: it would double the
+    * negative join's candidate volume for the rare empty-bucket case
+    * while changing results under the exact conditions — tiny corpora
+    * — where an auditor most wants the two engines trivially
+    * comparable. Size `buckets` to the corpus instead; the coverage
+    * row is the guard.)
     */
-  def tripletMining(documents: DataFrame, buckets: Int = 64): DataFrame = {
-    import graft.functions.Hashing.hash64
+  def tripletMining(documents: DataFrame, buckets: Int = 64): DataFrame =
+    tripletsFromPairs(
+      DedupOps.minhashPairs(DedupOps.augmented(documents)),
+      DedupOps.augmented(documents), buckets)
+
+  /** Coverage ledger for [[tripletMining]]'s drop contract: one row —
+    * (n_pairs, n_triplets, n_dropped) — where n_dropped counts the
+    * verified pairs whose routed bucket yielded no eligible negative.
+    * The banded pair surface is computed ONCE and shared by both
+    * counts (pinned for the duration — queries×bands-bounded rows, the
+    * [[graft.ops.RetrievalOps.bm25Prf]] lifecycle). */
+  def tripletCoverage(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpus = DedupOps.augmented(documents)
-    val pairs = DedupOps.minhashPairs(corpus)
+    val pairs = DedupOps.minhashPairs(corpus).persist(lvl)
+    try {
+      pairs.count()
+      val out = pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(tripletsFromPairs(pairs, corpus, buckets)
+          .agg(count(lit(1)).as("n_triplets")))
+        .select(col("n_pairs"), col("n_triplets"),
+          (col("n_pairs") - col("n_triplets")).as("n_dropped"))
+        .persist(lvl)
+      out.count() // materialize while the pair surface is still cached
+      out
+    } finally pairs.unpersist()
+  }
+
+  private def tripletsFromPairs(pairs: DataFrame, corpus: DataFrame,
+                                buckets: Int): DataFrame = {
+    import graft.functions.Hashing.hash64
     val anch = pairs.select(
       col("doc_a").as("anchor_id"), col("doc_b").as("positive_id"),
       col("jaccard"),
@@ -952,4 +998,15 @@ object SemanticOps {
        |  FROM negcand)
        |WHERE r = 1""".stripMargin
   }
+
+  /** DuckDB twin of [[tripletCoverage]] — the triplet derivation of
+    * [[tripletMiningOracle]] reduced to counts against the shared pair
+    * CTE. */
+  def tripletCoverageOracle(buckets: Int = 64): String =
+    s"""WITH t AS (${tripletMiningOracle(buckets)}),
+       |p AS (${DedupOps.minhashPairsCtesOver(DedupOps.corpusShingledCte)}
+       |      SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+       |SELECT p.n_pairs, tc.n_triplets, p.n_pairs - tc.n_triplets AS n_dropped
+       |FROM p CROSS JOIN
+       |  (SELECT CAST(count(*) AS BIGINT) AS n_triplets FROM t) tc""".stripMargin
 }

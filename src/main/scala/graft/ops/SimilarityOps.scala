@@ -949,9 +949,24 @@ object SimilarityOps {
     * chance-level vs deployment-grade.
     */
   def annRecallIncrementalClustered(embeddings: DataFrame, m: Int = 8,
-                                    k: Int = 64, nPlanes: Int = 8): DataFrame =
-    annRecallIncrementalWith(clusteredGeometry(embeddings), m, k, nPlanes,
-      PqOps.annIndexIncrementalMultiProbe(_, _, _, nPlanes))
+                                    k: Int = 64, nPlanes: Int = 8): DataFrame = {
+    // Pin the derived fixture ONCE (VERDICT r14 item 3 — the widest
+    // min/median bench spread on the surface): the truth cross-join and
+    // the index/delta/codebook branches otherwise EACH re-derive the
+    // 64-expression geometry projection from the parquet scan (4+
+    // scans × 64 array exprs × the m=8/k=64 encode behind them), which
+    // is pure recompute noise on a loaded host. Same eager-materialize
+    // + caller-owns-output lifecycle as retrievalRecall/bm25Prf.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val geo = clusteredGeometry(embeddings).persist(lvl)
+    try {
+      geo.count()
+      val out = annRecallIncrementalWith(geo, m, k, nPlanes,
+        PqOps.annIndexIncrementalMultiProbe(_, _, _, nPlanes)).persist(lvl)
+      out.count() // materialize while the geometry spine is still cached
+      out
+    } finally geo.unpersist()
+  }
 
   /** The clustered evaluation corpus, derived from the embeddings
     * table's id domain alone: 8 clusters (vec_id % 8) at pairwise-far

@@ -25,17 +25,29 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *    appendable (it is a per-word SUM): each batch merges its delta
   *    df into a fresh generation published by crash-safe
   *    [[SnapshotSwap]] (retire-then-swap, `_SUCCESS`-gated recovery).
-  *    The generation also carries an `_applied_batch_<id>` marker file
-  *    (underscore-prefixed — parquet readers ignore it), making
-  *    marker+data ATOMIC under the swap's single rename: a replayed
-  *    batch whose marker is already in the live generation is skipped
-  *    entirely, so df is never double-counted.
+  *    The generation carries an `_applied_batch_<id>` marker file
+  *    (underscore-prefixed — parquet readers ignore it), and
+  *    marker+data are ATOMIC AT CREATION, not just at publish: the
+  *    merged parquet AND the marker are both written into a private
+  *    staging directory, which becomes the `__next` generation in one
+  *    filesystem rename. A replayed batch whose marker is already in
+  *    the live generation is skipped entirely, so df is never
+  *    double-counted. (Review-caught in round 14: writing the parquet
+  *    directly to `__next` and adding the marker afterwards left a
+  *    window — `_SUCCESS` present, marker not yet — where a batch-0
+  *    crash let [[SnapshotSwap.recover]] promote a complete-but-
+  *    UNMARKED generation, and the replay re-merged the same delta.)
   *
   * Crash windows, all idempotent: crash after the postings/doclens
-  * slice writes but before the df publish → replay overwrites the
-  * slices (same bytes) and redoes the merge from the OLD generation;
-  * crash mid-publish → [[SnapshotSwap.recover]] restores a complete
-  * generation; crash after publish → the marker skips the replay.
+  * slice writes but before the staging rename → replay overwrites the
+  * slices (same bytes), discards the stale staging dir, and redoes the
+  * merge from the OLD generation; crash between the staging rename and
+  * the publish → the complete `__next` generation already CARRIES its
+  * marker, so whether [[SnapshotSwap.recover]] promotes it (live
+  * missing — the batch-0 window above) or discards it (live present),
+  * the replay lands in a consistent state; crash mid-publish →
+  * [[SnapshotSwap.recover]] restores a complete generation; crash
+  * after publish → the marker skips the replay.
   *
   * Scale: each trigger costs delta tokenization + a vocab-sized df
   * merge-rewrite — independent of accumulated postings volume. The
@@ -70,10 +82,19 @@ object StreamingRetrieval {
     val mergedDf =
       if (exists) RetrievalOps.mergeDf(spark.read.parquet(dfDir), delta.df)
       else delta.df
-    val tmp = SnapshotSwap.nextPath(dfDir)
-    mergedDf.write.mode("overwrite").parquet(tmp)
-    fs.create(new org.apache.hadoop.fs.Path(tmp,
+    // Marker+data atomic at CREATION: write parquet + marker into a
+    // staging dir, then one rename to __next — no observer (recover
+    // included) can ever see a complete generation without its marker.
+    // recover() above cleared any previous __next, so the rename target
+    // is free; a stale staging dir from a prior crash is swept first.
+    val stage = new org.apache.hadoop.fs.Path(
+      dfDir.stripSuffix("/") + "__stage")
+    fs.delete(stage, true)
+    mergedDf.write.mode("overwrite").parquet(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage,
       appliedMarker(dfDir, batchId)), true).close()
+    val next = new org.apache.hadoop.fs.Path(SnapshotSwap.nextPath(dfDir))
+    require(fs.rename(stage, next), s"foldBatch: stage failed: $stage -> $next")
     SnapshotSwap.publish(spark, dfDir)
     true
   }
@@ -98,11 +119,52 @@ object StreamingRetrieval {
                         indexDir: String): RetrievalOps.Bm25Index = {
     def rec(sub: String) = spark.read
       .option("recursiveFileLookup", "true").parquet(s"$indexDir/$sub")
+    // All THREE tables go through SnapshotSwap at some point in their
+    // lifecycle (df every batch; postings/doclens at compaction), so all
+    // three need crash repair before a read — a compaction that died
+    // mid-publish leaves postings/doclens retired-but-unswapped, and
+    // without recover every subsequent read fails until manual repair
+    // (round-14 review finding).
     SnapshotSwap.recover(spark, s"$indexDir/df")
+    SnapshotSwap.recover(spark, s"$indexDir/postings")
+    SnapshotSwap.recover(spark, s"$indexDir/doclens")
     RetrievalOps.Bm25Index(
       rec("postings").select("doc_id", "word", "tf"),
       rec("doclens").select("doc_id", "dl"),
       spark.read.parquet(s"$indexDir/df").select("word", "df"))
+  }
+
+  /** STREAMING SERVING twin of the retrieval family (VERDICT r14 item
+    * 8): answer BM25 top-k per micro-batch of QUERY documents against
+    * the FROZEN persisted index — the [[StreamingText]] lmScoreStream
+    * pattern: ZERO streaming state (no watermark, no state store; each
+    * batch is an independent scoring pass), so the serving path can
+    * restart, replay, or scale out with no recovery semantics beyond
+    * the source's own. Query terms are tokenized from the BATCH text
+    * (queries need not be corpus members; a query that IS an indexed
+    * doc gets the self-excluded audit semantics of
+    * [[RetrievalOps.bm25RanksFromIndex]]). Each batch's ranked result
+    * goes to `sink` — the pluggable downstream of the house
+    * foreachBatch twins. CONCURRENCY: reads the index at START (the
+    * frozen-snapshot contract); run the fold loop's generation swap
+    * quiescent or restart the serving query to pick up a new
+    * generation.
+    *
+    * Scale: per trigger, cost is one broadcast of the batch's query
+    * vocabulary filtering the postings scan map-side — the same
+    * bounded-query-side shape as the batch path; nothing about the
+    * stream accumulates.
+    */
+  def bm25ServeStream(spark: SparkSession, queries: DataFrame,
+                      indexDir: String, k: Int = 5)
+                     (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val idx = readStreamedIndex(spark, indexDir)
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val qterms = batch.select(col("doc_id").cast("long").as("q_id"),
+        explode(array_distinct(split(col("text"), " ", -1))).as("word"))
+      sink(RetrievalOps.bm25RanksFromIndex(idx, qterms, k), batchId)
+      ()
+    }
   }
 
   /** Periodic compaction: rewrite the accumulated postings/doclens
@@ -116,6 +178,10 @@ object StreamingRetrieval {
     * file count (before, after). */
   def compactBm25Index(spark: SparkSession, indexDir: String,
                        numFiles: Int = 8): (Long, Long) = {
+    // Repair a predecessor compaction that died mid-publish before
+    // listing/reading anything (same contract as readStreamedIndex).
+    SnapshotSwap.recover(spark, s"$indexDir/postings")
+    SnapshotSwap.recover(spark, s"$indexDir/doclens")
     def files(sub: String): Long = {
       val it = hadoopFs(spark, indexDir).listFiles(
         new org.apache.hadoop.fs.Path(s"$indexDir/$sub"), true)

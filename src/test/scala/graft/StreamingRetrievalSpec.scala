@@ -93,6 +93,81 @@ class StreamingRetrievalSpec extends SparkSpec {
     }
   }
 
+  test("batch-0 crash between staging rename and publish: replay skips " +
+    "the merge (marker travels with the data), df not double-counted") {
+    withDir { dir =>
+      // Construct the round-14 review window by hand: slices written,
+      // df__next COMPLETE and CARRYING its marker (the new staging
+      // protocol guarantees marker+data are never separated), live df
+      // missing. recover() must promote the marked generation and the
+      // replay must then SKIP — the old protocol (marker added after
+      // the parquet write) double-counted batch 0 here.
+      val b0 = corpus.filter(col("doc_id") < 5)
+      val delta = RetrievalOps.bm25BuildIndex(b0)
+      delta.postings.write.mode("overwrite").parquet(dir + "/postings/slice_0")
+      delta.doclens.write.mode("overwrite").parquet(dir + "/doclens/slice_0")
+      delta.df.write.mode("overwrite").parquet(dir + "/df__next")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(dir + "/df__next", "_applied_batch_0"))
+      assert(!StreamingRetrieval.foldBatch(spark, b0, 0L, dir)) // replay skips
+      val expected = sortedRows(RetrievalOps.bm25RanksFromIndex(
+        RetrievalOps.bm25BuildIndex(b0),
+        RetrievalOps.queryTerms(corpus, col("doc_id") < 3), k = 5))
+      assert(ranksFromDisk(dir) == expected)
+    }
+  }
+
+  test("stale staging dir from a crash before the rename is swept; " +
+    "replay redoes the merge exactly once") {
+    withDir { dir =>
+      val b0 = corpus.filter(col("doc_id") < 5)
+      val delta = RetrievalOps.bm25BuildIndex(b0)
+      delta.postings.write.mode("overwrite").parquet(dir + "/postings/slice_0")
+      delta.doclens.write.mode("overwrite").parquet(dir + "/doclens/slice_0")
+      // crash after the staging write, BEFORE the rename: stage is
+      // complete (parquet + marker) but was never promoted
+      delta.df.write.mode("overwrite").parquet(dir + "/df__stage")
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(dir + "/df__stage", "_applied_batch_0"))
+      assert(StreamingRetrieval.foldBatch(spark, b0, 0L, dir)) // replay merges
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir + "/df__stage")))
+      val expected = sortedRows(RetrievalOps.bm25RanksFromIndex(
+        RetrievalOps.bm25BuildIndex(b0),
+        RetrievalOps.queryTerms(corpus, col("doc_id") < 3), k = 5))
+      assert(ranksFromDisk(dir) == expected)
+    }
+  }
+
+  test("compaction crash mid-publish (postings retired, swap not done) " +
+    "is repaired by the next read") {
+    withDir { dir =>
+      (0 until 3).foreach { i =>
+        assert(StreamingRetrieval.foldBatch(spark,
+          corpus.filter(col("doc_id") % 3 === i), i.toLong, dir))
+      }
+      val before = ranksFromDisk(dir)
+      // simulate: compaction wrote a complete postings__next, then died
+      // between retiring live and swapping next in
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(dir + "/postings").repartition(2)
+        .write.mode("overwrite").parquet(dir + "/postings__next")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir + "/postings"),
+        java.nio.file.Paths.get(dir + "/postings__old"))
+      assert(ranksFromDisk(dir) == before)       // readStreamedIndex repairs
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir + "/postings")))
+      // and a compaction arriving on a broken predecessor also repairs
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir + "/doclens"),
+        java.nio.file.Paths.get(dir + "/doclens__old"))
+      val (_, nAfter) = StreamingRetrieval.compactBm25Index(spark, dir, 2)
+      assert(nAfter <= 2)
+      assert(ranksFromDisk(dir) == before)
+    }
+  }
+
   test("compaction bounds the file count and leaves ranks unchanged") {
     withDir { dir =>
       (0 until 5).foreach { i =>
@@ -104,6 +179,41 @@ class StreamingRetrievalSpec extends SparkSpec {
       assert(nBefore > nAfter && nAfter <= 2)
       assert(ranksFromDisk(dir) == before)
       assert(before == rebuiltRanks)
+    }
+  }
+
+  test("serving twin: per-micro-batch BM25 top-k against the frozen index " +
+    "== the batch path, external and corpus-member queries alike") {
+    withDir { dir =>
+      // index the full corpus, then serve two query micro-batches:
+      // batch 0 = corpus members 0..2 (must equal the inline audit),
+      // batch 1 = an EXTERNAL query (id outside the corpus)
+      (0 until 2).foreach { i =>
+        assert(StreamingRetrieval.foldBatch(spark,
+          corpus.filter(col("doc_id") % 2 === i), i.toLong, dir))
+      }
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val served = collection.mutable.Map.empty[Long, Seq[String]]
+      val query = StreamingRetrieval.bm25ServeStream(spark,
+          input.toDF().toDF("doc_id", "text"), dir) { (ranked, batchId) =>
+        served(batchId) = sortedRows(ranked)
+      }.option("checkpointLocation", dir + "/serve_ckpt").start()
+      try {
+        input.addData(corpus.filter(col("doc_id") < 3)
+          .as[(Long, String)].collect().toSeq: _*)
+        query.processAllAvailable()
+        input.addData((1000L, "apple banana zebra"))
+        query.processAllAvailable()
+      } finally query.stop()
+      // corpus-member batch: identical to the inline batch audit
+      assert(served(0L) == rebuiltRanks)
+      // external batch: equals the batch-path scoring of the same terms
+      val extTerms = Seq((1000L, "apple"), (1000L, "banana"), (1000L, "zebra"))
+        .toDF("q_id", "word")
+      assert(served(1L) == sortedRows(RetrievalOps.bm25RanksFromIndex(
+        StreamingRetrieval.readStreamedIndex(spark, dir), extTerms, k = 5)))
+      assert(served(1L).nonEmpty)
     }
   }
 }
