@@ -1337,6 +1337,114 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile scale-r15 [factor]` — decade lines for the round-15
+    // retrieval additions. Claims priced:
+    //  - bm25_prf_index: the PRF PRODUCTION shape — score from an
+    //    already-persisted index. Two lines: the once-per-slice index
+    //    build+write (linear; amortized across every audit that reuses
+    //    it) and the per-audit PRF scoring, which reads skinny postings
+    //    instead of re-exploding corpus text twice — must beat the
+    //    inline bm25_prf decade (167.8 s at 100×, recorded r14).
+    //  - retrieval_recall vs its SAMPLED twin at two knob settings
+    //    (128/256 and 32/256): the harness's own scale path — the
+    //    sampled estimator runs the same channels over the co-addressed
+    //    sub-corpus, so its line should track sampleBuckets/256 of the
+    //    exhaustive one.
+    //  - hybrid_rrf_index: annIndex build+write (once per slice) + the
+    //    fused query over the persisted codes.
+    if (args.headOption.contains("scale-r15")) {
+      val factor = if (args.length > 1) args(1).toInt else 10
+      val damp = amplifyDocs(docs, factor).persist()
+      t(s"amplify_docs_${factor}x")(damp.count())
+      val root = java.nio.file.Files.createTempDirectory("graft_r15")
+      try {
+        val idxDir = root.resolve("bm25idx").toString
+        t(s"bm25_idx_build_write_${factor}x") {
+          RetrievalOps.writeBm25Index(RetrievalOps.bm25BuildIndex(damp),
+            idxDir)
+          spark.read.parquet(idxDir + "/postings").count()
+        }
+        val idx = RetrievalOps.readBm25Index(spark, idxDir)
+        t(s"bm25_prf_index_${factor}x") {
+          RetrievalOps.bm25PrfFromIndex(idx,
+            RetrievalOps.queryTerms(damp, col("doc_id") < 8)).count()
+        }
+        t(s"retrieval_recall_${factor}x")(
+          RetrievalOps.retrievalRecall(damp).count())
+        t(s"retrieval_recall_sampled128_${factor}x")(
+          RetrievalOps.retrievalRecallSampled(damp).count())
+        t(s"retrieval_recall_sampled32_${factor}x")(
+          RetrievalOps.retrievalRecallSampled(damp, sampleBuckets = 32)
+            .count())
+        val annDir = root.resolve("annidx").toString
+        t(s"hybrid_rrf_index_${factor}x") {
+          RetrievalOps.hybridRrfIndexPersisted(spark, damp,
+            col("doc_id") < 8, annDir).count()
+        }
+      } finally FixtureDirs.rmTree(root)
+      damp.unpersist()
+      spark.stop(); return
+    }
+
+    // `Profile scale-r15b [factor] [sampleBuckets]` — per-channel
+    // breakdown of the recall harness at scale: times the corpus
+    // materialization, each channel, and the full harness separately so
+    // the sampled twin's cost model is attributed, not guessed.
+    if (args.headOption.contains("scale-r15b")) {
+      val factor = if (args.length > 1) args(1).toInt else 100
+      val buckets = if (args.length > 2) args(2).toInt else 32
+      val damp = amplifyDocs(docs, factor).persist()
+      t(s"amplify_docs_${factor}x")(damp.count())
+      val corpus = DedupOps.augmented(damp)
+        .filter(DedupOps.coSampleBucketCol("42") < buckets)
+      val isQuery = col("doc_id") >= 100000L && col("doc_id") < 100080L
+      t(s"corpus_count_b${buckets}_${factor}x")(corpus.count())
+      t(s"bm25_channel_b${buckets}_${factor}x")(
+        RetrievalOps.bm25Ranks(corpus, isQuery, 10).count())
+      t(s"dense_channel_b${buckets}_${factor}x")(
+        RetrievalOps.denseRanks(corpus, isQuery, 10).count())
+      t(s"recall_harness_b${buckets}_${factor}x")(
+        RetrievalOps.retrievalRecallSampled(damp, sampleBuckets = buckets)
+          .count())
+      damp.unpersist()
+      spark.stop(); return
+    }
+
+    // `Profile scale-r15c [factor] [sampleBuckets]` — stage attribution
+    // INSIDE the BM25 channel on the (sampled) recall corpus: the r15b
+    // breakdown showed a ~110 s component of bm25Ranks that does not
+    // shrink with the sample; this mode reproduces the channel's
+    // intermediate frames and times each.
+    if (args.headOption.contains("scale-r15c")) {
+      val factor = if (args.length > 1) args(1).toInt else 100
+      val buckets = if (args.length > 2) args(2).toInt else 32
+      val damp = amplifyDocs(docs, factor).persist()
+      t(s"amplify_docs_${factor}x")(damp.count())
+      val corpus = DedupOps.augmented(damp)
+        .filter(DedupOps.coSampleBucketCol("42") < buckets)
+      val isQuery = col("doc_id") >= 100000L && col("doc_id") < 100080L
+      val toksCol = split(col("text"), " ", -1)
+      val qterms = RetrievalOps.queryTerms(corpus, isQuery)
+      t(s"qterms_b${buckets}")(qterms.count())
+      val qvocab = qterms.select("word").distinct()
+      t(s"qvocab_b${buckets}")(qvocab.count())
+      val toks = corpus.select(col("doc_id"), explode(toksCol).as("word"))
+        .join(broadcast(qvocab), "word")
+      t(s"toks_b${buckets}")(toks.count())
+      val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      t(s"tf_b${buckets}")(tf.count())
+      val dfT = toks.groupBy("word")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      t(s"df_b${buckets}")(dfT.count())
+      val dl = corpus.select(col("doc_id"),
+        size(toksCol).cast("long").as("dl"))
+      t(s"dl_b${buckets}")(dl.count())
+      t(s"bm25_full_b${buckets}")(
+        RetrievalOps.bm25Ranks(corpus, isQuery, 10).count())
+      damp.unpersist()
+      spark.stop(); return
+    }
+
     // `Profile recall-inc-sweep` — the incremental-ANN recall/cost knob
     // sheet: probe-1 recall is chance-level on the near-orthogonal
     // synthetic corpus (PLANS.md), so quantify BOTH levers a deployment

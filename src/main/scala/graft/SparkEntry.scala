@@ -424,6 +424,18 @@ object SparkEntry {
       MultimodalOps.decodeJpegBanded(s,
         s.read.format("binaryFile").load(fix), D(s, dir))
     }),
+    // the quarantine contract on the lossy path: junk + truncated-JPEG
+    // blobs become 'corrupt' verdict rows with null geometry; decodable
+    // rasters keep exact dims (lossy compression never changes
+    // geometry, so status + dims ARE cross-engine hashable)
+    "multimodal_decode_jpeg_quarantine" -> ((s, dir) => {
+      val fix = FixtureDirs.dir("graft_jpgq", dir)
+      MultimodalOps.writeJpegFixtureTree(D(s, dir), fix)
+      MultimodalOps.writeCorruptJpegFixtures(fix)
+      MultimodalOps.decodeImagesLenient(s,
+        s.read.format("binaryFile").load(fix)).toDF()
+        .select("doc_id", "status", "width", "height", "n_px")
+    }),
     // REAL audio (round 12): deterministic 16-bit PCM WAV fixtures
     // hand-rolled from documents by byte arithmetic, decoded
     // executor-side through javax.sound.sampled; the oracle recomputes
@@ -1139,6 +1151,8 @@ object SparkEntry {
     "multimodal_decode" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_png" -> MultimodalOps.decodeImagesOracle(),
     "multimodal_decode_jpeg" -> MultimodalOps.decodeJpegBandedOracle(),
+    "multimodal_decode_jpeg_quarantine" ->
+      MultimodalOps.decodeJpegQuarantineOracle(),
     "multimodal_decode_wav" -> MultimodalOps.decodeAudioOracle(),
     "multimodal_resample_wav" -> MultimodalOps.resampleAudioOracle(),
     "multimodal_decode_ulaw" -> MultimodalOps.decodeUlawOracle(),

@@ -893,6 +893,28 @@ object MultimodalOps {
        |FROM documents
        |WHERE doc_id < $maxDocId AND text IS NOT NULL AND length(text) > 0""".stripMargin
 
+  /** Oracle for the registered JPEG quarantine row: the formula's dims
+    * tagged 'ok' UNION the two literal corrupt verdicts (null dims) —
+    * the [[decodeLenientOracle]] contract for a codec whose SUMS no
+    * cross-engine oracle can hash (lossy), so the quarantine row pins
+    * status + geometry instead. */
+  def decodeJpegQuarantineOracle(maxDocId: Long = 256L, junkId: Long = 300L,
+                                 truncId: Long = 301L): String =
+    s"""SELECT doc_id, 'ok' AS status,
+       |  CAST(1 + (length(text) % 13) AS BIGINT) AS width,
+       |  CAST(1 + (doc_id % 7) AS BIGINT) AS height,
+       |  CAST((1 + (length(text) % 13)) * (1 + (doc_id % 7)) AS BIGINT) AS n_px
+       |FROM documents
+       |WHERE doc_id < $maxDocId AND text IS NOT NULL AND length(text) > 0
+       |UNION ALL
+       |SELECT $junkId AS doc_id, 'corrupt' AS status,
+       |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+       |  CAST(NULL AS BIGINT) AS n_px
+       |UNION ALL
+       |SELECT $truncId AS doc_id, 'corrupt' AS status,
+       |  CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+       |  CAST(NULL AS BIGINT) AS n_px""".stripMargin
+
   /** Deterministic corrupt image fixtures: one junk blob (not a JPEG at
     * all) and one TRUNCATED JPEG (a valid stream cut after 24 bytes —
     * the mid-upload failure shape). Ids above the doc range, same

@@ -79,7 +79,13 @@ object RetrievalOps {
       .select(col("doc_id"), explode(toksCol).as("word"))
       .join(broadcast(qvocab), "word")
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfT = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    // df = distinct docs per word = ROWS of tf per word (tf is one row
+    // per (doc, word)) — the same derivation [[bm25BuildIndex]] uses.
+    // Deriving from tf instead of a second countDistinct over toks lets
+    // ReuseExchange serve BOTH consumers from ONE explode+join+agg
+    // (round 15: the duplicated toks evaluation was ~25% of the whole
+    // channel at the 100× ladder), and drops the countDistinct expand.
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = corpus.select(col("doc_id"), size(toksCol).cast("long").as("dl"))
     scoreAndRank(tf, dfT, dl, qterms, k)
   }
@@ -161,12 +167,24 @@ object RetrievalOps {
     // queries×m rows — the same pinned-feedback lifecycle as [[bm25Prf]]
     val fbIds = bm25RanksFromIndex(idx, qterms, m)
       .select(col("q_id"), col("doc_id")).persist(lvl)
+    // queries×feedback-vocab rows. PINNED because the expansion DAG
+    // references it twice (the esc join and the candidate-vocab
+    // broadcast inside cdf) and each evaluation costs a postings scan —
+    // and because the EXPANDED TERM TABLE below is referenced three
+    // times by the second scoring pass (tf filter, df filter,
+    // scoreAndRank's qterms join): unpinned, the 10× ladder measured
+    // 26.5 s (≈ the inline two-explode PRF — six hidden postings scans
+    // re-deriving the expansion), pinned it is the ~2-scoring-passes
+    // cost the index-backed formulation exists for.
+    val fbCand = idx.postings
+      .join(broadcast(fbIds), "doc_id")
+      .groupBy("q_id", "word").agg(sum("tf").as("w"))
+      .join(qterms, Seq("q_id", "word"), "left_anti")
+      .persist(lvl)
+    // queries×(query-terms+e) rows — the second pass's term table
+    var expanded: DataFrame = null
     try {
       fbIds.count()
-      val fbCand = idx.postings
-        .join(broadcast(fbIds), "doc_id")
-        .groupBy("q_id", "word").agg(sum("tf").as("w"))
-        .join(qterms, Seq("q_id", "word"), "left_anti")
       val nDocs = idx.doclens.agg(count(lit(1)).as("n_docs"))
       val cdf = idx.df
         .join(broadcast(fbCand.select("word").distinct()), "word")
@@ -182,10 +200,15 @@ object RetrievalOps {
         .withColumn("r", row_number().over(expW))
         .filter(col("r") <= e)
         .select("q_id", "word")
-      val out = bm25RanksFromIndex(idx, qterms.unionAll(exp), k).persist(lvl)
-      out.count() // materialize while the feedback ids are still cached
+      expanded = qterms.unionAll(exp).persist(lvl)
+      expanded.count()
+      val out = bm25RanksFromIndex(idx, expanded, k).persist(lvl)
+      out.count() // materialize while the pinned inputs are still cached
       out
-    } finally fbIds.unpersist()
+    } finally {
+      fbIds.unpersist(); fbCand.unpersist()
+      if (expanded != null) expanded.unpersist()
+    }
   }
 
   /** The expansion + second pass given pinned feedback ids (split out
@@ -211,7 +234,8 @@ object RetrievalOps {
       .select(col("doc_id"), explode(toksCol).as("word"))
       .join(broadcast(vocab2), "word")
     val tf2 = toks2.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df2 = toks2.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    // df from tf, as in [[bm25RanksForTerms]]: one shared toks2 pass
+    val df2 = tf2.groupBy("word").agg(count(lit(1)).as("df"))
     val dl = corpus.select(col("doc_id"), size(toksCol).cast("long").as("dl"))
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
     val expW = Window.partitionBy("q_id")
@@ -623,12 +647,23 @@ object RetrievalOps {
     // truth — the registered twin rows price what probe-1 costs in
     // recall next to the brute-force channel's ceiling.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val s = bm25Ranks(corpus, isQuery, kChannel).persist(lvl)
-    val d = denseChannel(corpus, isQuery, kChannel).persist(lvl)
+    // Pin the EVALUATION corpus itself for the harness's duration
+    // (round 15): between them the two channels + nq evaluate the
+    // corpus expression 6+ times (qterms / toks / dl on the sparse
+    // side, two hashedTf aggregations on the dense side), and the
+    // corpus here is never a raw table — it is the 3-scan augmented
+    // union, optionally behind the sampled filter. Caching it is safe
+    // by the harness contract: this is evaluation-class code whose
+    // corpus is bounded (the sampled twin IS the 100 TB path, and its
+    // sampled corpus is knob-bounded); production retrieval paths
+    // (hybridRrf*, bm25RanksFromIndex) do NOT cache their corpus.
+    val c = corpus.persist(lvl)
+    val s = bm25Ranks(c, isQuery, kChannel).persist(lvl)
+    val d = denseChannel(c, isQuery, kChannel).persist(lvl)
     try {
       s.count(); d.count()
       val h = rrfFuse(s, d, k)
-      val nQ = corpus.filter(isQuery).agg(count(lit(1)).as("n_queries"))
+      val nQ = c.filter(isQuery).agg(count(lit(1)).as("n_queries"))
       def hits(ranked: DataFrame, name: String): DataFrame = ranked
         .filter(col("rank") <= k && col("doc_id") === col("q_id") - 100000L)
         .agg(count(lit(1)).as("n_hits"))
@@ -642,7 +677,7 @@ object RetrievalOps {
         .persist(lvl)
       out.count() // materialize while the channel lists are still cached
       out
-    } finally { s.unpersist(); d.unpersist() }
+    } finally { s.unpersist(); d.unpersist(); c.unpersist() }
   }
 
   // ---------------------------------------------------------------

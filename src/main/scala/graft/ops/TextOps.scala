@@ -173,8 +173,10 @@ object TextOps {
     val tokens = documents.select(col("doc_id"),
       explode(split(col("text"), " ", -1)).as("word"))
     val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tokens.groupBy("word")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df = rows of tf per word (one row per (doc, word)) — shares the
+    // tokens explode + tf exchange with the score join via
+    // ReuseExchange instead of a second explode + countDistinct expand
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = documents.select(count(lit(1)).as("n_docs"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")

@@ -167,6 +167,39 @@ object StreamingRetrieval {
     }
   }
 
+  /** HYBRID serving twin: per-micro-batch RRF fusion of the BM25
+    * channel (frozen persisted inverted index, as [[bm25ServeStream]])
+    * and the persisted-PQ dense channel ([[graft.ops.PqOps
+    * .annIndexTopK]] over a frozen [[graft.ops.PqOps.annIndex]] of the
+    * doc vectors + its frozen codebook) — the COMPLETE production
+    * retrieval serving shape: both index artifacts read once at start,
+    * zero streaming state, each trigger is two broadcast-query-side
+    * scoring passes plus a fusion of two k-bounded lists. Batch query
+    * vectors are hashed-TF embeddings of the batch text
+    * ([[graft.ops.RetrievalOps.denseDocEmbeddings]]), so external
+    * queries work on both channels. */
+  def hybridServeStream(spark: SparkSession, queries: DataFrame,
+                        indexDir: String, annIndex: DataFrame,
+                        cb: Array[Array[Seq[Double]]], kChannel: Int = 10,
+                        k: Int = 5)
+                       (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val idx = readStreamedIndex(spark, indexDir)
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val docs = batch.select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      val qterms = docs.select(col("doc_id").as("q_id"),
+        explode(array_distinct(split(col("text"), " ", -1))).as("word"))
+      val sparse = graft.ops.RetrievalOps.bm25RanksFromIndex(idx, qterms,
+        kChannel)
+      val dense = graft.ops.PqOps.annIndexTopK(annIndex,
+          graft.ops.RetrievalOps.denseDocEmbeddings(docs), cb,
+          k = kChannel)
+        .select(col("q_id"), col("nn_id").as("doc_id"), col("rank"))
+      sink(graft.ops.RetrievalOps.rrfFuse(sparse, dense, k), batchId)
+      ()
+    }
+  }
+
   /** Periodic compaction: rewrite the accumulated postings/doclens
     * slices as `numFiles` large files each (one generation swap per
     * table; df is already one vocab-sized generation). No distinct(),

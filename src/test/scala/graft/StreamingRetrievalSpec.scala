@@ -216,4 +216,36 @@ class StreamingRetrievalSpec extends SparkSpec {
       assert(served(1L).nonEmpty)
     }
   }
+
+  test("hybrid serving twin: per-batch RRF fusion over both frozen indexes " +
+    "== the batch fusion of the same channels") {
+    import graft.ops.PqOps
+    withDir { dir =>
+      (0 until 2).foreach { i =>
+        assert(StreamingRetrieval.foldBatch(spark,
+          corpus.filter(col("doc_id") % 2 === i), i.toLong, dir))
+      }
+      val vecs = RetrievalOps.denseDocEmbeddings(corpus)
+      val cb = PqOps.trainCodebook(vecs)
+      val annIdx = PqOps.annIndex(vecs, cb)
+      val expected = sortedRows(RetrievalOps.rrfFuse(
+        RetrievalOps.bm25Ranks(corpus, col("doc_id") < 2, 10),
+        RetrievalOps.denseRanksAnnIndex(corpus, col("doc_id") < 2, 10,
+          prebuilt = Some((annIdx, cb)))
+          .select(col("q_id"), col("doc_id"), col("rank")), k = 5))
+      implicit val sq = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val served = collection.mutable.Map.empty[Long, Seq[String]]
+      val query = StreamingRetrieval.hybridServeStream(spark,
+          input.toDF().toDF("doc_id", "text"), dir, annIdx, cb) {
+        (fused, batchId) => served(batchId) = sortedRows(fused)
+      }.option("checkpointLocation", dir + "/hserve_ckpt").start()
+      try {
+        input.addData(corpus.filter(col("doc_id") < 2)
+          .as[(Long, String)].collect().toSeq: _*)
+        query.processAllAvailable()
+      } finally query.stop()
+      assert(served(0L) == expected && served(0L).nonEmpty)
+    }
+  }
 }
