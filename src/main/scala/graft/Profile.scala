@@ -125,6 +125,54 @@ object Profile {
       spark.stop(); return
     }
 
+    // `Profile jobstats <query> [...]` — attribute one registered query's
+    // wall-clock (round 15, guide §1): a SparkListener counts jobs /
+    // stages / tasks and sums executor task time, so wall − Σtask-time/
+    // cores separates scheduling+planning overhead from compute. At
+    // sf0.1 the inputs are sub-MB, so a multi-second query is almost
+    // always OVERHEAD-bound (many jobs / stages / tiny shuffles) — the
+    // same pass count that multiplies real I/O at 100 TB.
+    if (args.headOption.contains("jobstats")) {
+      import org.apache.spark.scheduler._
+      import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+      val jobs = new AtomicInteger; val stages = new AtomicInteger
+      val tasks = new AtomicInteger; val taskMs = new AtomicLong
+      val shufWr = new AtomicLong
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          shufWr.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        }
+      }
+      args.drop(1).foreach { name =>
+        val fn = SparkEntry.queries(name)
+        // rep 1 warms codegen/caches; rep 2 is the measured one (Bench's
+        // median-of-3 is warm-dominated for the same reason)
+        fn(spark, sfDir).count(); spark.catalog.clearCache()
+        jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); shufWr.set(0)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        // let queued listener events drain before reading counters
+        // (listenerBus.waitUntilEmpty is private[spark]; a beat suffices
+        // for a profiling tool)
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[jobstats] $name%-34s wall=$wall%7.2fs jobs=${jobs.get}%3d " +
+          f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +
+          f"taskSum=${taskMs.get / 1e3}%8.2fs shufWr=${shufWr.get / 1e6}%8.2fMB rows=$n")
+      }
+      spark.stop(); return
+    }
+
     // `Profile time <query> [reps]` — isolate one registered query's
     // wall-clock (3 reps default; cache cleared between reps like Bench).
     if (args.headOption.contains("time")) {

@@ -75,10 +75,21 @@ object RetrievalOps {
   def bm25RanksForTerms(corpus: DataFrame, qterms: DataFrame,
                         k: Int = 5): DataFrame = {
     val qvocab = qterms.select("word").distinct()
+    // dl is ATTACHED AT THE EXPLODE (round 15, guide §2.4 "remove
+    // shuffles outright"): size(toks) rides along as one extra long per
+    // exploded row and survives the tf aggregation as max(dl) (constant
+    // per doc, so max = the value). The previous formulation joined a
+    // separate corpus-wide (doc_id, dl) frame onto tf inside
+    // scoreAndRank — locally a second scan+repartition+broadcast per
+    // scoring pass, at 100 TB a corpus-sized shuffle join (doclens is
+    // data-sized, not broadcastable). Values are identical, so the
+    // oracle SQL is untouched.
     val toks = corpus
-      .select(col("doc_id"), explode(toksCol).as("word"))
+      .select(col("doc_id"), size(toksCol).cast("long").as("dl"),
+        explode(toksCol).as("word"))
       .join(broadcast(qvocab), "word")
-    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     // df = distinct docs per word = ROWS of tf per word (tf is one row
     // per (doc, word)) — the same derivation [[bm25BuildIndex]] uses.
     // Deriving from tf instead of a second countDistinct over toks lets
@@ -86,9 +97,16 @@ object RetrievalOps {
     // (round 15: the duplicated toks evaluation was ~25% of the whole
     // channel at the 100× ladder), and drops the countDistinct expand.
     val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val dl = corpus.select(col("doc_id"), size(toksCol).cast("long").as("dl"))
-    scoreAndRank(tf, dfT, dl, qterms, k)
+    scoreAndRank(tf, dfT, corpusNAvg(corpus), qterms, k)
   }
+
+  /** (n, avgdl) from the corpus in ONE skinny aggregate — count and the
+    * exact integer token-count sum (commutes in any order) with one IEEE
+    * division, bit-identical to the previous dl-frame derivation. */
+  private def corpusNAvg(corpus: DataFrame): DataFrame =
+    corpus.agg(count(lit(1)).as("n"),
+      (sum(size(toksCol).cast("long")).cast("double") / count(lit(1)))
+        .as("avgdl"))
 
   /** BM25 with PSEUDO-RELEVANCE FEEDBACK (RM3-lite query expansion):
     * first pass retrieves the top-`m` feedback documents per query;
@@ -230,13 +248,15 @@ object RetrievalOps {
     // cut). tf rows of unchosen candidates are dropped by
     // scoreAndRank's qterms join, so scores are unchanged.
     val vocab2 = qt.select("word").unionAll(fbCand.select("word")).distinct()
+    // dl attached at the explode, as in [[bm25RanksForTerms]] (round 15)
     val toks2 = corpus
-      .select(col("doc_id"), explode(toksCol).as("word"))
+      .select(col("doc_id"), size(toksCol).cast("long").as("dl"),
+        explode(toksCol).as("word"))
       .join(broadcast(vocab2), "word")
-    val tf2 = toks2.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf2 = toks2.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     // df from tf, as in [[bm25RanksForTerms]]: one shared toks2 pass
     val df2 = tf2.groupBy("word").agg(count(lit(1)).as("df"))
-    val dl = corpus.select(col("doc_id"), size(toksCol).cast("long").as("dl"))
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
     val expW = Window.partitionBy("q_id")
       .orderBy(col("esc").desc, col("word").asc)
@@ -249,7 +269,7 @@ object RetrievalOps {
       .withColumn("r", row_number().over(expW))
       .filter(col("r") <= e)
       .select("q_id", "word")
-    scoreAndRank(tf2, df2, dl, qt.unionAll(exp), k)
+    scoreAndRank(tf2, df2, corpusNAvg(corpus), qt.unionAll(exp), k)
   }
 
   /** The scoring tail shared by the inline ([[bm25Ranks]]) and
@@ -260,10 +280,12 @@ object RetrievalOps {
     * [k1 = 1.2, b = 0.75]; per-(query, doc) score = term-lexicographic
     * strict left fold from 0.0.
     */
-  private def scoreAndRank(tf: DataFrame, dfT: DataFrame, dl: DataFrame,
+  private def scoreAndRank(tf: DataFrame, dfT: DataFrame, nAvg: DataFrame,
                            qterms: DataFrame, k: Int): DataFrame = {
-    val nAvg = dl.agg(count(lit(1)).as("n"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // `tf` carries (doc_id, word, tf, dl): inline passes attach dl at
+    // the explode; the index path joins doclens once before calling
+    // (round 15 — the per-pass corpus-wide dl join is gone, guide §2.4).
+    // `nAvg` is the 1-row (n, avgdl) aggregate, broadcast.
     val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val norm = lit(0.25) + (lit(0.75) * (col("dl").cast("double") / col("avgdl")))
@@ -275,7 +297,6 @@ object RetrievalOps {
     tf.join(broadcast(dfT), "word")
       .join(broadcast(qterms), "word")
       .filter(col("doc_id") =!= col("q_id"))
-      .join(dl, "doc_id")
       .crossJoin(broadcast(nAvg))
       .withColumn("c", contrib)
       .groupBy("q_id", "doc_id")
@@ -338,9 +359,20 @@ object RetrievalOps {
           .as("df"))
 
   def writeBm25Index(idx: Bm25Index, dir: String): Unit = {
-    idx.postings.write.mode("overwrite").parquet(dir + "/postings")
-    idx.doclens.write.mode("overwrite").parquet(dir + "/doclens")
-    idx.df.write.mode("overwrite").parquet(dir + "/df")
+    // PIN postings across the three writes (round 15, guide §2.4): when
+    // df derives from postings (every [[bm25BuildIndex]] caller), the df
+    // write used to RE-EXECUTE the full corpus explode+aggregate —
+    // ReuseExchange never spans separate write actions, but the
+    // CacheManager rewrites the identical postings subtree inside
+    // idx.df's plan to an InMemoryTableScan, so the corpus is tokenized
+    // ONCE per index build instead of twice. The postings write itself
+    // populates the cache; unpersist on return (caller owns nothing).
+    val p = idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      p.write.mode("overwrite").parquet(dir + "/postings")
+      idx.doclens.write.mode("overwrite").parquet(dir + "/doclens")
+      idx.df.write.mode("overwrite").parquet(dir + "/df")
+    } finally p.unpersist()
   }
 
   def readBm25Index(spark: SparkSession, dir: String): Bm25Index = Bm25Index(
@@ -360,9 +392,17 @@ object RetrievalOps {
   def bm25RanksFromIndex(idx: Bm25Index, qterms: DataFrame,
                          k: Int = 5): DataFrame = {
     val qvocab = qterms.select("word").distinct()
+    // dl joined ONCE onto the vocab-filtered postings (the artifact
+    // keeps doclens separate — the standard inverted-index layout); the
+    // join's left side is already query-bounded, and the corpus-sized
+    // doclens side streams through unshuffled when the planner picks a
+    // broadcast of the filtered postings.
     val tf = idx.postings.join(broadcast(qvocab), "word")
+      .join(idx.doclens, "doc_id")
     val dfT = idx.df.join(broadcast(qvocab), "word")
-    scoreAndRank(tf, dfT, idx.doclens, qterms, k)
+    val nAvg = idx.doclens.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    scoreAndRank(tf, dfT, nAvg, qterms, k)
   }
 
   // ---------------------------------------------------------------

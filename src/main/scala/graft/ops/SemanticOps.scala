@@ -914,10 +914,25 @@ object SemanticOps {
     * comparable. Size `buckets` to the corpus instead; the coverage
     * row is the guard.)
     */
-  def tripletMining(documents: DataFrame, buckets: Int = 64): DataFrame =
-    tripletsFromPairs(
-      DedupOps.minhashPairs(DedupOps.augmented(documents)),
-      DedupOps.augmented(documents), buckets)
+  def tripletMining(documents: DataFrame, buckets: Int = 64): DataFrame = {
+    // PIN the banded pair surface (round 15, guide §5 caching-when-
+    // reused): [[tripletsFromPairs]] references `pairs` THREE times
+    // (anchor list + both directions of the near-dup exclusion), and
+    // unpinned each reference re-ran the full candidate self-join +
+    // Jaccard verify (~3× the dominant cost; 1456 tasks measured at
+    // sf0.1). The pair list is pair-count-bounded — tiny relative to
+    // the corpus — so this is the same eager-materialize lifecycle as
+    // [[tripletCoverage]] / [[graft.ops.RetrievalOps.bm25Prf]].
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = DedupOps.augmented(documents)
+    val pairs = DedupOps.minhashPairs(corpus).persist(lvl)
+    try {
+      pairs.count()
+      val out = tripletsFromPairs(pairs, corpus, buckets).persist(lvl)
+      out.count() // materialize while the pair surface is still cached
+      out
+    } finally pairs.unpersist()
+  }
 
   /** Coverage ledger for [[tripletMining]]'s drop contract: one row —
     * (n_pairs, n_triplets, n_dropped) — where n_dropped counts the
