@@ -396,6 +396,72 @@ object PqEncodeKernel {
   }
 }
 
+/** Native dense hashed-TF vector:
+  * `hashed_tf_vec(tokens: array<string>, dims) -> array<long>`.
+  *
+  * v[d] = count of non-empty tokens with hash60(token) % dims == d —
+  * exactly the dense form [[graft.ops.RetrievalOps.denseVectors]] used
+  * to derive in TWO shuffles (explode → count by (doc, dim) → re-group
+  * by doc → densify). One map-side pass per row instead (round 15,
+  * guide §2.4): at 100 TB the per-document vector never shuffles at
+  * all until the consumer needs it to. Returns NULL when the row has
+  * no valid (non-empty, non-null) token — those docs produced no
+  * hashedTf rows, so the exploded form emitted no vector for them;
+  * callers filter nulls to keep the document set bit-identical.
+  */
+case class HashedTfVec(child: Expression, dims: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_tf_vec"
+
+  /** Nullable regardless of the child: an all-empty token array yields
+    * null (the same janino `false = true` trap as [[DotFold]]). */
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashedTfVecKernel.eval(input.asInstanceOf[ArrayData], dims)
+
+  /** Same typed-static-call codegen shape as [[SimHash60]]. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("htfRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.HashedTfVecKernel.eval($arr, $dims);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashedTfVec =
+    copy(child = newChild)
+}
+
+/** Static kernel for [[HashedTfVec]] (see [[SimHashKernel]]). */
+object HashedTfVecKernel {
+  def eval(arr: ArrayData, dims: Int): ArrayData = {
+    val v = new Array[Long](dims)
+    var seen = false
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() > 0) {
+          v((Hash60.hash(s.getBytes) % dims).toInt) += 1L
+          seen = true
+        }
+      }
+      i += 1
+    }
+    if (!seen) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(v)
+  }
+}
+
 /** Column-level entry points for the native expressions. */
 object native {
   def simhash60(tokens: Column): Column =
@@ -406,6 +472,8 @@ object native {
     ColumnBridge.column(DotFold(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sigAgree(a: Column, b: Column): Column =
     ColumnBridge.column(SigAgree(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hashedTfVec(tokens: Column, dims: Int = 64): Column =
+    ColumnBridge.column(HashedTfVec(ColumnBridge.expression(tokens), dims))
 
   /** PQ encode against a frozen codebook `cb(s)(j) = subvector` (the
     * [[graft.ops.PqOps]] driver-side shape). Flattens to the kernel's

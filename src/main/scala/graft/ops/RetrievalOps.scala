@@ -415,13 +415,19 @@ object RetrievalOps {
     * stay exact). In a persisted deployment this is the document-side
     * vector index. */
   def denseVectors(corpus: DataFrame, dims: Int = 64): DataFrame =
-    SemanticOps.hashedTf(corpus, dims)
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("tf"))))
-        .as("m"))
-      .select(col("doc_id"), expr(
-        s"transform(sequence(0, ${dims - 1}), d -> coalesce(element_at(m, CAST(d AS BIGINT)), 0L))")
-        .as("v"))
+    // ONE map-side pass per document (round 15, guide §2.4): the
+    // previous derivation exploded to (doc, token) rows, counted by
+    // (doc, dim) and re-grouped to densify — TWO corpus-wide shuffles
+    // per call (and every dense channel calls this twice: corpus +
+    // query sides). The native kernel builds the same long[dims]
+    // vector row-locally; docs with no valid token yield NULL (they
+    // produced no hashedTf rows before) and are filtered, so the
+    // document set and every vector value are bit-identical — the
+    // hashedTf-derived DuckDB twins are untouched.
+    corpus.select(col("doc_id"),
+        graft.functions.native.hashedTfVec(split(col("text"), " ", -1), dims)
+          .as("v"))
+      .filter(col("v").isNotNull)
 
   /** Dense ranked channel: cosine top-k over the model-free
     * [[SemanticOps.hashedTf]] document vectors (feature hashing to

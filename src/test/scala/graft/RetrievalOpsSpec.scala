@@ -27,6 +27,29 @@ class RetrievalOpsSpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("denseVectors: native map-side kernel == exploded hashedTf " +
+    "derivation (values, doc set, empty/whitespace docs dropped)") {
+    // includes a doc with NO valid token (empty text splits to [""]) and
+    // a whitespace-only doc — both produced no hashedTf rows under the
+    // old two-shuffle derivation and must stay absent (round 15: the
+    // kernel returns null for them and denseVectors filters).
+    val tricky = corpus.unionAll(Seq(
+      (100L, ""), (101L, "  "), (102L, "apple  banana")) // double space => empty middle token
+      .toDF("doc_id", "text"))
+    val dims = 64
+    val reference = graft.ops.SemanticOps.hashedTf(tricky, dims)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("tf"))))
+        .as("m"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${dims - 1}), d -> coalesce(element_at(m, CAST(d AS BIGINT)), 0L))")
+        .as("v"))
+    assert(sortedRows(RetrievalOps.denseVectors(tricky, dims)) ==
+      sortedRows(reference))
+    assert(!RetrievalOps.denseVectors(tricky, dims).collect()
+      .map(_.getLong(0)).toSet.exists(Set(100L, 101L)))
+  }
+
   test("rrfFuse: exact arithmetic, absent channel contributes 0, -1 marker") {
     val s = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("q_id", "doc_id", "rank")
     val d = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("q_id", "doc_id", "rank")
