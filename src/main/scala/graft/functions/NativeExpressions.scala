@@ -220,6 +220,69 @@ case class DotFold(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native integer dot product:
+  * `dot_fold_long(a: array<long>, b: array<long>) -> long`.
+  *
+  * The exact-integer twin of [[DotFold]] for the retrieval dense
+  * channel's hashed-TF vectors: identical to `aggregate(zip_with(a, b,
+  * (x, y) -> x * y), 0L, (acc, x) -> acc + x)` — integer adds commute,
+  * so there is no IEEE-order caveat at all; overflow wraps with Java
+  * long semantics exactly like the HOF form. Null if lengths differ or
+  * any element is null. The HOF form interprets two lambdas and builds
+  * an intermediate array PER PAIR in the channel's candidate loop
+  * (queries × corpus rows); this is one primitive loop inside
+  * whole-stage codegen (round 15, guide §1.2 per-task work).
+  */
+case class DotFoldLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_fold_long"
+
+  /** Nullable even when both children are non-nullable (see [[DotFold]]). */
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n);
+         |long $acc = 0L;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFoldLong =
+    copy(left = l, right = r)
+}
+
 /** Native signature agreement:
   * `sig_agree(a: array<long>, b: array<long>) -> int`.
   *
@@ -474,6 +537,8 @@ object native {
     ColumnBridge.column(SigAgree(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def hashedTfVec(tokens: Column, dims: Int = 64): Column =
     ColumnBridge.column(HashedTfVec(ColumnBridge.expression(tokens), dims))
+  def dotFoldLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotFoldLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** PQ encode against a frozen codebook `cb(s)(j) = subvector` (the
     * [[graft.ops.PqOps]] driver-side shape). Flattens to the kernel's

@@ -444,7 +444,13 @@ object RetrievalOps {
     */
   def denseRanks(corpus: DataFrame, isQuery: Column, k: Int = 5,
                  dims: Int = 64): DataFrame = {
-    def n2(v: String) = expr(s"aggregate($v, 0L, (acc, x) -> acc + x * x)")
+    // dots/norms through the native codegen'd integer fold (round 15):
+    // the aggregate(zip_with(...)) HOFs interpreted two lambdas and
+    // materialized an intermediate array PER CANDIDATE PAIR in the
+    // queries × corpus loop — the channel's hot path. Exact integer
+    // sums, so the values (and the DuckDB twins) are unchanged.
+    def n2(v: String) =
+      graft.functions.native.dotFoldLong(col(v), col(v))
     val qvecs = denseVectors(corpus.filter(isQuery), dims)
       .select(col("doc_id").as("q_id"), col("v").as("qv"),
         n2("v").as("n2q"))
@@ -454,8 +460,8 @@ object RetrievalOps {
       .withColumn("n2d", n2("v"))
       .crossJoin(broadcast(qvecs))
       .filter(col("doc_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot",
+        graft.functions.native.dotFoldLong(col("v"), col("qv")))
       .filter(col("dot") > 0L)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("n2q").cast("double")) * sqrt(col("n2d").cast("double"))))
@@ -489,11 +495,14 @@ object RetrievalOps {
     */
   def denseRanksLsh(corpus: DataFrame, isQuery: Column, k: Int = 5,
                     dims: Int = 64, planes: Int = 8): DataFrame = {
-    def n2(v: String) = expr(s"aggregate($v, 0L, (acc, x) -> acc + x * x)")
+    // native integer folds for norms, plane dots and pair dots — the
+    // same swap as [[denseRanks]] (round 15); plane coefficients become
+    // array<long> literals, values unchanged.
+    def n2(v: String) =
+      graft.functions.native.dotFoldLong(col(v), col(v))
     val bucketCol = denseLshCoefs(planes, dims).zipWithIndex.map {
       case (cs, p) =>
-        when(expr(s"aggregate(zip_with(v, array(${cs.mkString(", ")}), " +
-          "(a, b) -> a * b), 0L, (acc, x) -> acc + x)") > 0L,
+        when(graft.functions.native.dotFoldLong(col("v"), typedlit(cs)) > 0L,
           lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val qvecs = denseVectors(corpus.filter(isQuery), dims)
@@ -506,8 +515,8 @@ object RetrievalOps {
       .withColumn("n2d", n2("v")).withColumn("bucket", bucketCol)
       .join(broadcast(qvecs), col("bucket") === col("q_bucket") &&
         col("doc_id") =!= col("q_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(v, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot",
+        graft.functions.native.dotFoldLong(col("v"), col("qv")))
       .filter(col("dot") > 0L)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("n2q").cast("double")) * sqrt(col("n2d").cast("double"))))
