@@ -138,12 +138,18 @@ object Profile {
       val jobs = new AtomicInteger; val stages = new AtomicInteger
       val tasks = new AtomicInteger; val taskMs = new AtomicLong
       val shufWr = new AtomicLong
+      val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int, Long, Long)]()
       val listener = new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit =
           jobs.incrementAndGet()
         override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
-          shufWr.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          val m = s.stageInfo.taskMetrics
+          shufWr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          stageAgg.put(s.stageInfo.stageId,
+            (s.stageInfo.name.takeWhile(_ != '\n').take(70),
+              m.executorRunTime, s.stageInfo.numTasks,
+              m.executorDeserializeTime, m.jvmGCTime))
         }
         override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
           tasks.incrementAndGet()
@@ -169,7 +175,54 @@ object Profile {
         println(f"[jobstats] $name%-34s wall=$wall%7.2fs jobs=${jobs.get}%3d " +
           f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +
           f"taskSum=${taskMs.get / 1e3}%8.2fs shufWr=${shufWr.get / 1e6}%8.2fMB rows=$n")
+        import scala.jdk.CollectionConverters._
+        stageAgg.asScala.toSeq.sortBy(-_._2._2).take(8).foreach {
+          case (sid, (nm, run, nt, deser, gc)) =>
+            println(f"[jobstats]   stage $sid%4d run=${run / 1e3}%7.2fs " +
+              f"deser=${deser / 1e3}%6.2fs gc=${gc / 1e3}%5.2fs tasks=$nt%4d  $nm")
+        }
+        stageAgg.clear()
       }
+      spark.stop(); return
+    }
+
+    // `Profile prf-breakdown` — time the PRF pipeline's components in
+    // isolation (round 15): bare corpus tokenize+explode+tf, the first
+    // scoring pass, feedback expansion, and the full two-pass PRF, each
+    // twice (cold + warm) so codegen compile cost is separable.
+    if (args.headOption.contains("prf-breakdown")) {
+      val corpusP = docs
+      val qt = RetrievalOps.queryTerms(corpusP, col("doc_id") < 8)
+      def rep(nm: String)(f: => Long): Unit = {
+        t(nm + "_cold")(f); t(nm + "_warm")(f)
+        spark.catalog.clearCache()
+      }
+      rep("explode_tf") {
+        corpusP.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).count()
+      }
+      rep("qterms_distinct")(qt.select("word").distinct().count())
+      rep("first_pass")(RetrievalOps.bm25RanksForTerms(corpusP, qt, 3).count())
+      rep("first_pass_k5")(RetrievalOps.bm25RanksForTerms(corpusP, qt, 5).count())
+      rep("full_prf")(RetrievalOps.bm25Prf(corpusP, col("doc_id") < 8).count())
+      spark.stop(); return
+    }
+
+    // `Profile quantile-ab` — A/B the two exact boundary regimes of
+    // quantileBins on the registered input (round 15): raw `percentile`
+    // over rows vs the histogram form over (value, count). Identical
+    // boundaries by the documented multiset invariant; this measures
+    // which is cheaper at bench scale.
+    if (args.headOption.contains("quantile-ab")) {
+      val li = Tables.lineitem(spark, sfDir)
+      val cents = li.select(round(col("l_extendedprice") * 100)
+        .cast("long").as("yc"))
+      val ps = (1 until 8).map(k => k.toDouble / 8)
+      def raw(): Long = cents.agg(expr(
+        s"percentile(yc, array(${ps.mkString(", ")}))").as("bs")).count()
+      def hist(): Long = StatsOps.histExactBoundaries(cents, "yc", 8).count()
+      (1 to 3).foreach { i => t(s"raw#$i")(raw()); t(s"hist#$i")(hist()) }
+      t("distinct_yc")(cents.select("yc").distinct().count())
       spark.stop(); return
     }
 

@@ -73,11 +73,22 @@ object PaymentOps {
     * the count of drops is observable as input minus output rows).
     */
   def jsonDecode(jsonDF: DataFrame): DataFrame =
+    // Filter on the EXTRACTED currency field only (round 15, guide §4.4
+    // duplication): the previous `p IS NOT NULL AND p.currency IS NOT
+    // NULL` filter pushed below the projection as TWO independent
+    // from_json evaluations (each re-deriving the full input
+    // expression), plus the projection's own — 3+ parses per row.
+    // Row-equivalence: from_json under PERMISSIVE yields an all-null
+    // struct for malformed input and null only for null input, so
+    // `currency IS NOT NULL` accepts exactly the same rows (a null
+    // struct extracts a null field). The pushed filter's parse is
+    // schema-pruned to the one field by OptimizeJsonExprs; survivors
+    // pay one full parse in the projection — 2 total.
     jsonDF
       .withColumn("p", from_json(col("value"), paymentSchema))
-      .filter(col("p").isNotNull && col("p.currency").isNotNull)
       .select(col("k"), col("p.currency").as("currency"),
         col("p.amount").as("amount"), col("p.ts").as("ts"))
+      .filter(col("currency").isNotNull)
 
   /** F2 — currency conversion via broadcast lookup join
     * (PaymentsService.java:100-103; rates CurrencyExchangeRepo.java:15-19).
