@@ -48,6 +48,21 @@ object RetrievalOps {
 
   private def toksCol = split(col("text"), " ", -1)
 
+  /** Eager-pin helper for METADATA-SIZED frames (feedback ids, channel
+    * rank lists, expansion tables — all queries×k-bounded by contract):
+    * repartition(1) before persist (round 15). Cached plans skip AQE
+    * partition coalescing (spark.sql.optimizer.
+    * canChangeCachedPlanOutputPartitioning is false by default), so a
+    * pinned frame otherwise materializes at the session's shuffle
+    * partition count and EVERY downstream reference pays that many
+    * tasks to read a handful of rows. One partition is the right shape
+    * for these frames at any scale — they are the broadcast-class
+    * metadata of the family. Data-sized pins (the recall harness's
+    * evaluation corpus) deliberately do NOT use this. */
+  private def pinTiny(df: DataFrame): DataFrame =
+    df.repartition(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   // ---------------------------------------------------------------
   // Sparse channel (BM25)
   // ---------------------------------------------------------------
@@ -144,13 +159,11 @@ object RetrievalOps {
     // rows — metadata-sized. Eager-materialize + unpersist-on-return,
     // the [[DedupOps.dedupIncremental]] lifecycle contract: the CALLER
     // owns the returned (tiny, persisted) frame.
-    val fbIds = bm25RanksForTerms(corpus, qt, m)
-      .select(col("q_id"), col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fbIds = pinTiny(bm25RanksForTerms(corpus, qt, m)
+      .select(col("q_id"), col("doc_id")))
     try {
       fbIds.count()
-      val out = bm25PrfFromFeedback(corpus, qt, fbIds, e, k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = pinTiny(bm25PrfFromFeedback(corpus, qt, fbIds, e, k))
       out.count() // materialize while the feedback ids are still cached
       out
     } finally fbIds.unpersist()
@@ -183,8 +196,8 @@ object RetrievalOps {
                        e: Int = 5, k: Int = 5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // queries×m rows — the same pinned-feedback lifecycle as [[bm25Prf]]
-    val fbIds = bm25RanksFromIndex(idx, qterms, m)
-      .select(col("q_id"), col("doc_id")).persist(lvl)
+    val fbIds = pinTiny(bm25RanksFromIndex(idx, qterms, m)
+      .select(col("q_id"), col("doc_id")))
     // queries×feedback-vocab rows. PINNED because the expansion DAG
     // references it twice (the esc join and the candidate-vocab
     // broadcast inside cdf) and each evaluation costs a postings scan —
@@ -194,11 +207,10 @@ object RetrievalOps {
     // 26.5 s (≈ the inline two-explode PRF — six hidden postings scans
     // re-deriving the expansion), pinned it is the ~2-scoring-passes
     // cost the index-backed formulation exists for.
-    val fbCand = idx.postings
+    val fbCand = pinTiny(idx.postings
       .join(broadcast(fbIds), "doc_id")
       .groupBy("q_id", "word").agg(sum("tf").as("w"))
-      .join(qterms, Seq("q_id", "word"), "left_anti")
-      .persist(lvl)
+      .join(qterms, Seq("q_id", "word"), "left_anti"))
     // queries×(query-terms+e) rows — the second pass's term table
     var expanded: DataFrame = null
     try {
@@ -218,9 +230,9 @@ object RetrievalOps {
         .withColumn("r", row_number().over(expW))
         .filter(col("r") <= e)
         .select("q_id", "word")
-      expanded = qterms.unionAll(exp).persist(lvl)
+      expanded = pinTiny(qterms.unionAll(exp))
       expanded.count()
-      val out = bm25RanksFromIndex(idx, expanded, k).persist(lvl)
+      val out = pinTiny(bm25RanksFromIndex(idx, expanded, k))
       out.count() // materialize while the pinned inputs are still cached
       out
     } finally {
@@ -713,8 +725,8 @@ object RetrievalOps {
     // sampled corpus is knob-bounded); production retrieval paths
     // (hybridRrf*, bm25RanksFromIndex) do NOT cache their corpus.
     val c = corpus.persist(lvl)
-    val s = bm25Ranks(c, isQuery, kChannel).persist(lvl)
-    val d = denseChannel(c, isQuery, kChannel).persist(lvl)
+    val s = pinTiny(bm25Ranks(c, isQuery, kChannel))
+    val d = pinTiny(denseChannel(c, isQuery, kChannel))
     try {
       s.count(); d.count()
       val h = rrfFuse(s, d, k)
@@ -723,13 +735,12 @@ object RetrievalOps {
         .filter(col("rank") <= k && col("doc_id") === col("q_id") - 100000L)
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(name).as("channel"), col("n_hits"))
-      val out = hits(s, "sparse").unionAll(hits(d, "dense"))
+      val out = pinTiny(hits(s, "sparse").unionAll(hits(d, "dense"))
         .unionAll(hits(h, "hybrid"))
         .crossJoin(broadcast(nQ))
         .select(col("channel"), col("n_queries"), col("n_hits"),
           (col("n_hits").cast("double") / col("n_queries").cast("double"))
-            .as("recall"))
-        .persist(lvl)
+            .as("recall")))
       out.count() // materialize while the channel lists are still cached
       out
     } finally { s.unpersist(); d.unpersist(); c.unpersist() }

@@ -23,14 +23,30 @@ object Tables {
 
   /** The test tables are single small parquet files → single-partition
     * scans → every downstream hash/JSON/HOF stage runs on ONE core (a
-    * single-row-group file can't be split by maxPartitionBytes). Round-
-    * robin repartition to cluster parallelism, gated so it is a NO-OP at
+    * single-row-group file can't be split by maxPartitionBytes).
+    * Repartition to cluster parallelism, gated so it is a NO-OP at
     * real scale where the scan already yields >= defaultParallelism
     * splits. Filters/pruning still push through Repartition.
+    *
+    * HASH on the leading column, not round-robin (round 15): every
+    * keyless repartition(n) pays a local sort of its whole input first
+    * (spark.sql.execution.sortBeforeRepartition, on by default since
+    * SPARK-23207, so retried tasks reproduce the same row→partition
+    * assignment — guide §2.5) — a per-load tax on every one of the
+    * ~226 registered queries. The leading column of every test table
+    * is its (near-)unique key (doc_id / o_orderkey / l_orderkey /
+    * event_id / vec_id / *_key), so hash partitioning spreads as
+    * evenly as round-robin, needs no sort, is deterministic under
+    * retry/speculation BY VALUE (not just by assignment), and
+    * advertises a HashPartitioning downstream operators keyed on the
+    * same column can reuse. Every registered operator is partitioning-
+    * invariant by the repo-wide content-addressed determinism
+    * discipline, so results are unchanged (oracle gate re-run green).
     */
   def parallelize(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, col(df.columns.head)) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")

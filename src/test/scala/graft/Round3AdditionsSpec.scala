@@ -181,8 +181,14 @@ class Round3AdditionsSpec extends SparkSpec {
     val p = plan(RelationalOps.revenueChange(
       Tables.lineitem(spark, "/root/testdata/sf0.001")))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
-    // Column pruning: the scan reads only the 4 referenced columns.
-    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
-      "l_discount:double,l_shipdate:timestamp_ntz>"))
+    // Column pruning: the scan reads only the 4 referenced columns PLUS
+    // the loader's hash-partition key (round 15: Tables.parallelize
+    // hash-repartitions on the leading column instead of paying the
+    // round-robin sort-before-repartition; the key column survives
+    // pruning by construction on queries that don't otherwise read it).
+    // (prefix assert — the 5-column schema exceeds explain's line
+    // truncation width)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:ti"))
   }
 }
