@@ -150,7 +150,10 @@ object RetrievalOps {
     */
   def bm25Prf(corpus: DataFrame, isQuery: Column, m: Int = 3, e: Int = 5,
               k: Int = 5): DataFrame = {
-    val qt = queryTerms(corpus, isQuery)
+    // qt is queries×terms-bounded and referenced ~5× across the two
+    // passes (qvocab, scoreAndRank join, anti-join, union vocab, final
+    // term table) — pin it for the call like the feedback ids (round 15)
+    val qt = pinTiny(queryTerms(corpus, isQuery))
     // The feedback ids are referenced by several downstream branches
     // (fb tokenization twice, expansion ranking, second-pass vocab);
     // WITHOUT pinning them, each reference re-executes the ENTIRE
@@ -166,7 +169,7 @@ object RetrievalOps {
       val out = pinTiny(bm25PrfFromFeedback(corpus, qt, fbIds, e, k))
       out.count() // materialize while the feedback ids are still cached
       out
-    } finally fbIds.unpersist()
+    } finally { fbIds.unpersist(); qt.unpersist() }
   }
 
   /** [[bm25Prf]] as a PURE INDEX CONSUMER (VERDICT r14 item 2): both
@@ -192,9 +195,11 @@ object RetrievalOps {
     * The registered `bm25_prf_index` row pins this: its oracle is the
     * SAME SQL as `bm25_prf`'s.
     */
-  def bm25PrfFromIndex(idx: Bm25Index, qterms: DataFrame, m: Int = 3,
+  def bm25PrfFromIndex(idx: Bm25Index, qtermsIn: DataFrame, m: Int = 3,
                        e: Int = 5, k: Int = 5): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // qterms pinned for the call — referenced by both passes' vocab
+    // filters, the anti-join and the final term table (round 15)
+    val qterms = pinTiny(qtermsIn)
     // queries×m rows — the same pinned-feedback lifecycle as [[bm25Prf]]
     val fbIds = pinTiny(bm25RanksFromIndex(idx, qterms, m)
       .select(col("q_id"), col("doc_id")))
@@ -236,7 +241,7 @@ object RetrievalOps {
       out.count() // materialize while the pinned inputs are still cached
       out
     } finally {
-      fbIds.unpersist(); fbCand.unpersist()
+      fbIds.unpersist(); fbCand.unpersist(); qterms.unpersist()
       if (expanded != null) expanded.unpersist()
     }
   }
