@@ -1994,7 +1994,16 @@ object DedupOps {
     // otherwise tokenized+shingled the corpus twice — the dominant
     // pass); cached under the same caller clearCache contract as the
     // pipelines' own intermediates
-    val shingled = withShingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    // coalesce to cluster parallelism before pinning (round 15): the
+    // augmented corpus unions 3 branches, so unpinned it materializes at
+    // 3× the branch partition count and both pipelines' references pay
+    // 3× the tasks. Narrow (no shuffle), full parallelism kept; safe by
+    // the harness contract — the exhaustive recall corpus is bounded
+    // (dedup_recall_sampled is the scale path).
+    val shingled = withShingles(corpus)
+      .coalesce(math.max(1,
+        corpus.sparkSession.sparkContext.defaultParallelism))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val truth = ngramJaccardPairsShingled(shingled, minJaccard, 64,
       StorageLevel.MEMORY_AND_DISK).select("doc_a", "doc_b")
     val found = minhashPairsShingled(shingled, minJaccard,

@@ -729,7 +729,16 @@ object RetrievalOps {
     // corpus is bounded (the sampled twin IS the 100 TB path, and its
     // sampled corpus is knob-bounded); production retrieval paths
     // (hybridRrf*, bm25RanksFromIndex) do NOT cache their corpus.
-    val c = corpus.persist(lvl)
+    // Coalesce the pinned corpus back to cluster parallelism before
+    // caching (round 15): the augmented corpus is a 3-branch union, so
+    // it materializes at 3× the per-branch partition count and every
+    // downstream reference (qterms, toks, nAvg, both dense passes, nq)
+    // paid 3× the tasks to read it. coalesce is narrow (no shuffle) and
+    // keeps full parallelism; safe here by the harness contract — the
+    // evaluation corpus is bounded (the sampled twin IS the scale path).
+    val dp = math.max(1,
+      corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = corpus.coalesce(dp).persist(lvl)
     val s = pinTiny(bm25Ranks(c, isQuery, kChannel))
     val d = pinTiny(denseChannel(c, isQuery, kChannel))
     try {
