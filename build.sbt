@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Driver-parseable bench tail (round 16): the driver captures the last
+// stdout lines of `sbt "runMain graft.Bench"` and JSON-parses the final
+// line. Two sbt default behaviors have broken that parse for two rounds
+// (BENCH_r14/r15 `parsed: null`): forked-run output is routed through
+// sbt's logger (every program line gains an `[info] ` prefix) and sbt
+// prints a `[success] Total time: ...` footer AFTER the program's final
+// JSON line. Emit forked output verbatim and drop the success footer so
+// the compact JSON summary is genuinely the last line on stdout. The
+// bench/verify mains themselves are unchanged.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
