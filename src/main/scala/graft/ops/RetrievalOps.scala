@@ -200,8 +200,15 @@ object RetrievalOps {
     // qterms pinned for the call — referenced by both passes' vocab
     // filters, the anti-join and the final term table (round 15)
     val qterms = pinTiny(qtermsIn)
+    // ONE (n, avgdl) derivation for the whole call (round 16, guide
+    // §2.4): both scoring passes and the expansion's n_docs used to
+    // each aggregate the corpus-sized doclens — three full doclens
+    // scans for the same 1-row scalar. Pinned (1 row, the broadcast-
+    // class metadata pinTiny exists for); materialized by the first
+    // pass's count below; unpersisted with the other pins.
+    val nAvg = pinTiny(idxNAvg(idx))
     // queries×m rows — the same pinned-feedback lifecycle as [[bm25Prf]]
-    val fbIds = pinTiny(bm25RanksFromIndex(idx, qterms, m)
+    val fbIds = pinTiny(bm25RanksFromIndex(idx, qterms, m, nAvg)
       .select(col("q_id"), col("doc_id")))
     // queries×feedback-vocab rows. PINNED because the expansion DAG
     // references it twice (the esc join and the candidate-vocab
@@ -220,7 +227,8 @@ object RetrievalOps {
     var expanded: DataFrame = null
     try {
       fbIds.count()
-      val nDocs = idx.doclens.agg(count(lit(1)).as("n_docs"))
+      // n_docs == doclens count == nAvg's n (bit-identical long)
+      val nDocs = nAvg.select(col("n").as("n_docs"))
       val cdf = idx.df
         .join(broadcast(fbCand.select("word").distinct()), "word")
         .withColumnRenamed("df", "cdf")
@@ -237,11 +245,12 @@ object RetrievalOps {
         .select("q_id", "word")
       expanded = pinTiny(qterms.unionAll(exp))
       expanded.count()
-      val out = pinTiny(bm25RanksFromIndex(idx, expanded, k))
+      val out = pinTiny(bm25RanksFromIndex(idx, expanded, k, nAvg))
       out.count() // materialize while the pinned inputs are still cached
       out
     } finally {
       fbIds.unpersist(); fbCand.unpersist(); qterms.unpersist()
+      nAvg.unpersist()
       if (expanded != null) expanded.unpersist()
     }
   }
@@ -375,21 +384,25 @@ object RetrievalOps {
         (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
           .as("df"))
 
+  /** Persist an index to `dir` with ONE corpus tokenization and NO
+    * data-sized cache (round 16, replacing round 15's
+    * persist(MEMORY_AND_DISK) of the corpus-sized postings frame —
+    * which achieved the single tokenization but roughly doubled the
+    * index build's disk footprint via cache spill at scale, the exact
+    * data-sized-cache pattern the rest of the engine rejects): write
+    * postings first, then derive the df artifact by reading the
+    * just-written postings parquet back. REQUIRES the Bm25Index
+    * invariant df(word) ≡ postings rows per word — which every
+    * constructor maintains ([[bm25BuildIndex]] counts postings rows;
+    * [[bm25MergeIndex]] unions doc-disjoint postings and sums df, equal
+    * to a recount of the union) — so the written df values are
+    * bit-identical to idx.df's (spec-pinned in RetrievalOpsSpec). */
   def writeBm25Index(idx: Bm25Index, dir: String): Unit = {
-    // PIN postings across the three writes (round 15, guide §2.4): when
-    // df derives from postings (every [[bm25BuildIndex]] caller), the df
-    // write used to RE-EXECUTE the full corpus explode+aggregate —
-    // ReuseExchange never spans separate write actions, but the
-    // CacheManager rewrites the identical postings subtree inside
-    // idx.df's plan to an InMemoryTableScan, so the corpus is tokenized
-    // ONCE per index build instead of twice. The postings write itself
-    // populates the cache; unpersist on return (caller owns nothing).
-    val p = idx.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      p.write.mode("overwrite").parquet(dir + "/postings")
-      idx.doclens.write.mode("overwrite").parquet(dir + "/doclens")
-      idx.df.write.mode("overwrite").parquet(dir + "/df")
-    } finally p.unpersist()
+    idx.postings.write.mode("overwrite").parquet(dir + "/postings")
+    idx.doclens.write.mode("overwrite").parquet(dir + "/doclens")
+    idx.postings.sparkSession.read.parquet(dir + "/postings")
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(dir + "/df")
   }
 
   def readBm25Index(spark: SparkSession, dir: String): Bm25Index = Bm25Index(
@@ -407,7 +420,20 @@ object RetrievalOps {
     * `bm25_incremental` oracle IS the full-corpus `bm25_topk` SQL).
     */
   def bm25RanksFromIndex(idx: Bm25Index, qterms: DataFrame,
-                         k: Int = 5): DataFrame = {
+                         k: Int = 5): DataFrame =
+    bm25RanksFromIndex(idx, qterms, k, idxNAvg(idx))
+
+  /** The index's 1-row (n, avgdl) corpus-stats aggregate — split out
+    * (round 16) so a multi-pass consumer ([[bm25PrfFromIndex]]: two
+    * scoring passes + the expansion's n_docs) derives it ONCE from one
+    * doclens scan instead of once per pass. Same expression as before —
+    * exact integer count/sum with one IEEE division. */
+  private def idxNAvg(idx: Bm25Index): DataFrame =
+    idx.doclens.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+
+  private def bm25RanksFromIndex(idx: Bm25Index, qterms: DataFrame,
+                                 k: Int, nAvg: DataFrame): DataFrame = {
     val qvocab = qterms.select("word").distinct()
     // dl joined ONCE onto the vocab-filtered postings (the artifact
     // keeps doclens separate — the standard inverted-index layout); the
@@ -417,8 +443,6 @@ object RetrievalOps {
     val tf = idx.postings.join(broadcast(qvocab), "word")
       .join(idx.doclens, "doc_id")
     val dfT = idx.df.join(broadcast(qvocab), "word")
-    val nAvg = idx.doclens.agg(count(lit(1)).as("n"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     scoreAndRank(tf, dfT, nAvg, qterms, k)
   }
 
@@ -430,7 +454,17 @@ object RetrievalOps {
     * ONE corpus aggregation; the long-typed twin of
     * [[SemanticOps.hashedEmbeddings]] (kept integral so dots/norms
     * stay exact). In a persisted deployment this is the document-side
-    * vector index. */
+    * vector index.
+    *
+    * PRECONDITION (ADVICE r15): `doc_id` must be unique in `corpus`.
+    * The native kernel emits one vector per ROW; the pre-round-15
+    * explode→count→re-group derivation grouped by doc_id and would
+    * have merged token counts across duplicate doc_id rows, so the two
+    * forms (and the hashedTf-derived DuckDB oracles) agree only under
+    * uniqueness. Every registered corpus (documents and its
+    * [[DedupOps.augmented]] variants) is doc_id-unique by construction;
+    * a future non-unique corpus must pre-aggregate text per doc_id
+    * first. */
   def denseVectors(corpus: DataFrame, dims: Int = 64): DataFrame =
     // ONE map-side pass per document (round 15, guide §2.4): the
     // previous derivation exploded to (doc, token) rows, counted by

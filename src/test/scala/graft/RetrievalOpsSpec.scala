@@ -117,6 +117,27 @@ class RetrievalOpsSpec extends SparkSpec {
       sortedRows(RetrievalOps.bm25BuildIndex(corpus).df))
   }
 
+  test("writeBm25Index: the read-back-derived df artifact is bit-identical " +
+    "to idx.df, for a built AND a merged index (round-16 write path)") {
+    // round 16 derives the df artifact from the just-written postings
+    // (one tokenization, no data-sized cache); the Bm25Index invariant
+    // df(word) == postings rows per word makes that lossless for every
+    // constructor — pin it for both construction paths.
+    for (idx <- Seq(
+      RetrievalOps.bm25BuildIndex(corpus),
+      RetrievalOps.bm25MergeIndex(
+        RetrievalOps.bm25BuildIndex(corpus.filter(col("doc_id") % 2 === 0)),
+        RetrievalOps.bm25BuildIndex(corpus.filter(col("doc_id") % 2 =!= 0))))) {
+      val dir = java.nio.file.Files.createTempDirectory("bm25dfw").toString
+      try {
+        RetrievalOps.writeBm25Index(idx, dir)
+        val rb = RetrievalOps.readBm25Index(spark, dir)
+        assert(rb.df.columns.toSeq == Seq("word", "df"))
+        assert(sortedRows(rb.df) == sortedRows(idx.df))
+      } finally graft.ops.FixtureDirs.rmTree(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("retrievalRecall: hybrid hits are the union shape (>= each channel " +
     "on this corpus) and recall = n_hits / n_queries exactly") {
     // augmented() plants near copies at +100000 for doc_id % 10 == 0;
