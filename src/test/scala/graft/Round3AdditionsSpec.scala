@@ -181,14 +181,31 @@ class Round3AdditionsSpec extends SparkSpec {
     val p = plan(RelationalOps.revenueChange(
       Tables.lineitem(spark, "/root/testdata/sf0.001")))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
-    // Column pruning: the scan reads only the 4 referenced columns PLUS
-    // the loader's hash-partition key (round 15: Tables.parallelize
-    // hash-repartitions on the leading column instead of paying the
-    // round-robin sort-before-repartition; the key column survives
-    // pruning by construction on queries that don't otherwise read it).
-    // (prefix assert — the 5-column schema exceeds explain's line
-    // truncation width)
-    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double," +
+    // Column pruning: the scan reads EXACTLY the 4 referenced columns.
+    // (Round 16: sf0.001's lineitem is under the loader's size gate —
+    // Tables.parallelizeMinBytes — so the load repartition is skipped
+    // and the round-15 cost of the hash-partition key surviving
+    // pruning no longer applies at this scale; above the gate the key
+    // column still rides the scan by construction.)
+    assert(p.contains("ReadSchema: struct<l_quantity:double," +
       "l_extendedprice:double,l_discount:double,l_shipdate:ti"))
+  }
+
+  test("loader size gate: KB-scale tables skip the repartition, tables " +
+    "above the gate (and always-parallel text/vector tables) get it") {
+    val target = spark.sparkContext.defaultParallelism
+    // region (1.9 KB) is under parallelizeMinBytes -> single scan split
+    assert(Tables.region(spark, "/root/testdata/sf0.001")
+      .rdd.getNumPartitions < target)
+    // lineitem at sf0.01 (~1 MB) is above the gate -> repartitioned on
+    // its spec'd key
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    assert(li.rdd.getNumPartitions == target)
+    assert(li.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(l_orderkey"))
+    // documents is alwaysParallel (heavy per-row operators) even at KB
+    // scale
+    assert(Tables.documents(spark, "/root/testdata/sf0.001")
+      .rdd.getNumPartitions == target)
   }
 }
