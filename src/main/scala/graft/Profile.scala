@@ -167,10 +167,11 @@ object Profile {
         val n = fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        // let queued listener events drain before reading counters
-        // (listenerBus.waitUntilEmpty is private[spark]; a beat suffices
-        // for a profiling tool)
-        Thread.sleep(500)
+        // deterministic listener-bus drain (ADVICE r15: a fixed 500 ms
+        // sleep undercounts on a slow bus and the counters feed the
+        // round's overhead attribution) — same shim scale-freq uses
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .drainListenerBus(spark.sparkContext)
         spark.sparkContext.removeSparkListener(listener)
         println(f"[jobstats] $name%-34s wall=$wall%7.2fs jobs=${jobs.get}%3d " +
           f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +

@@ -913,6 +913,13 @@ object SemanticOps {
     * — where an auditor most wants the two engines trivially
     * comparable. Size `buckets` to the corpus instead; the coverage
     * row is the guard.)
+    *
+    * LIFECYCLE (ADVICE r15): this method EAGERLY EXECUTES (the pair
+    * surface and the returned frame are materialized with count()
+    * inside the call — plan-only consumers pay full execution at call
+    * time) and returns a PERSISTED DataFrame the CALLER owns and must
+    * unpersist — the same eager-materialize contract as [[bm25Prf]] /
+    * [[DedupOps.dedupIncremental]].
     */
   def tripletMining(documents: DataFrame, buckets: Int = 64): DataFrame = {
     // PIN the banded pair surface (round 15, guide §5 caching-when-
